@@ -1,0 +1,77 @@
+"""Multimodal column pattern: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` (the only place Python touches executor data, amortized per
+batch, never per row).
+
+The container has no image/audio libraries, so the real decoder is STUBBED
+(``decode_image`` raises NotImplementedError); ``fake_decode_features`` is a
+deterministic stand-in exercising the exact same Spark plumbing — schema,
+batch iteration, partitioning — that a real decoder would use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+FEATURE_SCHEMA = "doc_id long, n_bytes int, n_frames int, byte_feature long"
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach the multimodal column pattern to the documents table: payload
+    (binary) + metadata struct.  On a real corpus the payload comes off the
+    source (parquet/kafka) already binary."""
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("content_type"),
+            F.octet_length("text").alias("n_bytes"),
+            (F.col("doc_id") % 1000).alias("shard"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decoder stub — no imaging libs in this container."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "environment; use fake_decode_features for the plumbing path"
+    )
+
+
+def _fake_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    import pandas as pd
+
+    payloads = pdf["payload"]
+    n_bytes = payloads.map(len)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": n_bytes.astype("int32"),
+            # stand-ins for decoded properties (frame count, pixel checksum)
+            "n_frames": (n_bytes % 7).astype("int32"),
+            "byte_feature": payloads.map(lambda b: int(sum(b[:8]))).astype("int64"),
+        }
+    )
+
+
+def extract_features(binary_docs: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.  mapInPandas
+    keeps the scan partitioning (no shuffle) and transfers columnar batches;
+    swap ``_fake_feature_batch`` for a real decoder and the plan is
+    unchanged."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield _fake_feature_batch(pdf)
+
+    return binary_docs.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)

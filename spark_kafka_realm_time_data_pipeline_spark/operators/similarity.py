@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Dot products are computed with deterministic left-to-right double folds
+(``F.aggregate`` / DuckDB ``list_reduce``) so Spark and the oracle produce
+bit-identical cosines — no parallel-reduction order ambiguity.
+
+Scale path: the brute-force form is O(|Q|x|C|) and is only sane when |Q| is
+small (broadcast the queries); the bucketed/IVF form prunes candidates to a
+cluster probe set first, turning the cross join into an equi-join on
+cluster id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column | str) -> Column:
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def fold_sum(arr: Column) -> Column:
+    """Deterministic sequential double sum (left fold)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return fold_sum(F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y))
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(fold_sum(F.transform(_as_double(a), lambda x: x * x)))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# DuckDB twins — same left-fold shape.
+ORA_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+ORA_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    candidate corpus, window top-k per query.  The only shuffle is the
+    final per-query ranking; ties broken by neighbor id."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine("q_vec", "c_vec"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: cluster centroids (here: mean per pre-assigned
+    ``label``; at scale, k-means), rank clusters per query, probe the top
+    ``n_probe`` clusters, brute-force inside the probe set only.
+
+    The candidate join is an equi-join on cluster id — the 100 TB shape:
+    |Q| x n_probe x (N / n_clusters) comparisons instead of |Q| x N.
+    """
+    dim = 64
+    cent = (
+        embeddings.select(cluster_col, F.posexplode("embedding").alias("pos", "val"))
+        .groupBy(cluster_col, "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select(
+            F.col(cluster_col).alias("cluster"),
+            F.transform("pairs", lambda p: p.getField("cval")).alias("centroid"),
+        )
+    )
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    from pyspark.sql import Window
+
+    qc = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("c_cos", cosine("q_vec", "centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), "cluster")
+    probes = qc.withColumn("crank", F.row_number().over(wq)).filter(
+        F.col("crank") <= n_probe
+    ).select("query_id", "q_vec", "cluster")
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col(cluster_col).alias("cluster"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

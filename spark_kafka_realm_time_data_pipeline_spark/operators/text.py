@@ -1,0 +1,102 @@
+"""Text-analysis operators for LLM data pipelines: quality stats, token
+counting, language-ID heuristic, document fingerprinting.
+
+All Catalyst-native (string/array/higher-order functions) — no Python on
+executors; every op is a narrow map over the documents scan, so it scales
+embarrassingly (zero shuffles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and")
+
+# tiny marker lists per language for the n-gram/stopword-vote heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "zh": ("de", "shi", "le"),
+}
+
+FP_MOD = 1_000_000_007
+
+
+def _toks(col: str = "text") -> Column:
+    return F.split(col, " ")
+
+
+def quality_stats(docs: DataFrame) -> DataFrame:
+    toks = _toks()
+    n_words = F.size(toks)
+    compact_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    stop_list = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_words"),
+        (compact_len.cast("double") / n_words.cast("double")).alias("avg_word_len"),
+        (n_stop.cast("double") / n_words.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (alpha runs, digit
+    runs, and any residual non-space char each count as one token)."""
+    return docs.select(
+        "doc_id",
+        F.size(_toks()).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).alias("re_tokens"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias(
+            "n_spaces"
+        ),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-vote language ID: count marker-token hits per language, pick
+    the argmax (lexicographically-first language on ties). Deterministic and
+    SQL-expressible — the mechanism of a real n-gram langid at toy size."""
+    toks = _toks()
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        marker_arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scores.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t))).alias(
+                f"score_{lang}"
+            )
+        )
+    scored = docs.select("doc_id", "lang", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best.alias("detected_lang"),
+        best_score.alias("marker_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial hash over the token stream:
+    acc = (acc*31 + len(tok) + (ascii(first_char)-96)*131) mod 1e9+7.
+    A deterministic left fold — the oracle replays it with list_reduce."""
+    tok_vals = F.transform(
+        _toks(),
+        lambda t: F.length(t) + (F.ascii(F.substring(t, 1, 1)) - 96) * 131,
+    )
+    fp = F.aggregate(
+        tok_vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,359 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal columns (driver north star; BASELINE.json).
+
+Oracle strategy: all hashing is md5/sha256 (engine-portable), all float
+reductions are deterministic left folds, so even MinHash-LSH has a full
+value oracle.  Oracle SQL for vote/argmax cascades is *generated* from the
+same Python constants the Spark side uses — one source of truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..sources.files import load_table
+from . import QuerySpec
+
+# --- shared oracle fragments -------------------------------------------------
+
+ORA_TOKS = (
+    "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)"
+)
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def _ora_cosine(a: str, b: str) -> str:
+    return f"{_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)})"
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(D.planted_corpus(spark, sf_dir))
+
+
+ORA_DEDUP_EXACT = f"""
+WITH {D.ORA_CORPUS}
+SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM (SELECT doc_id, sha256(text) AS content_hash FROM corpus)
+GROUP BY content_hash HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(D.planted_corpus(spark, sf_dir), threshold=0.8)
+
+
+ORA_DEDUP_MINHASH = f"""
+WITH {D.ORA_CORPUS},
+{ORA_TOKS},
+hashed AS (
+  SELECT doc_id, seed, MIN(md5(concat(CAST(seed AS VARCHAR), '_', tok))) AS sig
+  FROM toks CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band_id, string_agg(sig, '|' ORDER BY seed) AS band_key
+  FROM hashed GROUP BY doc_id, seed // 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) >= 0.8
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_fingerprints(D.planted_corpus(spark, sf_dir))
+
+
+def _ora_simhash(bits: int = 16) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (strpos('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    terms = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH {D.ORA_CORPUS},
+{ORA_TOKS},
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: plant exact vector copies, block on the
+    cluster label (equi-join — no cross product), verify cosine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.unionByName(
+        e.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    a = planted.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label"
+    )
+    b = planted.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label"
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.withColumn("cosine", S.cosine("emb_a", "emb_b"))
+        .filter(F.col("cosine") >= 0.999)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+ORA_DEDUP_EMBEDDING = f"""
+WITH planted AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_ora_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM planted a JOIN planted b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_ora_cosine('a.embedding', 'b.embedding')} >= 0.999
+"""
+
+
+# --- similarity search --------------------------------------------------------
+
+
+def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(e, queries, k=5)
+
+
+ORA_SIM_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_ora_cosine('q.q_vec', 'e.embedding')} AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only: centroid means use float averaging whose
+    order is engine-specific; recall vs brute force is pytest-checked)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(e, queries, k=5, n_probe=3)
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_stats(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]"
+ORA_TEXT_QUALITY = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> list_contains({_STOP_LIST}, t))) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+ORA_TEXT_TOKENS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tokens,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces
+FROM documents
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _ora_langid() -> str:
+    langs = sorted(T.LANG_MARKERS)
+
+    def score(lang: str) -> str:
+        markers = "[" + ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang]) + "]"
+        return (
+            f"len(list_filter(string_split(text, ' '), "
+            f"t -> list_contains({markers}, t)))"
+        )
+
+    score_cols = ",\n       ".join(f"{score(lang)} AS score_{lang}" for lang in langs)
+    # replay the exact strict-greater-than fold the Spark side does
+    best = f"'{langs[0]}'"
+    best_score = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN score_{lang} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = (
+            f"CASE WHEN score_{lang} > {best_score} THEN score_{lang} ELSE {best_score} END"
+        )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       {best} AS detected_lang,
+       {best_score} AS marker_hits
+FROM scored
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+ORA_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             t -> CAST(length(t) + (ascii(substring(t, 1, 1)) - 96) * 131 AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % {T.FP_MOD}
+       ) AS fingerprint
+FROM documents
+"""
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bd = M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return bd.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.content_type").alias("content_type"),
+        F.col("meta.shard").alias("shard"),
+    )
+
+
+ORA_MULTIMODAL_META = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       'image/fake' AS content_type,
+       doc_id % 1000 AS shard
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.extract_features(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
+
+
+_BYTE_SUM = " + ".join(f"ascii(substring(text, {i}, 1))" for i in range(1, 9))
+ORA_MULTIMODAL_FEATURES = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 7 AS INT) AS n_frames,
+       CAST({_BYTE_SUM} AS BIGINT) AS byte_feature
+FROM documents
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster vector stats; min/max of deterministic fold norms (no
+    order-sensitive double sums)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    with_norm = e.withColumn("vnorm", S.norm("embedding"))
+    return with_norm.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vnorm").alias("min_norm"),
+        F.max("vnorm").alias("max_norm"),
+    )
+
+
+ORA_EMBEDDING_STATS = f"""
+SELECT label, COUNT(*) AS n_vectors,
+       MIN({_NORM.format(a='embedding')}) AS min_norm,
+       MAX({_NORM.format(a='embedding')}) AS max_norm
+FROM embeddings GROUP BY label
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(q_dedup_exact, ORA_DEDUP_EXACT, "exact dedup via sha256+groupBy"),
+    "dedup_minhash_lsh": QuerySpec(
+        q_dedup_minhash, ORA_DEDUP_MINHASH, "MinHash->LSH bands->Jaccard verify"
+    ),
+    "dedup_simhash": QuerySpec(q_dedup_simhash, _ora_simhash(), "SimHash fingerprints"),
+    "dedup_embedding": QuerySpec(
+        q_dedup_embedding, ORA_DEDUP_EMBEDDING, "embedding-cosine near-dup"
+    ),
+    "sim_bruteforce_topk": QuerySpec(
+        q_sim_bruteforce, ORA_SIM_BRUTEFORCE, "brute-force cosine top-k"
+    ),
+    "sim_ivf_topk": QuerySpec(q_sim_ivf, None, "IVF-bucketed ANN (rows-only)"),
+    "text_quality": QuerySpec(q_text_quality, ORA_TEXT_QUALITY, "quality scoring"),
+    "text_tokens": QuerySpec(q_text_tokens, ORA_TEXT_TOKENS, "token counting"),
+    "text_langid": QuerySpec(q_text_langid, _ora_langid(), "language-ID heuristic"),
+    "text_fingerprint": QuerySpec(
+        q_text_fingerprint, ORA_TEXT_FINGERPRINT, "rolling-hash fingerprint"
+    ),
+    "multimodal_meta": QuerySpec(
+        q_multimodal_meta, ORA_MULTIMODAL_META, "binary payload + metadata struct"
+    ),
+    "multimodal_features": QuerySpec(
+        q_multimodal_features, ORA_MULTIMODAL_FEATURES, "mapInPandas feature extraction"
+    ),
+    "embedding_stats": QuerySpec(q_embedding_stats, ORA_EMBEDDING_STATS, "per-cluster norms"),
+}

@@ -1,0 +1,161 @@
+"""Reference-parity queries — SURVEY.md §2.1-§2.4, batch analogs.
+
+Each entry re-expresses one operator row from the reference inventory
+(file:line citations in the docstrings/comments) over the synthetic corpus.
+The oracle SQL computes the same *result* directly — for codec-chain queries
+the oracle skips the encode/decode roundtrip (base64(x) then unbase64(x) is
+identity), which is exactly what makes it an independent check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codec import customer_birth_year, decode_redis_envelope
+from ..sources.files import load_table
+from ..streaming.pipeline import (
+    stedi_batch,
+    stedi_batch_serialized,
+    synth_customer_wire,
+)
+from . import QuerySpec
+
+# DuckDB twins of streaming/pipeline.py EMAIL_SQL / BIRTHDAY_SQL
+_ORA_EMAIL = "concat('user', CAST({k} AS VARCHAR), '@test.com')"
+_ORA_BIRTHYEAR = (
+    "strftime(DATE '1940-01-01' + CAST(({k} * 73) % 21915 AS INT), '%Y')"
+)
+
+
+def q_stedi_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+P1-P9: the full STEDI pipeline in batch (sparkpykafkajoin.py)."""
+    return stedi_batch(spark, sf_dir)
+
+
+def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2->P4->P5->P2->P3->P6->P7 codec chain alone
+    (sparkpyrediskafkastreamtoconsole.py:90-133)."""
+    return customer_birth_year(decode_redis_envelope(synth_customer_wire(spark, sf_dir)))
+
+
+def q_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: selectExpr binary/typed->string casts (sparkpykafkajoin.py:57)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "cast(event_id as string) as event_key",
+        "cast(user_id as string) as user_key",
+        "event_type",
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: from_json over a declared schema (sparkpykafkajoin.py:91) plus the
+    get_json_object path-extraction variant."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("prop_k"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k_path"),
+    )
+
+
+def q_null_filter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7: null-rejecting WHERE + split-derivation
+    (sparkpykafkajoin.py:127,131) over lineitem ship dates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dated = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_str"),
+    ).filter(F.col("ship_str").isNotNull() & F.col("l_orderkey").isNotNull())
+    return dated.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.split("ship_str", "-").getItem(0).alias("ship_year"),
+        F.split("ship_str", "-").getItem(1).alias("ship_month"),
+    )
+
+
+def q_temp_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+P10: temp-view registration + SQL projection over it
+    (sparkpykafkajoin.py:170-178)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_view_ref")
+    return spark.sql(
+        "SELECT event_id, user_id, value AS score FROM events_view_ref "
+        "WHERE event_type = 'purchase'"
+    )
+
+
+def q_serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: to_json(struct(*)) Kafka-sink projection (sparkpykafkajoin.py:202)."""
+    return stedi_batch_serialized(spark, sf_dir)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stedi_flagship": QuerySpec(
+        q_stedi_flagship,
+        f"""
+        SELECT {_ORA_EMAIL.format(k='e.user_id')} AS customer,
+               e.value AS score,
+               {_ORA_EMAIL.format(k='c.c_custkey')} AS email,
+               {_ORA_BIRTHYEAR.format(k='c.c_custkey')} AS birthYear
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "flagship stream-stream join analog (J1)",
+    ),
+    "envelope_roundtrip": QuerySpec(
+        q_envelope_roundtrip,
+        f"""
+        SELECT {_ORA_EMAIL.format(k='c_custkey')} AS email,
+               {_ORA_BIRTHYEAR.format(k='c_custkey')} AS birthYear
+        FROM customer
+        """,
+        "Redis-CDC envelope codec chain (P2/P4/P5)",
+    ),
+    "cast_projection": QuerySpec(
+        q_cast_projection,
+        """
+        SELECT CAST(event_id AS VARCHAR) AS event_key,
+               CAST(user_id AS VARCHAR) AS user_key,
+               event_type
+        FROM events
+        """,
+        "P1 selectExpr casts",
+    ),
+    "json_extract": QuerySpec(
+        q_json_extract,
+        """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+               CAST(json_extract_string(props, '$.k') AS INT) AS prop_k_path
+        FROM events
+        """,
+        "P2 from_json / get_json_object",
+    ),
+    "null_filter_split": QuerySpec(
+        q_null_filter_split,
+        """
+        SELECT l_orderkey, l_linenumber,
+               strftime(l_shipdate, '%Y') AS ship_year,
+               strftime(l_shipdate, '%m') AS ship_month
+        FROM lineitem
+        WHERE l_shipdate IS NOT NULL AND l_orderkey IS NOT NULL
+        """,
+        "P6 null filter + P7 split derivation",
+    ),
+    "temp_view_sql": QuerySpec(
+        q_temp_view_sql,
+        """
+        SELECT event_id, user_id, value AS score FROM events
+        WHERE event_type = 'purchase'
+        """,
+        "P8/P10 temp view + SQL projection",
+    ),
+    "serialize_json": QuerySpec(
+        q_serialize_json,
+        None,  # JSON double-rendering differs across engines; golden-tested in pytest
+        "P9 to_json struct serialization",
+    ),
+}
