@@ -255,8 +255,9 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k.
-    customer side broadcasts; lineitem never shuffles until the final
-    (tiny) agg on orderkey."""
+    Only the filtered customer dim broadcasts; lineitem⋈orders is a
+    fact-fact join left to AQE (SMJ / shuffled-hash) — broadcasting orders
+    would OOM at scale since the date filter keeps ~all rows."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
@@ -268,7 +269,7 @@ def q_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)"
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -303,7 +304,9 @@ LIMIT 10
 
 def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: snowflake join region->nation->customer->orders->
-    lineitem. All dims broadcast; the single shuffle is the final group-by."""
+    lineitem. Dims (region/nation/customer-projection) broadcast; the
+    lineitem⋈orders fact-fact join shuffles on orderkey (AQE picks the
+    physical strategy) — never broadcast a fact table."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -318,7 +321,7 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_items"))
@@ -421,7 +424,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(
-            F.broadcast(o),
+            o,
             (li.l_orderkey == o.o_orderkey)
             & (li.l_shipdate >= o.o_orderdate)
             & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
@@ -772,7 +775,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .pivot("event_type", kinds)
-        .agg(F.count("*"))
+        .agg(F.count(F.lit(1)))
         .na.fill(0, kinds)
     )
 

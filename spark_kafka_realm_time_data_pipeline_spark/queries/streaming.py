@@ -1,0 +1,276 @@
+"""Streaming queries — SURVEY.md §2 rows S1/S2/J1 + §2.5 streaming family.
+
+Every query here EXECUTES a Structured Streaming plan (readStream file
+source → transformations → memory sink, availableNow trigger) and returns
+the materialized result, so the DuckDB oracle checks real streaming
+semantics, not a batch stand-in.  This closes the round-1 gap: the reference
+is 100% Structured Streaming (``sparkpykafkajoin.py:48-54,203-209``) and the
+engine previously had no executable streaming path at all.
+
+Oracle notes: with the availableNow trigger the final watermark is
+``max(event time) - delay``; append-mode windows/sessions emit exactly those
+whose end <= that watermark, which is SQL-expressible — the oracles below
+encode it as a HAVING cutoff.  The watermarked stream-stream join uses a
+±45-day window that covers the whole one-month corpus, so its oracle is the
+plain equi-join while the plan still runs through
+StreamingSymmetricHashJoinExec with state-eviction predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import stream_table
+from ..streaming.pipeline import (
+    JOIN_WINDOW_SECONDS,
+    build_streaming_stedi,
+    synth_customer_wire_stream,
+    synth_event_wire_stream,
+)
+from ..streaming.runner import run_to_memory
+from . import QuerySpec
+from .reference import _ORA_BIRTHYEAR, _ORA_EMAIL
+
+_STEDI_JOIN_ORACLE = f"""
+SELECT {_ORA_EMAIL.format(k='e.user_id')} AS customer,
+       e.value AS score,
+       {_ORA_EMAIL.format(k='c.c_custkey')} AS email,
+       {_ORA_BIRTHYEAR.format(k='c.c_custkey')} AS birthYear
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def q_streaming_stedi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1, scalable form: watermarked stream-stream inner equi-join — the
+    engine's fix for the reference's unbounded-state join
+    (sparkpykafkajoin.py:184-187 has no watermark, so state grows forever).
+    Runs through StreamingSymmetricHashJoinExec with eviction predicates."""
+    joined = build_streaming_stedi(
+        spark,
+        synth_customer_wire_stream(spark, sf_dir),
+        synth_event_wire_stream(spark, sf_dir),
+        watermark="1 hour",
+        join_window_seconds=JOIN_WINDOW_SECONDS,
+    )
+    return run_to_memory(joined, spark)
+
+
+def q_streaming_stedi_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1, reference-parity form: the exact unwatermarked inner join of
+    sparkpykafkajoin.py:184-187 (state retained forever — correct results,
+    unbounded memory; kept for parity, the watermarked twin is the one to
+    run at scale)."""
+    joined = build_streaming_stedi(
+        spark,
+        synth_customer_wire_stream(spark, sf_dir),
+        synth_event_wire_stream(spark, sf_dir),
+        watermark=None,
+    )
+    return run_to_memory(joined, spark)
+
+
+def q_streaming_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: tumbling event-time window aggregation, complete output mode
+    (every window emitted; the late-data/append variant is
+    streaming_late_window). Partial aggregation happens per micro-batch;
+    state is one row per (window, event_type)."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, spark, output_mode="complete")
+
+
+ORA_TUMBLING = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(value) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_streaming_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: sliding window (1 hour, 30-minute slide) — each event lands in
+    2 overlapping windows; Spark expands then aggregates."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, spark, output_mode="complete")
+
+
+ORA_SLIDING = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n_events
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+def q_streaming_late_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: watermark + append mode — only windows the watermark has closed
+    are emitted (late data past the 10-minute bound would be dropped).  With
+    availableNow the final watermark is max(ts) - 10 min, so the window
+    containing the stream's tail stays open and is withheld."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, spark, output_mode="append")
+
+
+ORA_LATE_WINDOW = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+HAVING window_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+"""
+
+
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: session windows (30-minute inactivity gap) per user — Spark's
+    session_window merges overlapping [ts, ts+gap) intervals in the state
+    store; append mode emits a session once the watermark passes its end."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, spark, output_mode="append")
+
+
+ORA_SESSION_WINDOW = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+"""
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: stateful streaming deduplication — dropDuplicates keyed on
+    event_id keeps first-arrival per key in the state store (unbounded
+    state; the watermarked twin below is the scale form)."""
+    ev = stream_table(spark, sf_dir, "events")
+    deduped = ev.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
+    return run_to_memory(deduped, spark)
+
+
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: dropDuplicatesWithinWatermark — dedup state is evicted once the
+    watermark passes, bounding memory (the 100 TB-safe form of streaming
+    dedup; exact within the lateness bound)."""
+    ev = stream_table(spark, sf_dir, "events")
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, spark)
+
+
+ORA_DEDUP_IDENTITY = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "streaming_stedi_join": QuerySpec(
+        q_streaming_stedi_join,
+        _STEDI_JOIN_ORACLE,
+        "watermarked stream-stream inner equi-join (J1, scalable form)",
+    ),
+    "streaming_stedi_unbounded": QuerySpec(
+        q_streaming_stedi_unbounded,
+        _STEDI_JOIN_ORACLE,
+        "reference-exact unwatermarked stream-stream join (J1 parity)",
+    ),
+    "streaming_window_tumbling": QuerySpec(
+        q_streaming_window_tumbling,
+        ORA_TUMBLING,
+        "tumbling event-time window agg, complete mode",
+    ),
+    "streaming_window_sliding": QuerySpec(
+        q_streaming_window_sliding,
+        ORA_SLIDING,
+        "sliding event-time window agg, complete mode",
+    ),
+    "streaming_late_window": QuerySpec(
+        q_streaming_late_window,
+        ORA_LATE_WINDOW,
+        "watermark + append mode: only closed windows emit",
+    ),
+    "streaming_session_window": QuerySpec(
+        q_streaming_session_window,
+        ORA_SESSION_WINDOW,
+        "session windows (30 min gap) with watermark, append mode",
+    ),
+    "streaming_dedup": QuerySpec(
+        q_streaming_dedup,
+        ORA_DEDUP_IDENTITY,
+        "stateful streaming dropDuplicates on event_id",
+    ),
+    "streaming_dedup_watermark": QuerySpec(
+        q_streaming_dedup_watermark,
+        ORA_DEDUP_IDENTITY,
+        "dropDuplicatesWithinWatermark (state-bounded dedup)",
+    ),
+}

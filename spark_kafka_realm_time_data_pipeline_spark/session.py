@@ -18,10 +18,66 @@ start:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Runtime-settable confs the engine needs on ANY session, including one the
+# test driver built itself (configure_runtime applies them post-hoc).
+RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # the synthetic corpus writes TIMESTAMP(NANOS) parquet, which Spark
+    # refuses natively; read as long and convert at the source layer
+    # (sources/files.py) — DuckDB likewise truncates nanos to micros.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def _package_zip() -> str:
+    """Zip this package so addPyFile ships it to Python workers — without
+    this, mapInPandas/pandas_udf closures that reference the package by name
+    raise ModuleNotFoundError on executors unless the driver's cwd happens
+    to be the repo root."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                fpath = os.path.join(root, fname)
+                arc = os.path.join(pkg_name, os.path.relpath(fpath, pkg_dir))
+                zf.write(fpath, arc)
+    return zpath
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply the engine's posture to an existing SparkSession (e.g. one the
+    test driver created): runtime confs + ship the package to executors.
+    Idempotent and cheap to call per-query."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable on this build — builder path sets it
+    if not getattr(spark, "_sktp_pyfiles_shipped", False):
+        try:
+            spark.sparkContext.addPyFile(_package_zip())
+        except Exception:
+            pass  # already added under the same name
+        spark._sktp_pyfiles_shipped = True
+    return spark
 
 
 def get_spark(
@@ -59,4 +115,4 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return spark
+    return configure_runtime(spark)

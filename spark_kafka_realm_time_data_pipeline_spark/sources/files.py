@@ -27,17 +27,42 @@ _NANO_TS_COLS = {
 }
 
 
+def convert_nano_ts(df: DataFrame, name: str) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong) —
+    convert to micros. Integer division, NOT floor(x/1000): doubles lose
+    precision at ~1.7e18 nanos (> 2^53) and round 1 µs high on ~12% of
+    rows, breaking hash parity with the DuckDB oracle."""
+    for col in _NANO_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan. Catalyst handles column pruning + filter
     pushdown; at 100 TB the same call reads a partitioned table and prunes
     partitions — no code change."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANO_TS_COLS.get(name, ()):
-        if isinstance(df.schema[col].dataType, LongType):
-            df = df.withColumn(
-                col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
-            )
-    return df
+    return convert_nano_ts(spark.read.parquet(table_path(sf_dir, name)), name)
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming scan of the same corpus table (file source): the bounded
+    analog of the reference's Kafka topic scans (sparkpykafkajoin.py:48-54).
+    The file source needs a declared schema (no inference on streams) — read
+    it from the parquet footer, which is a metadata-only operation."""
+    schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    # FileStreamSource requires a directory basePath; select the one table's
+    # file with a glob filter over the corpus dir.
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    return convert_nano_ts(df, name)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -95,6 +95,54 @@ def stedi_batch_serialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Streaming twin ---------------------------------------------------------
 
+# Wire timestamp pinned mid-corpus (events span 2024-01): every event falls
+# inside the ±45-day join window, so the watermarked streaming join is
+# result-equivalent to the batch equi-join — which is what makes it
+# oracle-checkable while still exercising state eviction machinery.
+CUSTOMER_WIRE_TS = "2024-01-15 00:00:00"
+JOIN_WINDOW_SECONDS = 45 * 24 * 3600
+
+
+def synth_customer_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of synth_customer_wire: (value, ts) rows from a file
+    source — the bounded analog of the `redis-server` Kafka topic."""
+    from ..sources.files import stream_table
+
+    cust = stream_table(spark, sf_dir, "customer")
+    enriched = cust.select(
+        F.col("c_name"),
+        F.expr(EMAIL_SQL.format(k="c_custkey")).alias("email"),
+        F.expr(f"cast({BIRTHDAY_SQL.format(k='c_custkey')} as string)").alias("birthDay"),
+    )
+    wire = encode_customer_envelope(
+        enriched,
+        {
+            "customerName": F.col("c_name"),
+            "email": F.col("email"),
+            "phone": F.lit("8015551212"),
+            "birthDay": F.col("birthDay"),
+        },
+    )
+    return wire.withColumn("ts", F.lit(CUSTOMER_WIRE_TS).cast("timestamp"))
+
+
+def synth_event_wire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of synth_event_wire: (value, ts) rows — the bounded
+    analog of the `stedi-events` Kafka topic (event time = corpus ts)."""
+    from ..sources.files import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    return ev.select(
+        F.to_json(
+            F.struct(
+                F.expr(EMAIL_SQL.format(k="user_id")).alias("customer"),
+                F.col("value").alias("score"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("riskDate"),
+            )
+        ).alias("value"),
+        F.col("ts"),
+    )
+
 
 def build_streaming_stedi(
     spark: SparkSession,

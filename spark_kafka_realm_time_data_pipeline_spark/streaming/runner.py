@@ -1,0 +1,58 @@
+"""Streaming execution harness — run a streaming plan to completion.
+
+The reference starts its streams with console/Kafka sinks and blocks forever
+(``sparkpyrediskafkastreamtoconsole.py:154``, ``sparkpykafkajoin.py:202-209``
+— the second console sink at :211 is dead code because :209 never returns).
+The engine's harness instead uses the **memory sink + availableNow trigger**:
+process everything the source currently has, flush stateful operators via
+no-data micro-batches, terminate, and hand back the result as a bounded
+DataFrame.  That is what makes streaming semantics *testable* — the driver's
+DuckDB oracle and pytest both consume the returned table.
+
+At cluster scale the same plans run with a Kafka sink and a processing-time
+trigger (see sinks.py); only the sink/trigger wiring differs — the
+transformation graph is byte-identical (Structured Streaming's unbounded-
+table model).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_to_memory(
+    df: DataFrame,
+    spark: SparkSession,
+    name: str | None = None,
+    output_mode: str = "append",
+    timeout_seconds: int = 300,
+) -> DataFrame:
+    """Execute a streaming DataFrame with trigger(availableNow) into an
+    in-memory table and return the materialized result.
+
+    ``availableNow`` processes all currently-available input (in one or more
+    micro-batches), runs trailing no-data batches so the watermark advances
+    and append-mode state (windows/sessions) is flushed, then stops — the
+    deterministic replay the reference lacks (its only options were "block
+    forever" or ctrl-C).
+    """
+    qname = name or f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    query = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_seconds)
+    finally:
+        query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname)
