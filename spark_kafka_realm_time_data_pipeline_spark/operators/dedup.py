@@ -21,8 +21,15 @@ from pyspark.sql import functions as F
 
 from ..sources.files import load_table
 
-N_MINHASH = 8  # 4 bands x 2 rows
-BAND_ROWS = 2
+# 8 bands x 8 rows: LSH candidate threshold ~ (1/b)^(1/r) = 0.77, tuned to
+# the 0.8 Jaccard verify bar. Round-1 ran 4 bands x 2 rows, which admits
+# P(candidate)=0.68 at s=0.5 — near-quadratic buckets on template-heavy
+# corpora (measured 133s / 4.3M pairs at sf0.1). r=8 drops that to ~0.03.
+N_MINHASH = 64
+BAND_ROWS = 8
+# Deterministic per-bucket cap (lowest doc_ids win): bounds any residual
+# degenerate bucket at cap^2 pairs. Replayed exactly by the oracle SQL.
+MAX_BUCKET = 64
 
 
 def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,41 +77,74 @@ def doc_tokens(corpus: DataFrame) -> DataFrame:
     )
 
 
+# Prime modulus for the Carter-Wegman hash family (< 2^28 so the affine
+# combination below never overflows a signed 64-bit int).
+MINHASH_PRIME = 268435399
+
+
 def minhash_signatures(toks: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """MinHash signature per doc: sig_i = min over tokens of
-    md5(i || '_' || token).  One groupBy(doc_id) with conditional-min
-    aggregates — a single shuffle regardless of n_hashes."""
+    """MinHash signature per doc via a Carter-Wegman family: ONE md5 per
+    token supplies two 28-bit integers (a, b); hash s is the affine map
+    ``(a + s*(2b+1)) % P``.  One groupBy(doc_id) with n_hashes integer-min
+    aggregates — a single shuffle, and ~64x less hashing than computing a
+    fresh md5 per (seed, token) (measured 6.7s -> sub-second at sf0.1).
+    Integer mins also shrink the shuffle ~8x vs 32-char hex-string mins.
+    All arithmetic is engine-portable; the DuckDB oracle replays it exactly.
+    """
     seeds = list(range(n_hashes))
     hashed = toks.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{s}_"), F.col("tok"))).alias(f"h{s}")
-            for s in seeds
-        ],
+        F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(F.md5("tok"), 9, 7), 16, 10).cast("long").alias("b"),
     )
+    sig = lambda s: (F.col("a") + F.lit(s) * (F.col("b") * 2 + 1)) % MINHASH_PRIME
     return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"s{s}") for s in seeds]
+        *[F.min(sig(s)).alias(f"s{s}") for s in seeds]
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = N_MINHASH, band_rows: int = BAND_ROWS) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    band_rows: int = BAND_ROWS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band become
     candidates.  The join key is (band_id, band_key) — equi-shuffle, no
-    cross product."""
+    cross product.
+
+    Shape notes for 100 TB:
+    - bands come from ONE explode over the signature row (a union of
+      per-band selects would re-run the whole signature aggregation once
+      per band — Catalyst does not dedupe common subplans across union
+      branches);
+    - buckets are capped at ``max_bucket`` docs (deterministically: lowest
+      doc_ids win) so a degenerate bucket costs at most cap^2 pairs instead
+      of going quadratic in corpus size.
+    """
+    from pyspark.sql import Window
+
     n_bands = n_hashes // band_rows
-    bands = None
-    for b in range(n_bands):
-        cols = [f"s{b * band_rows + r}" for r in range(band_rows)]
-        one = sigs.select(
-            "doc_id",
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band_id"),
-            F.concat_ws("|", *cols).alias("band_key"),
+            F.concat_ws(
+                "|", *[f"s{b * band_rows + r}" for r in range(band_rows)]
+            ).alias("band_key"),
         )
-        bands = one if bands is None else bands.unionByName(one)
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "bd.band_id", "bd.band_key")
+    w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    capped = (
+        bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket)
+        .drop("rn")
     )
-    b_ = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b_ = capped.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     return (
         a.join(b_, ["band_id", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -60,21 +60,36 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(D.planted_corpus(spark, sf_dir), threshold=0.8)
 
 
+# Generated from the SAME constants the Spark operator uses (one source of
+# truth for n_hashes / band_rows / bucket cap).
+_MINHASH_SEEDS = ",".join(str(s) for s in range(D.N_MINHASH))
 ORA_DEDUP_MINHASH = f"""
 WITH {D.ORA_CORPUS},
 {ORA_TOKS},
 hashed AS (
-  SELECT doc_id, seed, MIN(md5(concat(CAST(seed AS VARCHAR), '_', tok))) AS sig
-  FROM toks CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) seeds
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 7)) AS BIGINT) AS a,
+         CAST(('0x' || substring(md5(tok), 9, 7)) AS BIGINT) AS b
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id, seed, MIN((a + seed * (2*b + 1)) % {D.MINHASH_PRIME}) AS sig
+  FROM hashed CROSS JOIN (SELECT unnest([{_MINHASH_SEEDS}]) AS seed) seeds
   GROUP BY doc_id, seed
 ),
 bands AS (
-  SELECT doc_id, seed // 2 AS band_id, string_agg(sig, '|' ORDER BY seed) AS band_key
-  FROM hashed GROUP BY doc_id, seed // 2
+  SELECT doc_id, seed // {D.BAND_ROWS} AS band_id,
+         string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // {D.BAND_ROWS}
+),
+capped AS (
+  SELECT doc_id, band_id, band_key FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id)
+          <= {D.MAX_BUCKET}
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+  FROM capped a JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
