@@ -1,0 +1,82 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is executed through the same driver contract the correctness
+gate uses (__spark_entry__.queries()) and timed to full materialization
+(count of the result — no driver-side collect of wide payloads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from spark_kafka_realm_time_data_pipeline_spark.session import get_spark
+
+# Representative slice of the registry: the reference-parity flagship, the
+# relational core (agg/join/window/sort shapes), the LLM-pipeline operators,
+# and one executed streaming query.
+HEADLINE = [
+    "stedi_flagship",
+    "pricing_summary",
+    "filtered_revenue",
+    "topk_join",
+    "nation_revenue",
+    "window_running",
+    "sessionize",
+    "asof_join",
+    "pivot_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "text_quality",
+    "text_langid",
+    "multimodal_features",
+    "streaming_stedi_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="spark-graft-bench")
+
+    qs = entrymod.queries()
+    # JVM/codegen warm-up on the smallest corpus so measured times reflect
+    # steady-state execution, not first-query classloading.
+    qs["stedi_flagship"](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
