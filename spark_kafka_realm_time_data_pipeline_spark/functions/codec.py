@@ -58,8 +58,11 @@ def decode_redis_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
     actually parsed out of the envelope at the physical level.
     """
     env = df.withColumn("env", F.from_json(F.col(value_col).cast("string"), REDIS_ENVELOPE_SCHEMA))
+    # try_element_at: empty zSetEntries -> null row (filtered downstream),
+    # matching the reference's Spark-2 non-ANSI `zSetEntries[0]` semantics —
+    # plain element_at throws under Spark 4 ANSI mode.
     encoded = env.select(
-        F.element_at("env.zSetEntries", 1).getField("element").alias("encodedCustomer")
+        F.try_element_at("env.zSetEntries", F.lit(1)).getField("element").alias("encodedCustomer")
     )
     decoded = encoded.withColumn(
         "customer", F.from_json(F.unbase64("encodedCustomer").cast("string"), CUSTOMER_WIRE_SCHEMA)

@@ -255,9 +255,10 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k.
-    Only the filtered customer dim broadcasts; lineitem⋈orders is a
-    fact-fact join left to AQE (SMJ / shuffled-hash) — broadcasting orders
-    would OOM at scale since the date filter keeps ~all rows."""
+    No broadcast hints: customer and orders both grow with SF, so the
+    physical join strategy is left to statistics + AQE (auto-broadcast when
+    a side is genuinely small, SMJ/shuffled-hash otherwise). Round 1
+    hint-broadcast the orders fact table — a guaranteed OOM at 100x."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
@@ -270,7 +271,7 @@ def q_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(
@@ -304,9 +305,10 @@ LIMIT 10
 
 def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: snowflake join region->nation->customer->orders->
-    lineitem. Dims (region/nation/customer-projection) broadcast; the
-    lineitem⋈orders fact-fact join shuffles on orderkey (AQE picks the
-    physical strategy) — never broadcast a fact table."""
+    lineitem. Only the fixed-size dims (region: 5 rows, nation: 25 rows —
+    constant at any SF) carry broadcast hints; customer and the fact-fact
+    lineitem⋈orders join are left to statistics + AQE — never hint a
+    size-growing table."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -322,7 +324,7 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        .join(dims, o.o_custkey == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_items"))
     )

@@ -165,7 +165,7 @@ def build_streaming_stedi(
             "customer_doc",
             F.from_json(
                 F.unbase64(
-                    F.element_at("env.zSetEntries", 1).getField("element")
+                    F.try_element_at("env.zSetEntries", F.lit(1)).getField("element")
                 ).cast("string"),
                 CUSTOMER_WIRE_SCHEMA,
             ),
