@@ -18,16 +18,18 @@ def dec(col: str | Column, precision: int = 12, scale: int = 2) -> Column:
     return c.cast(f"decimal({precision},{scale})")
 
 
-def dsum(col: str | Column, precision: int = 12, scale: int = 2) -> Column:
-    """Exact decimal sum, emitted as double."""
-    return F.sum(dec(col, precision, scale)).cast("double")
+def dsum(col: str | Column) -> Column:
+    """Exact decimal(12,2) sum, emitted as double (the oracle twin ORA_DSUM
+    is pinned to the same precision — use ``dec`` directly for other
+    precisions and write the matching SQL inline)."""
+    return F.sum(dec(col)).cast("double")
 
 
-def davg(col: str | Column, precision: int = 12, scale: int = 2) -> Column:
-    """Exact decimal sum divided by count in double — both operands are
-    bit-identical across engines, so the IEEE division is too."""
+def davg(col: str | Column) -> Column:
+    """Exact decimal(12,2) sum divided by count in double — both operands
+    are bit-identical across engines, so the IEEE division is too."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(dec(c, precision, scale)).cast("double") / F.count(c)
+    return F.sum(dec(c)).cast("double") / F.count(c)
 
 
 # DuckDB-side SQL twins (format with the column expression)

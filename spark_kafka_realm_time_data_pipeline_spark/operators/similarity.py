@@ -96,7 +96,6 @@ def ivf_topk(
     The candidate join is an equi-join on cluster id — the 100 TB shape:
     |Q| x n_probe x (N / n_clusters) comparisons instead of |Q| x N.
     """
-    dim = 64
     cent = (
         embeddings.select(cluster_col, F.posexplode("embedding").alias("pos", "val"))
         .groupBy(cluster_col, "pos")

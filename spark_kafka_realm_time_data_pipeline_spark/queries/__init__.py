@@ -32,10 +32,10 @@ class QuerySpec(NamedTuple):
 
 
 def registry() -> dict[str, QuerySpec]:
-    from . import llm, reference, relational, streaming
+    from . import llm, reference, relational, streaming, udfs
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (reference, relational, llm, streaming):
+    for mod in (reference, relational, llm, streaming, udfs):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

@@ -1,0 +1,214 @@
+"""UDF family + map-typed scalar functions — SURVEY.md §2.5 rows the
+reference lacks entirely (its one good property: zero Python on executors;
+the engine keeps that for relational queries and confines Python to
+Arrow-batched pandas UDFs).
+
+Performance notes (the 100 TB posture):
+- ``pandas_udf`` scalar/grouped-agg move data executor->Python via Arrow in
+  columnar batches (~10-100x over row-at-a-time pickling);
+- ``applyInPandas`` shuffles once on the grouping key, then runs one Python
+  call per group;
+- the row-at-a-time ``F.udf`` entry exists ONLY as operator-inventory parity
+  and is documented as the slow path — never use it where a builtin exists.
+
+Determinism discipline for oracles: UDF bodies stick to elementwise float
+math and order-insensitive group reductions (min/max), never accumulation
+order-dependent sums, so DuckDB replays values bit-exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..sources.files import load_table
+from . import QuerySpec
+
+
+# --- pandas_udf: scalar ------------------------------------------------------
+
+
+@pandas_udf("double")
+def _quality_score(text: pd.Series) -> pd.Series:
+    """Vectorized text-quality score: elementwise double math only
+    (bit-stable across engines)."""
+    n_chars = text.str.len().astype("float64")
+    n_words = text.str.count(" ").astype("float64") + 1.0
+    return n_chars / n_words - 3.0
+
+
+def q_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf over documents: Arrow batches in, Arrow batches
+    out, no shuffle — the plan keeps the parquet scan partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _quality_score("text").alias("quality"))
+
+
+ORA_PANDAS_SCALAR = """
+SELECT doc_id,
+       CAST(length(text) AS DOUBLE)
+         / (CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) + 1.0)
+         - 3.0 AS quality
+FROM documents
+"""
+
+
+# --- pandas_udf: grouped aggregate ------------------------------------------
+
+
+@pandas_udf("double")
+def _value_spread(v: pd.Series) -> float:
+    """Grouped-agg pandas_udf: max-min spread (order-insensitive, so the
+    result is bit-identical regardless of row order within the group)."""
+    return float(v.max() - v.min())
+
+
+@pandas_udf("long")
+def _group_count(v: pd.Series) -> int:
+    """Spark disallows mixing pandas UDAFs with JVM aggregates in one agg
+    (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas UDAF too."""
+    return int(len(v))
+
+
+def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf: one shuffle on the group key, then a
+    single Arrow batch per group into Python."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            _value_spread("value").alias("value_spread"),
+            _group_count("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORA_PANDAS_GROUPED_AGG = """
+SELECT event_type, MAX(value) - MIN(value) AS value_spread, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- applyInPandas: grouped map ---------------------------------------------
+
+
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped map): per-user min-centering of event values.
+    One shuffle on user_id; each group processed as a pandas frame.
+    Subtraction against the group min is elementwise -> bit-stable."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        out["value_centered"] = pdf["value"] - pdf["value"].min()
+        return out[["event_id", "user_id", "value_centered"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        center, "event_id long, user_id long, value_centered double"
+    )
+
+
+ORA_APPLY_IN_PANDAS = """
+SELECT event_id, user_id,
+       value - MIN(value) OVER (PARTITION BY user_id) AS value_centered
+FROM events
+"""
+
+
+# --- row-at-a-time UDF (inventory parity; the documented slow path) ----------
+
+
+def q_python_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — registered for §2.5 inventory parity ONLY.
+    Every value here is computable with builtins (see text_tokens); at scale
+    this shape pays per-row serialization and must not appear in hot paths.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tag = F.udf(lambda t: (t or "").upper()[:3], "string")
+    return ev.select("event_id", tag("event_type").alias("type_tag"))
+
+
+ORA_PYTHON_UDF = """
+SELECT event_id, substring(upper(event_type), 1, 3) AS type_tag FROM events
+"""
+
+
+# --- map-typed functions -----------------------------------------------------
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: create_map -> map_concat -> keys/values/access.
+    The oracle computes the same final columns relationally — what's under
+    test is Spark's map semantics (ordering of map_keys follows insertion
+    order of create_map)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("eid"), F.col("event_id").cast("string")))
+    return ev.select(
+        "event_id",
+        m2.getItem("type").alias("m_type"),
+        m2.getItem("uid").alias("m_uid"),
+        F.map_keys(m2).getItem(2).alias("third_key"),
+        F.size(F.map_values(m2)).alias("n_vals"),
+    )
+
+
+ORA_MAP_FUNCTIONS = """
+SELECT event_id,
+       event_type AS m_type,
+       CAST(user_id AS VARCHAR) AS m_uid,
+       'eid' AS third_key,
+       3 AS n_vals
+FROM events
+"""
+
+
+def q_map_entries_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_entries + explode: map -> rows (the relational escape hatch for
+    map columns; at scale this is a narrow flatMap, no shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return (
+        ev.select("event_id", F.explode(m).alias("k", "v"))
+        .orderBy("event_id", "k")
+    )
+
+
+ORA_MAP_ENTRIES = """
+SELECT event_id, k, v FROM (
+  SELECT event_id, 'type' AS k, event_type AS v FROM events
+  UNION ALL
+  SELECT event_id, 'uid' AS k, CAST(user_id AS VARCHAR) AS v FROM events
+) ORDER BY event_id, k
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pandas_udf_scalar": QuerySpec(
+        q_pandas_scalar, ORA_PANDAS_SCALAR, "scalar pandas_udf (Arrow-batched)"
+    ),
+    "pandas_udf_grouped_agg": QuerySpec(
+        q_pandas_grouped_agg, ORA_PANDAS_GROUPED_AGG, "grouped-agg pandas_udf"
+    ),
+    "apply_in_pandas": QuerySpec(
+        q_apply_in_pandas, ORA_APPLY_IN_PANDAS, "applyInPandas grouped map"
+    ),
+    "python_udf_scalar": QuerySpec(
+        q_python_udf_scalar, ORA_PYTHON_UDF, "row-at-a-time UDF (inventory parity)"
+    ),
+    "map_functions": QuerySpec(
+        q_map_functions, ORA_MAP_FUNCTIONS, "MapType create/concat/access"
+    ),
+    "map_entries_explode": QuerySpec(
+        q_map_entries_explode, ORA_MAP_ENTRIES, "map -> rows via explode"
+    ),
+}
