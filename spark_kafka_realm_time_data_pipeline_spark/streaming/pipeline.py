@@ -195,3 +195,35 @@ def build_streaming_stedi(
     else:
         cond = F.expr("customer = email")
     return risk.join(customers, cond).select("customer", "score", "email", "birthYear")
+
+
+def stedi_kafka_pipeline(
+    spark: SparkSession,
+    bootstrap_servers: str = "localhost:9092",
+    output_topic: str = "risk-score-topic",
+    checkpoint_dir: str | None = None,
+    watermark: str | None = "2 hours",
+):
+    """The complete reference pipeline over real Kafka — source topics,
+    decode chains, stream-stream join, Kafka sink — for a cluster with a
+    broker (sparkpykafkajoin.py end-to-end: sources :48-54/:136-142, join
+    :184-187, sink :202-209).  Returns the started StreamingQuery; the
+    caller owns awaitTermination.
+
+    Differences from the reference, on purpose:
+    - watermarked join (bounded state) unless watermark=None;
+    - maxOffsetsPerTrigger backpressure on both sources;
+    - no inline awaitTermination (its :209 made the :211 sink dead code).
+    """
+    from ..sources.kafka import REDIS_SERVER, STEDI_EVENTS, cast_kv_string, kafka_stream
+    from .sinks import kafka_sink
+
+    cust_wire = cast_kv_string(kafka_stream(spark, REDIS_SERVER)).select("value", "ts")
+    ev_wire = cast_kv_string(kafka_stream(spark, STEDI_EVENTS)).select("value", "ts")
+    joined = build_streaming_stedi(spark, cust_wire, ev_wire, watermark=watermark)
+    return kafka_sink(
+        serialize_risk_output(joined),
+        topic=output_topic,
+        bootstrap_servers=bootstrap_servers,
+        checkpoint_dir=checkpoint_dir,
+    )

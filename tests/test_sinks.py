@@ -1,0 +1,61 @@
+"""Sink adapters (K1/K2 parity). No broker exists in the sandbox, so the
+console and foreachBatch paths execute for real; the Kafka builders are
+validated structurally (they construct without a broker — failure happens
+only at connect time, which is the production path)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_kafka_realm_time_data_pipeline_spark.sources.files import stream_table
+from spark_kafka_realm_time_data_pipeline_spark.streaming.sinks import (
+    console_sink,
+    foreach_batch_sink,
+)
+
+from conftest import SF_DIR
+
+
+def test_console_sink_runs(spark):
+    """K2: the reference's console sink (sparkpyrediskafkastreamtoconsole.py:154)
+    over a bounded replay — must process all rows and terminate.  (The
+    printed table goes to the JVM's stdout, echoed asynchronously — assert
+    on query progress, which is the sink's own accounting.)"""
+    ev = stream_table(spark, SF_DIR, "events").select("event_id", "event_type")
+    q = console_sink(ev, num_rows=5)
+    q.awaitTermination(120)
+    progress = list(q.recentProgress)
+    q.stop()
+    assert progress, "no micro-batch ran"
+    assert any("Console" in p["sink"]["description"] for p in progress)
+    assert sum(p["numInputRows"] for p in progress) == 1000
+
+
+def test_foreach_batch_sink_collects(spark):
+    """foreachBatch: arbitrary batch sink — counts per micro-batch land in
+    the driver-side accumulator list."""
+    seen = []
+    ev = stream_table(spark, SF_DIR, "events").select("event_id")
+
+    def collect(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    q = foreach_batch_sink(ev, collect)
+    q.awaitTermination(120)
+    q.stop()
+    assert sum(n for _b, n in seen) == 1000  # sf0.001 events row count
+
+
+def test_kafka_builders_construct():
+    """Source configs are importable and well-formed. Note kafka_stream
+    itself fails fast in this sandbox (AnalysisException: data source kafka
+    not found — the spark-sql-kafka package isn't deployed here); broker
+    connection is lazy but data-source resolution is not."""
+    from spark_kafka_realm_time_data_pipeline_spark.sources.kafka import (
+        REDIS_SERVER,
+        STEDI_EVENTS,
+        KafkaSourceConfig,
+    )
+
+    assert REDIS_SERVER.topic == "redis-server"
+    assert STEDI_EVENTS.topic == "stedi-events"
+    assert KafkaSourceConfig(topic="t").starting_offsets == "earliest"
