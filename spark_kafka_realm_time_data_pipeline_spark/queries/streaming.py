@@ -232,6 +232,44 @@ SELECT event_id, user_id, event_type FROM events
 """
 
 
+def q_streaming_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: custom stateful streaming operator via applyInPandasWithState —
+    a per-user event counter whose state (running count) lives in the state
+    store across micro-batches.  This is the engine's extension point for
+    stateful logic Spark's built-ins can't express (sessionization with
+    custom merge rules, CEP-ish patterns, online aggregates).
+
+    Emission: one row per (user, batch-with-data); the bounded replay is a
+    single batch, so output = final per-user counts — SQL-expressible, full
+    value oracle.  At scale: state is hash-partitioned by user_id; an
+    idle-timeout (GroupStateTimeout) would bound state for churned keys.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_table(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def count_events(key, pdf_iter, state: GroupState):
+        prev = state.get[0] if state.exists else 0
+        n = prev + sum(len(pdf) for pdf in pdf_iter)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(counted, spark, output_mode="update")
+
+
+ORA_STATEFUL_COUNT = """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_stedi_join": QuerySpec(
         q_streaming_stedi_join,
@@ -272,5 +310,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_dedup_watermark,
         ORA_DEDUP_IDENTITY,
         "dropDuplicatesWithinWatermark (state-bounded dedup)",
+    ),
+    "streaming_stateful_count": QuerySpec(
+        q_streaming_stateful_count,
+        ORA_STATEFUL_COUNT,
+        "custom stateful operator (applyInPandasWithState)",
     ),
 }

@@ -29,9 +29,13 @@ from . import QuerySpec
 
 # --- pandas_udf: scalar ------------------------------------------------------
 
+# NOTE: pandas_udf wrappers are created INSIDE the query functions, not at
+# module level — Python workers re-import this module to unpickle the UDTF
+# class below, and a module-level @pandas_udf("ddl string") decorator needs
+# an active SparkContext to parse its return type, which workers don't have.
 
-@pandas_udf("double")
-def _quality_score(text: pd.Series) -> pd.Series:
+
+def _quality_score_fn(text: pd.Series) -> pd.Series:
     """Vectorized text-quality score: elementwise double math only
     (bit-stable across engines)."""
     n_chars = text.str.len().astype("float64")
@@ -42,8 +46,9 @@ def _quality_score(text: pd.Series) -> pd.Series:
 def q_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas_udf over documents: Arrow batches in, Arrow batches
     out, no shuffle — the plan keeps the parquet scan partitioning."""
+    quality_score = pandas_udf(_quality_score_fn, "double")
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", _quality_score("text").alias("quality"))
+    return d.select("doc_id", quality_score("text").alias("quality"))
 
 
 ORA_PANDAS_SCALAR = """
@@ -58,15 +63,13 @@ FROM documents
 # --- pandas_udf: grouped aggregate ------------------------------------------
 
 
-@pandas_udf("double")
-def _value_spread(v: pd.Series) -> float:
+def _value_spread_fn(v: pd.Series) -> float:
     """Grouped-agg pandas_udf: max-min spread (order-insensitive, so the
     result is bit-identical regardless of row order within the group)."""
     return float(v.max() - v.min())
 
 
-@pandas_udf("long")
-def _group_count(v: pd.Series) -> int:
+def _group_count_fn(v: pd.Series) -> int:
     """Spark disallows mixing pandas UDAFs with JVM aggregates in one agg
     (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas UDAF too."""
     return int(len(v))
@@ -75,12 +78,14 @@ def _group_count(v: pd.Series) -> int:
 def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas_udf: one shuffle on the group key, then a
     single Arrow batch per group into Python."""
+    value_spread = pandas_udf(_value_spread_fn, "double")
+    group_count = pandas_udf(_group_count_fn, "long")
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            _value_spread("value").alias("value_spread"),
-            _group_count("value").alias("n"),
+            value_spread("value").alias("value_spread"),
+            group_count("value").alias("n"),
         )
         .orderBy("event_type")
     )
@@ -133,6 +138,49 @@ def q_python_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORA_PYTHON_UDF = """
 SELECT event_id, substring(upper(event_type), 1, 3) AS type_tag FROM events
+"""
+
+
+# --- UDTF: table function ----------------------------------------------------
+
+
+class _TokenizeUDTF:
+    """Python UDTF: one input row -> N output rows (doc_id, pos, tok) for
+    tokens starting with 'a'.  The UDF-family's table-function member; at
+    scale it's a narrow flatMap (no shuffle), Arrow-batched like other
+    Python UDFs on Spark 4."""
+
+    def eval(self, doc_id: int, text: str):
+        if text is None:
+            return
+        for i, tok in enumerate(text.split(" ")):
+            if tok.startswith("a"):
+                yield doc_id, i, tok
+
+
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF via LATERAL correlated call — the SQL-native way to explode a
+    row into a computed table."""
+    from pyspark.sql.functions import udtf
+
+    tokenize = udtf(_TokenizeUDTF, returnType="doc_id long, pos int, tok string")
+    spark.udtf.register("tokenize_a", tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.tok "
+        "FROM docs_for_udtf d, LATERAL tokenize_a(d.doc_id, d.text) t"
+    )
+
+
+ORA_PYTHON_UDTF = """
+WITH exploded AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM documents
+)
+SELECT doc_id, CAST(idx - 1 AS INT) AS pos, tok
+FROM exploded WHERE tok LIKE 'a%'
 """
 
 
@@ -204,6 +252,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "python_udf_scalar": QuerySpec(
         q_python_udf_scalar, ORA_PYTHON_UDF, "row-at-a-time UDF (inventory parity)"
+    ),
+    "python_udtf": QuerySpec(
+        q_python_udtf, ORA_PYTHON_UDTF, "Python UDTF via LATERAL call"
     ),
     "map_functions": QuerySpec(
         q_map_functions, ORA_MAP_FUNCTIONS, "MapType create/concat/access"
