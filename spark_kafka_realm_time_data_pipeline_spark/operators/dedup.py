@@ -77,6 +77,19 @@ def doc_tokens(corpus: DataFrame) -> DataFrame:
     )
 
 
+def doc_shingles(corpus: DataFrame, n: int = 5) -> DataFrame:
+    """Distinct (doc_id, character n-gram) pairs — the shingle set for
+    n-gram Jaccard dedup (catches word-reordering/near-identical text that
+    word tokens miss).  Catalyst-native: sequence -> transform(substring) ->
+    explode; texts shorter than n yield one whole-text shingle.  A narrow
+    flatMap — no shuffle until the downstream aggregation."""
+    positions = F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+    grams = F.transform(positions, lambda i: F.col("text").substr(i, F.lit(n)))
+    return corpus.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("tok")
+    )
+
+
 # Prime modulus for the Carter-Wegman hash family (< 2^28 so the affine
 # combination below never overflows a signed 64-bit int).
 MINHASH_PRIME = 268435399
@@ -183,10 +196,15 @@ def jaccard_verify(pairs: DataFrame, toks: DataFrame, threshold: float) -> DataF
     )
 
 
-def minhash_lsh_dedup(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
+def minhash_lsh_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    tokenizer=doc_tokens,
+) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH bands -> candidates ->
-    exact-Jaccard verification."""
-    toks = doc_tokens(corpus)
+    exact-Jaccard verification.  ``tokenizer`` picks the set representation:
+    word tokens (default) or character shingles (n-gram Jaccard)."""
+    toks = tokenizer(corpus)
     sigs = minhash_signatures(toks)
     cands = lsh_candidate_pairs(sigs)
     return jaccard_verify(cands, toks, threshold)

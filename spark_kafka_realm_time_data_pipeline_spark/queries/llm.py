@@ -61,11 +61,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Generated from the SAME constants the Spark operator uses (one source of
-# truth for n_hashes / band_rows / bucket cap).
+# truth for n_hashes / band_rows / bucket cap).  Parameterized by the token
+# CTE so word-token and character-shingle variants share one definition.
 _MINHASH_SEEDS = ",".join(str(s) for s in range(D.N_MINHASH))
-ORA_DEDUP_MINHASH = f"""
+
+
+def _ora_minhash_pipeline(toks_cte: str) -> str:
+    return f"""
 WITH {D.ORA_CORPUS},
-{ORA_TOKS},
+{toks_cte},
 hashed AS (
   SELECT doc_id,
          CAST(('0x' || substring(md5(tok), 1, 7)) AS BIGINT) AS a,
@@ -107,6 +111,28 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) >= 0.8
 """
+
+
+ORA_DEDUP_MINHASH = _ora_minhash_pipeline(ORA_TOKS)
+
+# Character 5-gram shingles (matches operators/dedup.doc_shingles: positions
+# 1..len-4, short texts yield one whole-text shingle).
+ORA_SHINGLES = (
+    "toks AS (SELECT DISTINCT doc_id, "
+    "unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), "
+    "i -> substring(text, CAST(i AS INT), 5)))) AS tok FROM corpus)"
+)
+ORA_DEDUP_MINHASH_NGRAM = _ora_minhash_pipeline(ORA_SHINGLES)
+
+
+def q_dedup_minhash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: the same MinHash->LSH->verify pipeline over
+    character 5-gram shingles — robust to word reordering and punctuation
+    edits that word-token Jaccard misses.  Same 100 TB shape (one signature
+    shuffle, bucket equi-join, capped buckets)."""
+    return D.minhash_lsh_dedup(
+        D.planted_corpus(spark, sf_dir), threshold=0.8, tokenizer=D.doc_shingles
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,6 +375,11 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(q_dedup_exact, ORA_DEDUP_EXACT, "exact dedup via sha256+groupBy"),
     "dedup_minhash_lsh": QuerySpec(
         q_dedup_minhash, ORA_DEDUP_MINHASH, "MinHash->LSH bands->Jaccard verify"
+    ),
+    "dedup_minhash_ngram": QuerySpec(
+        q_dedup_minhash_ngram,
+        ORA_DEDUP_MINHASH_NGRAM,
+        "n-gram (char-shingle) Jaccard near-dup via MinHash-LSH",
     ),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _ora_simhash(), "SimHash fingerprints"),
     "dedup_embedding": QuerySpec(

@@ -469,6 +469,41 @@ FROM supplier a JOIN supplier b
 """
 
 
+N_SALT = 8
+
+
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join by salting: the fact side's hot keys are
+    split across N_SALT sub-keys (deterministically, by event_id so the
+    oracle replays it) and the dim side is replicated N_SALT times, so one
+    hot key's rows land on N_SALT reducers instead of one.
+
+    This is the manual form of what AQE skew-join does at runtime — kept as
+    a first-class operator because AQE only splits on partition-size
+    thresholds, while pipeline authors sometimes know the skewed keys a
+    priori (e.g. null-ish sentinel user_ids in event streams).
+    Result is identical to the plain join — which is the oracle."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % N_SALT).cast("int")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    c_rep = c.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALT)]))
+    )
+    return (
+        ev.join(c_rep, (ev.user_id == c_rep.c_custkey) & (ev.salt == c_rep.salt))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+ORA_JOIN_SKEW_SALTED = f"""
+SELECT c_mktsegment, COUNT(*) AS n_events, {ORA_DSUM.format(c='value')} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark lacks a native one): for each 'error' event, the
     most recent 'click' by the same user at-or-before it.  Implemented as a
@@ -962,6 +997,9 @@ QUERIES: dict[str, QuerySpec] = {
     "join_full": QuerySpec(q_join_full, ORA_JOIN_FULL, "full outer join"),
     "join_range": QuerySpec(q_join_range, ORA_JOIN_RANGE, "equi+range join"),
     "join_theta_band": QuerySpec(q_join_theta_band, ORA_JOIN_THETA, "theta band join"),
+    "join_skew_salted": QuerySpec(
+        q_join_skew_salted, ORA_JOIN_SKEW_SALTED, "salted skew-mitigated equi-join"
+    ),
     "asof_join": QuerySpec(q_asof_join, ORA_ASOF_JOIN, "as-of join via union+window"),
     "exists_subquery": QuerySpec(q_exists_subquery, ORA_EXISTS, "correlated EXISTS (Q4)"),
     "scalar_subquery": QuerySpec(q_scalar_subquery, ORA_SCALAR_SUBQ, "scalar subquery"),
