@@ -37,13 +37,17 @@ HEADLINE = [
     "pivot_events",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_ngram",
     "dedup_simhash",
+    "join_skew_salted",
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "text_quality",
     "text_langid",
     "multimodal_features",
+    "pandas_udf_scalar",
     "streaming_stedi_join",
+    "streaming_window_tumbling",
 ]
 
 

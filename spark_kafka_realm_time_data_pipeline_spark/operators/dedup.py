@@ -214,9 +214,15 @@ def minhash_lsh_dedup(
     from pyspark import StorageLevel
 
     toks = tokenizer(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(toks)
-    cands = lsh_candidate_pairs(sigs)
-    return jaccard_verify(cands, toks, threshold)
+    try:
+        sigs = minhash_signatures(toks)
+        cands = lsh_candidate_pairs(sigs)
+        # eager localCheckpoint: materialize the (small) verified-pair set
+        # and truncate lineage so the big token cache can be released NOW
+        # instead of leaking into the rest of the session
+        return jaccard_verify(cands, toks, threshold).localCheckpoint(eager=True)
+    finally:
+        toks.unpersist()
 
 
 def simhash_fingerprints(corpus: DataFrame, bits: int = 16) -> DataFrame:
