@@ -249,6 +249,32 @@ def simhash_fingerprints(corpus: DataFrame, bits: int = 16) -> DataFrame:
     return agg.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
+def simhash_near_dup_pairs(corpus: DataFrame, bits: int = 16) -> DataFrame:
+    """Hamming-distance<=1 SimHash pairs via bit-flip probing: each doc
+    emits its fingerprint plus all 1-bit-flipped variants as probe keys and
+    equi-joins against exact fingerprints — (bits+1) keys per doc instead of
+    an O(n^2) hamming scan.  Wider radii compose the same trick (flip 2 bits
+    -> bits^2/2 probes); it stays an equi-shuffle at any corpus size."""
+    fp = simhash_fingerprints(corpus, bits)
+    probes = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.col("simhash"),
+                *[F.col("simhash").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+            )
+        ).alias("probe"),
+    )
+    a = probes.select(F.col("doc_id").alias("doc_a"), "probe")
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("probe"))
+    return (
+        a.join(b, "probe")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def simhash_dup_groups(corpus: DataFrame) -> DataFrame:
     """Block on exact simhash equality (hamming 0): the scalable first tier
     of simhash dedup (wider hamming radii probe bit-flip variants of the

@@ -82,6 +82,71 @@ def brute_force_topk(
     )
 
 
+def lsh_hyperplanes(dim: int = 64, n_planes: int = 6, seed: int = 1) -> list[list[float]]:
+    """Deterministic random-hyperplane set (±1 components from md5 bits) —
+    the same constants parameterize the Spark plan and the oracle SQL."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()[:8], 16) % 2 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product bucket id: bit j = (vec . plane_j) > 0.  All
+    deterministic left folds — engine-portable."""
+    bucket: Column | None = None
+    for j, plane in enumerate(planes):
+        lit_arr = F.array(*[F.lit(x) for x in plane])
+        d = fold_sum(F.zip_with(_as_double(vec_col), lit_arr, lambda x, y: x * y))
+        term = F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    assert bucket is not None
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane signature buckets both sides;
+    candidates are the query's own bucket (equi-join on bucket id).  The
+    100 TB shape: |Q| x (N / 2^n_planes) comparisons, one narrow bucket
+    projection on the corpus, no cross product.  Multi-probe (flipping the
+    lowest-margin bits) raises recall the same way simhash probing does."""
+    from pyspark.sql import Window
+
+    dim = len(embeddings.select("embedding").first()[0])
+    planes = lsh_hyperplanes(dim=dim, n_planes=n_planes)
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        lsh_bucket("embedding", planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        lsh_bucket("embedding", planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -139,23 +139,47 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(D.planted_corpus(spark, sf_dir))
 
 
-def _ora_simhash(bits: int = 16) -> str:
+def _ora_simhash_ctes(bits: int = 16) -> str:
+    """Shared CTE chain ending in fp(doc_id, simhash) — used by both the
+    fingerprint query and the hamming-1 probe query."""
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (strpos('0123456789abcdef', substring(h, {j + 1}, 1)) - 1) % 2 = 1 "
         f"THEN 1 ELSE -1 END) AS v{j}"
         for j in range(bits)
     )
     terms = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))
-    return f"""
-WITH {D.ORA_CORPUS},
+    return f"""{D.ORA_CORPUS},
 {ORA_TOKS},
 hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
 votes AS (
   SELECT doc_id,
          {votes}
   FROM hashed GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM votes)"""
+
+
+def _ora_simhash(bits: int = 16) -> str:
+    return f"WITH {_ora_simhash_ctes(bits)}\nSELECT doc_id, simhash FROM fp"
+
+
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=1 SimHash near-dup pairs via bit-flip probing (equi-join,
+    never an O(n^2) hamming scan)."""
+    return D.simhash_near_dup_pairs(D.planted_corpus(spark, sf_dir))
+
+
+ORA_SIMHASH_HAMMING = f"""
+WITH {_ora_simhash_ctes()},
+probes AS (
+  SELECT doc_id, simhash AS probe FROM fp
+  UNION ALL
+  SELECT doc_id, xor(simhash, CAST(1 << j AS BIGINT)) AS probe
+  FROM fp, LATERAL unnest(range(0, 16)) AS t(j)
 )
-SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM votes
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM probes a JOIN fp b ON a.probe = b.simhash
+WHERE a.doc_id < b.doc_id
 """
 
 
@@ -217,6 +241,44 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
 ) t WHERE rank <= 5
+"""
+
+
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN — deterministic planes, so the bucket
+    assignment AND the in-bucket cosine ranking have a full value oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(e, queries, k=5, n_planes=6)
+
+
+def _ora_sim_lsh(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+    planes = S.lsh_hyperplanes(dim=dim, n_planes=n_planes)
+
+    def bucket(vec: str) -> str:
+        terms = []
+        for j, plane in enumerate(planes):
+            arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            dot = _DOT.format(a=vec, b=arr)
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec,
+                  {bucket('embedding')} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec,
+             {bucket('embedding')} AS bucket FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         {_ora_cosine('q.q_vec', 'c.c_vec')} AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket
+  WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {k}
 """
 
 
@@ -382,6 +444,11 @@ QUERIES: dict[str, QuerySpec] = {
         "n-gram (char-shingle) Jaccard near-dup via MinHash-LSH",
     ),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _ora_simhash(), "SimHash fingerprints"),
+    "dedup_simhash_hamming": QuerySpec(
+        q_dedup_simhash_hamming,
+        ORA_SIMHASH_HAMMING,
+        "hamming<=1 SimHash pairs via bit-flip probe join",
+    ),
     "dedup_embedding": QuerySpec(
         q_dedup_embedding, ORA_DEDUP_EMBEDDING, "embedding-cosine near-dup"
     ),
@@ -389,6 +456,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_sim_bruteforce, ORA_SIM_BRUTEFORCE, "brute-force cosine top-k"
     ),
     "sim_ivf_topk": QuerySpec(q_sim_ivf, None, "IVF-bucketed ANN (rows-only)"),
+    "sim_lsh_topk": QuerySpec(
+        q_sim_lsh, _ora_sim_lsh(), "random-hyperplane LSH ANN (full value oracle)"
+    ),
     "text_quality": QuerySpec(q_text_quality, ORA_TEXT_QUALITY, "quality scoring"),
     "text_tokens": QuerySpec(q_text_tokens, ORA_TEXT_TOKENS, "token counting"),
     "text_langid": QuerySpec(q_text_langid, _ora_langid(), "language-ID heuristic"),

@@ -469,6 +469,74 @@ FROM supplier a JOIN supplier b
 """
 
 
+def q_cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert materialization (SURVEY.md §1.1: the Redis sorted-set is a
+    keyed upsert stream; every zadd is an update).  Reconstruct latest state
+    per key with max_by over (ts, event_id) — one shuffle with map-side
+    combine, the 100 TB shape (a window row_number would sort whole
+    partitions; max_by keeps one struct per key per map task).
+    Tiebreak by event_id makes the result deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+        _ts_max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_updates"),
+    )
+
+
+def _ts_max(col: str) -> F.Column:
+    return F.date_format(F.max(col), FMT_SPARK)
+
+
+ORA_CDC_UPSERT = f"""
+WITH latest AS (
+  SELECT user_id, value AS last_value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), agg AS (
+  SELECT user_id, strftime(MAX(ts), '{FMT_DUCK}') AS last_ts, COUNT(*) AS n_updates
+  FROM events GROUP BY user_id
+)
+SELECT a.user_id, l.last_value, a.last_ts, a.n_updates
+FROM agg a JOIN latest l ON a.user_id = l.user_id AND l.rn = 1
+"""
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: one pass produces
+    month/day/hour aggregates via ROLLUP over truncated buckets (the
+    hierarchy means partial aggregates cascade — Catalyst computes the
+    finest level and rolls up, not three scans)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd").alias("month_b"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_b"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour_b"),
+        "value",
+    )
+    return b.rollup("month_b", "day_b", "hour_b").agg(
+        F.grouping_id().alias("lvl"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+ORA_TIME_ROLLUP = f"""
+WITH b AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month_b,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_b,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_b,
+         value
+  FROM events
+)
+SELECT month_b, day_b, hour_b,
+       CAST(GROUPING(month_b) * 4 + GROUPING(day_b) * 2 + GROUPING(hour_b) AS BIGINT) AS lvl,
+       COUNT(*) AS n_events,
+       {ORA_DSUM.format(c='value')} AS sum_value
+FROM b GROUP BY ROLLUP (month_b, day_b, hour_b)
+"""
+
+
 N_SALT = 8
 
 
@@ -999,6 +1067,12 @@ QUERIES: dict[str, QuerySpec] = {
     "join_theta_band": QuerySpec(q_join_theta_band, ORA_JOIN_THETA, "theta band join"),
     "join_skew_salted": QuerySpec(
         q_join_skew_salted, ORA_JOIN_SKEW_SALTED, "salted skew-mitigated equi-join"
+    ),
+    "cdc_upsert_latest": QuerySpec(
+        q_cdc_upsert_latest, ORA_CDC_UPSERT, "CDC upsert -> latest state via max_by"
+    ),
+    "time_rollup": QuerySpec(
+        q_time_rollup, ORA_TIME_ROLLUP, "multi-resolution time rollup (hypertable style)"
     ),
     "asof_join": QuerySpec(q_asof_join, ORA_ASOF_JOIN, "as-of join via union+window"),
     "exists_subquery": QuerySpec(q_exists_subquery, ORA_EXISTS, "correlated EXISTS (Q4)"),

@@ -270,6 +270,31 @@ SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
 """
 
 
+def q_streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.1 CDC parity, streaming form: materialize latest state per key
+    from an upsert stream with max_by in update mode — the engine's answer
+    to 'what does the Redis sorted set look like NOW'.  Update-mode memory
+    sink emits changed keys per batch; the bounded replay is one batch, so
+    the table is exactly the final state."""
+    ev = stream_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+        F.count(F.lit(1)).alias("n_updates"),
+    )
+    return run_to_memory(latest, spark, output_mode="update")
+
+
+ORA_STREAMING_CDC = """
+WITH latest AS (
+  SELECT user_id, value AS last_value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), agg AS (SELECT user_id, COUNT(*) AS n_updates FROM events GROUP BY user_id)
+SELECT a.user_id, l.last_value, a.n_updates
+FROM agg a JOIN latest l ON a.user_id = l.user_id AND l.rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_stedi_join": QuerySpec(
         q_streaming_stedi_join,
@@ -315,5 +340,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_stateful_count,
         ORA_STATEFUL_COUNT,
         "custom stateful operator (applyInPandasWithState)",
+    ),
+    "streaming_cdc_latest": QuerySpec(
+        q_streaming_cdc_latest,
+        ORA_STREAMING_CDC,
+        "CDC upsert stream -> latest state (update mode)",
     ),
 }

@@ -58,6 +58,27 @@ def test_ivf_finds_planted_near_duplicates(spark, emb):
         assert cos > 0.9999, (qid, cos)
 
 
+def test_lsh_finds_planted_near_duplicates(spark, emb):
+    """Random-hyperplane LSH: an exact copy lands in the same bucket by
+    construction, so it must be retrieved at rank 1 with cosine ~1."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.similarity import lsh_topk
+
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    top1 = {
+        r.query_id: (r.neighbor_id, r.cosine)
+        for r in lsh_topk(planted, queries, k=1).collect()
+    }
+    assert set(top1) == set(range(10))
+    for qid, (nid, cos) in top1.items():
+        assert nid == qid + 100000, (qid, nid)
+        assert cos > 0.9999, (qid, cos)
+
+
 def test_brute_force_matches_oracle_ranking(spark, emb):
     """brute_force_topk is the exact baseline: for one query, its top-k by
     direct cosine computation matches."""
