@@ -64,6 +64,42 @@ def _fake_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
     )
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_checksum long"
+FRAME_SIZE = 32  # bytes per fake "frame"
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def _fake_frame_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Deterministic frame-sampling stand-in: chop the payload into
+    FRAME_SIZE-byte frames, keep every FRAME_STRIDE-th, checksum each.  A
+    real video decoder slots in here with the identical one-to-many batch
+    shape (one input row -> n output rows)."""
+    import pandas as pd
+
+    out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_checksum": []}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        n_frames = max((len(payload) + FRAME_SIZE - 1) // FRAME_SIZE, 1)
+        for idx in range(0, n_frames, FRAME_STRIDE):
+            chunk = payload[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
+            out["doc_id"].append(doc_id)
+            out["frame_idx"].append(idx)
+            out["frame_bytes"].append(len(chunk))
+            out["frame_checksum"].append(int(sum(chunk)))
+    return pd.DataFrame(out)
+
+
+def sample_frames(binary_docs: DataFrame) -> DataFrame:
+    """One-to-many mapInPandas: binary payload -> sampled frame rows.  The
+    row-expanding variant of the multimodal pattern (video frame sampling,
+    audio chunking); keeps scan partitioning, no shuffle, Arrow both ways."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield _fake_frame_batch(pdf)
+
+    return binary_docs.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(binary_docs: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.  mapInPandas
     keeps the scan partitioning (no shuffle) and transfers columnar batches;

@@ -413,6 +413,35 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (one-to-many mapInPandas)."""
+    return M.sample_frames(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
+
+
+# Replays the frame chop/stride/checksum in SQL (corpus text is ASCII, so
+# ascii(char) == byte value; generated from the same FRAME_* constants).
+_CHUNK = f"substring(text, CAST(i * {M.FRAME_SIZE} + 1 AS INT), {M.FRAME_SIZE})"
+ORA_MULTIMODAL_FRAMES = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         greatest((length(text) + {M.FRAME_SIZE - 1}) // {M.FRAME_SIZE}, 1) AS n_frames
+  FROM documents
+), frames AS (
+  SELECT doc_id, text, unnest(range(0, n_frames, {M.FRAME_STRIDE})) AS i FROM f
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(length({_CHUNK}) AS INT) AS frame_bytes,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length({_CHUNK}) + 1),
+             p -> CAST(ascii(substring({_CHUNK}, CAST(p AS INT), 1)) AS BIGINT))),
+         (a, x) -> a + x
+       ) AS frame_checksum
+FROM frames
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster vector stats; min/max of deterministic fold norms (no
     order-sensitive double sums)."""
@@ -470,6 +499,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_features": QuerySpec(
         q_multimodal_features, ORA_MULTIMODAL_FEATURES, "mapInPandas feature extraction"
+    ),
+    "multimodal_frames": QuerySpec(
+        q_multimodal_frames,
+        ORA_MULTIMODAL_FRAMES,
+        "frame sampling (one-to-many mapInPandas)",
     ),
     "embedding_stats": QuerySpec(q_embedding_stats, ORA_EMBEDDING_STATS, "per-cluster norms"),
 }

@@ -284,6 +284,28 @@ def q_streaming_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(latest, spark, output_mode="update")
 
 
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: stream-static join — the streaming fact side joins a bounded
+    dim WITHOUT state (each micro-batch re-reads/broadcasts the dim; no
+    watermark needed because the static side never changes mid-query).
+    This is the shape for enriching an event stream with a dimension table
+    at 100 TB: dim broadcast per batch, stream never shuffles."""
+    from ..sources.files import load_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(dim, ev.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
+    return run_to_memory(joined, spark)
+
+
+ORA_STREAMING_STATIC_JOIN = """
+SELECT event_id, user_id, c_mktsegment, value
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
 ORA_STREAMING_CDC = """
 WITH latest AS (
   SELECT user_id, value AS last_value,
@@ -345,5 +367,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_cdc_latest,
         ORA_STREAMING_CDC,
         "CDC upsert stream -> latest state (update mode)",
+    ),
+    "streaming_static_join": QuerySpec(
+        q_streaming_static_join,
+        ORA_STREAMING_STATIC_JOIN,
+        "stream-static dim enrichment join (stateless)",
     ),
 }
