@@ -70,6 +70,53 @@ def q_streaming_stedi_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, spark)
 
 
+_OUTER_WINDOW_S = 3600  # join window and watermark delay for the outer join
+_OUTER_WM = "1 hour"
+
+
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: watermarked stream-stream LEFT OUTER join — unmatched risk
+    rows are held in state until the watermark proves no future match can
+    arrive, then emitted null-extended.  The global watermark is the MIN of
+    both sides' (multipleWatermarkPolicy=min), so with the customer wire at
+    a fixed timestamp the emission frontier is cust_ts - delay; a risk row
+    emits unmatched once risk_ts + window <= that frontier (pinned
+    empirically and encoded in the oracle)."""
+    joined = build_streaming_stedi(
+        spark,
+        synth_customer_wire_stream(spark, sf_dir),
+        synth_event_wire_stream(spark, sf_dir),
+        watermark=_OUTER_WM,
+        join_window_seconds=_OUTER_WINDOW_S,
+        join_type="left_outer",
+    )
+    return run_to_memory(joined, spark)
+
+
+from ..streaming.pipeline import CUSTOMER_WIRE_TS  # noqa: E402
+
+ORA_STREAMING_OUTER_JOIN = f"""
+WITH m AS (
+  SELECT {_ORA_EMAIL.format(k='e.user_id')} AS customer,
+         e.value AS score, e.ts,
+         c.c_custkey AS matched_key,
+         {_ORA_EMAIL.format(k='c.c_custkey')} AS m_email,
+         {_ORA_BIRTHYEAR.format(k='c.c_custkey')} AS m_by
+  FROM events e LEFT JOIN customer c
+    ON e.user_id = c.c_custkey
+   AND e.ts BETWEEN TIMESTAMP '{CUSTOMER_WIRE_TS}' - INTERVAL {_OUTER_WINDOW_S} SECONDS
+                AND TIMESTAMP '{CUSTOMER_WIRE_TS}' + INTERVAL {_OUTER_WINDOW_S} SECONDS
+)
+SELECT customer, score,
+       CASE WHEN matched_key IS NOT NULL THEN m_email END AS email,
+       CASE WHEN matched_key IS NOT NULL THEN m_by END AS birthYear
+FROM m
+WHERE matched_key IS NOT NULL
+   OR ts + INTERVAL {_OUTER_WINDOW_S} SECONDS
+      <= TIMESTAMP '{CUSTOMER_WIRE_TS}' - INTERVAL 3600 SECONDS
+"""
+
+
 def q_streaming_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5: tumbling event-time window aggregation, complete output mode
     (every window emitted; the late-data/append variant is
@@ -372,5 +419,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_static_join,
         ORA_STREAMING_STATIC_JOIN,
         "stream-static dim enrichment join (stateless)",
+    ),
+    "streaming_outer_join": QuerySpec(
+        q_streaming_outer_join,
+        ORA_STREAMING_OUTER_JOIN,
+        "watermarked LEFT OUTER stream-stream join (null-extension on watermark)",
     ),
 }

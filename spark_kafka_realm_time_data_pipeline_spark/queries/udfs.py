@@ -141,6 +141,36 @@ SELECT event_id, substring(upper(event_type), 1, 3) AS type_tag FROM events
 """
 
 
+# --- mapInArrow: raw Arrow batch access --------------------------------------
+
+
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python hook — RecordBatches in/out
+    with no pandas conversion.  Used when the Python side is itself
+    Arrow-native (tokenizers, model featurizers); compute here is pyarrow
+    vector ops, elementwise -> bit-stable."""
+    import pyarrow as pa
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+    def double_value(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("event_id"),
+                    pa.compute.multiply(batch.column("value"), pa.scalar(2.0)),
+                ],
+                names=["event_id", "value_x2"],
+            )
+
+    return ev.mapInArrow(double_value, "event_id long, value_x2 double")
+
+
+ORA_MAP_IN_ARROW = """
+SELECT event_id, value * 2.0 AS value_x2 FROM events
+"""
+
+
 # --- UDTF: table function ----------------------------------------------------
 
 
@@ -255,6 +285,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "python_udtf": QuerySpec(
         q_python_udtf, ORA_PYTHON_UDTF, "Python UDTF via LATERAL call"
+    ),
+    "map_in_arrow": QuerySpec(
+        q_map_in_arrow, ORA_MAP_IN_ARROW, "raw Arrow RecordBatch transform"
     ),
     "map_functions": QuerySpec(
         q_map_functions, ORA_MAP_FUNCTIONS, "MapType create/concat/access"

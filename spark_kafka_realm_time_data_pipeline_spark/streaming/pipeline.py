@@ -150,6 +150,7 @@ def build_streaming_stedi(
     event_wire: DataFrame,
     watermark: str | None = "2 hours",
     join_window_seconds: int = 3600,
+    join_type: str = "inner",
 ) -> DataFrame:
     """Watermarked streaming STEDI join (see stedi_streaming_join doc).
 
@@ -194,7 +195,9 @@ def build_streaming_stedi(
         )
     else:
         cond = F.expr("customer = email")
-    return risk.join(customers, cond).select("customer", "score", "email", "birthYear")
+    return risk.join(customers, cond, join_type).select(
+        "customer", "score", "email", "birthYear"
+    )
 
 
 def stedi_kafka_pipeline(
