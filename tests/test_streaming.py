@@ -102,6 +102,51 @@ def test_unbounded_parity_join(spark, tmp_path):
     assert got == GOLDEN
 
 
+def test_checkpoint_resume_processes_only_new_data(spark, tmp_path):
+    """Exactly-once-ish recovery (the reference's checkpointLocation,
+    sparkpykafkajoin.py:207): restart a stream against the same checkpoint
+    and only files that arrived after the first run are processed."""
+    import glob
+    import shutil
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def add_file(name, rows):
+        outdir = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, "k long").coalesce(1).write.parquet(outdir)
+        part = glob.glob(os.path.join(outdir, "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        # memory sink doesn't support recovery; the parquet sink does —
+        # it's also the realistic target for a checkpointed pipeline
+        stream = spark.readStream.schema("k long").parquet(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        total = sum(p["numInputRows"] for p in q.recentProgress)
+        q.stop()
+        return total
+
+    add_file("a", [(1,), (2,)])
+    assert run_once() == 2
+    add_file("b", [(3,)])
+    # second run resumes from the checkpoint: only file b is new
+    assert run_once() == 1
+    # and the sink holds each row exactly once
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Three micro-batches (maxFilesPerTrigger=1): batch 1 carries the data,
     batch 2 advances the watermark past the first window (emitting it with
