@@ -114,6 +114,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 6,
+    dim: int = 64,
 ) -> DataFrame:
     """LSH-bucketed ANN: random-hyperplane signature buckets both sides;
     candidates are the query's own bucket (equi-join on bucket id).  The
@@ -122,7 +123,9 @@ def lsh_topk(
     lowest-margin bits) raises recall the same way simhash probing does."""
     from pyspark.sql import Window
 
-    dim = len(embeddings.select("embedding").first()[0])
+    # dim is a declared parameter (shared with the oracle generator) — an
+    # eager first() here would run a job at plan-construction time and
+    # crash on an empty table
     planes = lsh_hyperplanes(dim=dim, n_planes=n_planes)
     c = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -125,7 +125,12 @@ def q_streaming_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_table(spark, sf_dir, "events")
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        # decimal-exact sum (repo discipline): raw double SUM is
+        # accumulation-order-dependent and would flake vs the oracle
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -142,7 +147,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       SUM(value) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """

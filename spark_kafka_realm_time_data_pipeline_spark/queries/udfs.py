@@ -132,7 +132,8 @@ def q_python_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     this shape pays per-row serialization and must not appear in hot paths.
     """
     ev = load_table(spark, sf_dir, "events")
-    tag = F.udf(lambda t: (t or "").upper()[:3], "string")
+    # NULL in -> NULL out, matching the oracle's substring(upper(NULL))
+    tag = F.udf(lambda t: None if t is None else t.upper()[:3], "string")
     return ev.select("event_id", tag("event_type").alias("type_tag"))
 
 

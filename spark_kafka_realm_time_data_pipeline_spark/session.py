@@ -48,8 +48,12 @@ def _package_zip() -> str:
     to be the repo root."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}_pyfiles.zip")
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}_pyfiles_{os.getpid()}.zip")
+    # write to a unique temp file then atomically rename: a fixed shared
+    # path would race concurrent Spark processes shipping the same zip
+    fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:
                 continue
@@ -59,6 +63,7 @@ def _package_zip() -> str:
                 fpath = os.path.join(root, fname)
                 arc = os.path.join(pkg_name, os.path.relpath(fpath, pkg_dir))
                 zf.write(fpath, arc)
+    os.replace(tmp, zpath)
     return zpath
 
 
@@ -67,15 +72,18 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     test driver created): runtime confs + ship the package to executors.
     Idempotent and cheap to call per-query."""
     for k, v in RUNTIME_CONF.items():
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            pass  # non-runtime-settable on this build — builder path sets it
+        # all RUNTIME_CONF keys are runtime-settable SQL confs; a failure
+        # here is a real problem (e.g. nanosAsLong missing corrupts every
+        # timestamp read) and must surface, not be swallowed
+        spark.conf.set(k, v)
     if not getattr(spark, "_sktp_pyfiles_shipped", False):
         try:
             spark.sparkContext.addPyFile(_package_zip())
-        except Exception:
-            pass  # already added under the same name
+        except Exception as exc:
+            # only the same-name re-add is benign; anything else means the
+            # package never reached Python workers — surface it
+            if "has already been registered" not in str(exc) and "already exists" not in str(exc):
+                raise
         spark._sktp_pyfiles_shipped = True
     return spark
 

@@ -51,8 +51,18 @@ def run_to_memory(
         .start()
     )
     try:
-        query.awaitTermination(timeout_seconds)
+        finished = query.awaitTermination(timeout_seconds)
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {qname} did not finish within "
+                f"{timeout_seconds}s — refusing to return a partial result"
+            )
     finally:
         query.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(qname)
+    # copy the result out of the memory sink (eager localCheckpoint) and
+    # drop the sink table — otherwise every call leaks a fully materialized
+    # result table for the life of the session
+    out = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    return out

@@ -1,3 +1,5 @@
+import base64
+import json
 import os
 import sys
 
@@ -8,6 +10,24 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def make_envelope(customer_doc: dict | str, key: str = "Customer") -> str:
+    """The Redis CDC envelope exactly as Kafka Connect emits it
+    (Guide.ipynb cell 2 / FIXTURES.md §1) — shared by the codec and
+    streaming test suites so both always test the same wire shape."""
+    doc = customer_doc if isinstance(customer_doc, str) else json.dumps(customer_doc)
+    return json.dumps(
+        {
+            "key": base64.b64encode(key.encode()).decode(),
+            "existType": "NONE",
+            "Ch": False,
+            "Incr": False,
+            "zSetEntries": [
+                {"element": base64.b64encode(doc.encode()).decode(), "score": "0.0"}
+            ],
+        }
+    )
 
 
 @pytest.fixture(scope="session")

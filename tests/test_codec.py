@@ -20,21 +20,7 @@ from spark_kafka_realm_time_data_pipeline_spark.functions.codec import (
 )
 
 
-def _envelope(customer_doc: dict | str, key: str = "Customer") -> str:
-    """Build the Redis CDC envelope exactly as Kafka Connect emits it
-    (Guide.ipynb cell 2 / FIXTURES.md §1)."""
-    doc = customer_doc if isinstance(customer_doc, str) else json.dumps(customer_doc)
-    return json.dumps(
-        {
-            "key": base64.b64encode(key.encode()).decode(),
-            "existType": "NONE",
-            "Ch": False,
-            "Incr": False,
-            "zSetEntries": [
-                {"element": base64.b64encode(doc.encode()).decode(), "score": "0.0"}
-            ],
-        }
-    )
+from conftest import make_envelope as _envelope
 
 
 # The literal sample envelope from the reference Guide (FIXTURES.md §1):

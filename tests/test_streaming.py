@@ -21,21 +21,13 @@ from spark_kafka_realm_time_data_pipeline_spark.streaming.pipeline import (
 from spark_kafka_realm_time_data_pipeline_spark.streaming.runner import run_to_memory
 
 
+from conftest import make_envelope
+
+
 def _envelope(name: str, email: str, birthday: str) -> str:
-    doc = json.dumps(
+    return make_envelope(
         {"customerName": name, "email": email, "phone": "8015551212",
          "birthDay": birthday}
-    )
-    return json.dumps(
-        {
-            "key": "Q3VzdG9tZXI=",
-            "existType": "NONE",
-            "Ch": False,
-            "Incr": False,
-            "zSetEntries": [
-                {"element": base64.b64encode(doc.encode()).decode(), "score": "0.0"}
-            ],
-        }
     )
 
 
