@@ -100,6 +100,40 @@ def sample_frames(binary_docs: DataFrame) -> DataFrame:
     return binary_docs.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
+RESIZE_BYTES = 64
+RESIZE_SCHEMA = "doc_id long, orig_bytes int, resized_bytes int, resized_checksum long"
+
+
+def _fake_resize_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Deterministic resize stand-in: truncate/zero-pad the payload to
+    RESIZE_BYTES (a real image resize slots in with the identical batch
+    shape: one row in, one fixed-size row out)."""
+    import pandas as pd
+
+    payloads = pdf["payload"]
+    resized = payloads.map(lambda b: b[:RESIZE_BYTES].ljust(RESIZE_BYTES, b"\x00"))
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "orig_bytes": payloads.map(len).astype("int32"),
+            "resized_bytes": resized.map(len).astype("int32"),
+            "resized_checksum": resized.map(lambda b: int(sum(b))).astype("int64"),
+        }
+    )
+
+
+def resize_payloads(binary_docs: DataFrame) -> DataFrame:
+    """Arrow-batched fixed-size normalization of binary payloads — the
+    resize member of the multimodal quartet (decode / extract / resize /
+    frame-sample).  Narrow map, no shuffle."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield _fake_resize_batch(pdf)
+
+    return binary_docs.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def extract_features(binary_docs: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.  mapInPandas
     keeps the scan partitioning (no shuffle) and transfers columnar batches;

@@ -442,6 +442,27 @@ FROM frames
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size payload normalization (resize stand-in), mapInPandas."""
+    return M.resize_payloads(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
+
+
+# zero-padding contributes 0 to the byte checksum, so the oracle sums the
+# first RESIZE_BYTES characters (ASCII corpus: char code == byte value)
+ORA_MULTIMODAL_RESIZE = f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS orig_bytes,
+       {M.RESIZE_BYTES} AS resized_bytes,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, least(length(text), {M.RESIZE_BYTES}) + 1),
+             p -> CAST(ascii(substring(text, CAST(p AS INT), 1)) AS BIGINT))),
+         (a, x) -> a + x
+       ) AS resized_checksum
+FROM documents
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster vector stats; min/max of deterministic fold norms (no
     order-sensitive double sums)."""
@@ -504,6 +525,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_multimodal_frames,
         ORA_MULTIMODAL_FRAMES,
         "frame sampling (one-to-many mapInPandas)",
+    ),
+    "multimodal_resize": QuerySpec(
+        q_multimodal_resize,
+        ORA_MULTIMODAL_RESIZE,
+        "fixed-size payload normalization (resize stand-in)",
     ),
     "embedding_stats": QuerySpec(q_embedding_stats, ORA_EMBEDDING_STATS, "per-cluster norms"),
 }
