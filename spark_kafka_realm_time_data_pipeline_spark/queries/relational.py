@@ -537,6 +537,147 @@ FROM b GROUP BY ROLLUP (month_b, day_b, hour_b)
 """
 
 
+def q_correlated_min_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: row qualifies iff its value equals a correlated
+    aggregate minimum.  Catalyst decorrelates the subquery into an
+    aggregate + self-join — the scalable plan (no per-row subquery
+    execution, which is how naive engines die on this shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    li.createOrReplaceTempView("li_q2")
+    part.createOrReplaceTempView("part_q2")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+               CAST(l.l_extendedprice AS DOUBLE) AS best_price
+        FROM part_q2 p JOIN li_q2 l ON p.p_partkey = l.l_partkey
+        WHERE l.l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice) FROM li_q2 l2
+          WHERE l2.l_partkey = p.p_partkey
+        )
+        """
+    )
+
+
+ORA_CORRELATED_MIN = """
+SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+       CAST(l.l_extendedprice AS DOUBLE) AS best_price
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_size < 15
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+def q_view_over_agg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: an aggregate view, then rows matching the view's
+    global MAX (scalar subquery over the derived relation)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    revenue = li.groupBy("l_suppkey").agg(dsum("l_extendedprice").alias("total_revenue"))
+    revenue.createOrReplaceTempView("revenue_q15")
+    s = load_table(spark, sf_dir, "supplier")
+    s.createOrReplaceTempView("supplier_q15")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier_q15 s JOIN revenue_q15 r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue_q15)
+        """
+    )
+
+
+ORA_VIEW_OVER_AGG_MAX = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {ORA_DSUM.format(c='l_extendedprice')} AS total_revenue
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q_in_aggregate_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN (SELECT key ... GROUP BY ... HAVING SUM > t) —
+    a semi-join against an aggregate, the 'large volume customer' pattern."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("o_q18")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("l_q18")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("c_q18")
+    return spark.sql(
+        """
+        SELECT c.c_name, o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS total_price
+        FROM c_q18 c JOIN o_q18 o ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM l_q18
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+        )
+        """
+    )
+
+
+ORA_IN_AGGREGATE = """
+SELECT c.c_name, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS total_price
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+)
+"""
+
+
+def q_multi_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same relation with
+    different correlations — suppliers who shipped late on some order where
+    no co-supplier also shipped late.  Compiles to a semi-join + anti-join
+    chain on l_orderkey, all equi-shuffles."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("l_q21")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("s_q21")
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM s_q21 s
+        JOIN l_q21 l1 ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM l_q21 l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM l_q21 l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s.s_name
+        """
+    )
+
+
+ORA_MULTI_EXISTS_ANTI = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+"""
+
+
 N_SALT = 8
 
 
@@ -1070,6 +1211,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "cdc_upsert_latest": QuerySpec(
         q_cdc_upsert_latest, ORA_CDC_UPSERT, "CDC upsert -> latest state via max_by"
+    ),
+    "correlated_min_subquery": QuerySpec(
+        q_correlated_min_subquery, ORA_CORRELATED_MIN, "Q2 correlated MIN (decorrelated)"
+    ),
+    "view_over_agg_max": QuerySpec(
+        q_view_over_agg_max, ORA_VIEW_OVER_AGG_MAX, "Q15 view + scalar MAX subquery"
+    ),
+    "in_aggregate_subquery": QuerySpec(
+        q_in_aggregate_subquery, ORA_IN_AGGREGATE, "Q18 IN over HAVING aggregate"
+    ),
+    "multi_exists_anti": QuerySpec(
+        q_multi_exists_anti, ORA_MULTI_EXISTS_ANTI, "Q21 EXISTS + NOT EXISTS chain"
     ),
     "time_rollup": QuerySpec(
         q_time_rollup, ORA_TIME_ROLLUP, "multi-resolution time rollup (hypertable style)"
