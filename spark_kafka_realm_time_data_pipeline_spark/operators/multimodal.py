@@ -51,7 +51,7 @@ def decode_image(payload: bytes) -> object:
 def _fake_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
     import pandas as pd
 
-    payloads = pdf["payload"]
+    payloads = pdf["payload"].map(lambda b: b or b"")
     n_bytes = payloads.map(len)
     return pd.DataFrame(
         {
@@ -78,6 +78,7 @@ def _fake_frame_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
 
     out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_checksum": []}
     for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        payload = payload or b""
         n_frames = max((len(payload) + FRAME_SIZE - 1) // FRAME_SIZE, 1)
         for idx in range(0, n_frames, FRAME_STRIDE):
             chunk = payload[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
@@ -91,57 +92,55 @@ def _fake_frame_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
 def sample_frames(binary_docs: DataFrame) -> DataFrame:
     """One-to-many mapInPandas: binary payload -> sampled frame rows.  The
     row-expanding variant of the multimodal pattern (video frame sampling,
-    audio chunking); keeps scan partitioning, no shuffle, Arrow both ways."""
-
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            yield _fake_frame_batch(pdf)
-
-    return binary_docs.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+    audio chunking)."""
+    return _map_payload_batches(binary_docs, _fake_frame_batch, FRAME_SCHEMA)
 
 
-RESIZE_BYTES = 64
-RESIZE_SCHEMA = "doc_id long, orig_bytes int, resized_bytes int, resized_checksum long"
+RESIZE_CHARS = 64
+RESIZE_SCHEMA = "doc_id long, orig_chars int, resized_chars int, resized_checksum long"
 
 
 def _fake_resize_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
-    """Deterministic resize stand-in: truncate/zero-pad the payload to
-    RESIZE_BYTES (a real image resize slots in with the identical batch
-    shape: one row in, one fixed-size row out)."""
+    """Deterministic resize stand-in: truncate/NUL-pad the decoded text to
+    RESIZE_CHARS characters and checksum Unicode code points (a real image
+    resize slots in with the identical batch shape: one row in, one
+    fixed-size row out).  Character/code-point semantics (not bytes) so the
+    DuckDB oracle — which has no blob byte access — replays it exactly for
+    ANY text, not just ASCII."""
     import pandas as pd
 
-    payloads = pdf["payload"]
-    resized = payloads.map(lambda b: b[:RESIZE_BYTES].ljust(RESIZE_BYTES, b"\x00"))
+    texts = pdf["payload"].map(lambda b: (b or b"").decode("utf-8"))
+    resized = texts.map(lambda s: s[:RESIZE_CHARS].ljust(RESIZE_CHARS, "\x00"))
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
-            "orig_bytes": payloads.map(len).astype("int32"),
-            "resized_bytes": resized.map(len).astype("int32"),
-            "resized_checksum": resized.map(lambda b: int(sum(b))).astype("int64"),
+            "orig_chars": texts.map(len).astype("int32"),
+            "resized_chars": resized.map(len).astype("int32"),
+            "resized_checksum": resized.map(
+                lambda s: sum(ord(c) for c in s)
+            ).astype("int64"),
         }
     )
 
 
-def resize_payloads(binary_docs: DataFrame) -> DataFrame:
-    """Arrow-batched fixed-size normalization of binary payloads — the
-    resize member of the multimodal quartet (decode / extract / resize /
-    frame-sample).  Narrow map, no shuffle."""
+def _map_payload_batches(binary_docs: DataFrame, batch_fn, schema: str) -> DataFrame:
+    """Shared mapInPandas wrapper for the multimodal operators: narrow map
+    over (doc_id, payload), keeps scan partitioning, Arrow both ways."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            yield _fake_resize_batch(pdf)
+            yield batch_fn(pdf)
 
-    return binary_docs.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+    return binary_docs.select("doc_id", "payload").mapInPandas(run, schema)
+
+
+def resize_payloads(binary_docs: DataFrame) -> DataFrame:
+    """Arrow-batched fixed-size normalization — the resize member of the
+    multimodal quartet (decode / extract / resize / frame-sample)."""
+    return _map_payload_batches(binary_docs, _fake_resize_batch, RESIZE_SCHEMA)
 
 
 def extract_features(binary_docs: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column.  mapInPandas
-    keeps the scan partitioning (no shuffle) and transfers columnar batches;
-    swap ``_fake_feature_batch`` for a real decoder and the plan is
-    unchanged."""
-
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            yield _fake_feature_batch(pdf)
-
-    return binary_docs.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    """Arrow-batched feature extraction over the binary column; swap
+    ``_fake_feature_batch`` for a real decoder and the plan is unchanged."""
+    return _map_payload_batches(binary_docs, _fake_feature_batch, FEATURE_SCHEMA)

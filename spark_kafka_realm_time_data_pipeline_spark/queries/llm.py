@@ -447,15 +447,16 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.resize_payloads(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
 
 
-# zero-padding contributes 0 to the byte checksum, so the oracle sums the
-# first RESIZE_BYTES characters (ASCII corpus: char code == byte value)
+# NUL padding contributes 0 to the code-point checksum, so the oracle sums
+# the first RESIZE_CHARS characters; DuckDB ascii() returns the full Unicode
+# code point (like Python ord), making this exact for any text
 ORA_MULTIMODAL_RESIZE = f"""
 SELECT doc_id,
-       CAST(length(text) AS INT) AS orig_bytes,
-       {M.RESIZE_BYTES} AS resized_bytes,
+       CAST(length(text) AS INT) AS orig_chars,
+       {M.RESIZE_CHARS} AS resized_chars,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
-           list_transform(range(1, least(length(text), {M.RESIZE_BYTES}) + 1),
+           list_transform(range(1, least(length(text), {M.RESIZE_CHARS}) + 1),
              p -> CAST(ascii(substring(text, CAST(p AS INT), 1)) AS BIGINT))),
          (a, x) -> a + x
        ) AS resized_checksum

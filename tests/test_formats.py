@@ -15,6 +15,8 @@ from conftest import SF_DIR
 @pytest.fixture(scope="module")
 def sample(spark):
     # timestamps rendered to micros strings for the CSV/JSON legs
+    # deterministic selection: an unordered limit could pick different rows
+    # on each of the two executions (write job vs collect)
     return (
         load_table(spark, SF_DIR, "events")
         .select(
@@ -24,7 +26,7 @@ def sample(spark):
             "event_type",
             "value",
         )
-        .limit(200)
+        .filter(F.col("event_id") < 200)
     )
 
 
