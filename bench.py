@@ -59,15 +59,22 @@ def main() -> None:
     spark = get_spark(app_name="spark-graft-bench")
 
     qs = entrymod.queries()
+
+    def materialize(df):
+        # noop sink forces every output column through the full plan;
+        # .count() would let Catalyst prune projections the aggregate
+        # doesn't need (e.g. skip a scalar UDF entirely), under-measuring.
+        df.write.format("noop").mode("overwrite").save()
+
     # JVM/codegen warm-up on the smallest corpus so measured times reflect
     # steady-state execution, not first-query classloading.
-    qs["stedi_flagship"](spark, "/root/testdata/sf0.001").count()
+    materialize(qs["stedi_flagship"](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        materialize(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

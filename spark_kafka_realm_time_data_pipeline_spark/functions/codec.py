@@ -25,11 +25,16 @@ from pyspark.sql import functions as F
 from ..schemas import CUSTOMER_WIRE_SCHEMA, REDIS_ENVELOPE_SCHEMA, STEDI_EVENT_WIRE_SCHEMA
 
 
-def encode_customer_envelope(df: DataFrame, customer_cols: dict[str, Column]) -> DataFrame:
+def encode_customer_envelope(
+    df: DataFrame, customer_cols: dict[str, Column], keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Inverse of the decode chain: wrap rows into the Redis CDC envelope
     (wire format documented in FIXTURES.md §1).  Used to synthesize
     fixture streams; also demonstrates ``base64``/``to_json`` (the encode
     side the reference imports but never calls, sparkpykafkajoin.py:2).
+
+    ``keep`` names input columns to carry through alongside ``value``
+    (e.g. a source timestamp for streaming wire synthesis).
     """
     doc = F.to_json(F.struct(*[v.alias(k) for k, v in customer_cols.items()]))
     return df.select(
@@ -46,7 +51,8 @@ def encode_customer_envelope(df: DataFrame, customer_cols: dict[str, Column]) ->
                     )
                 ).alias("zSetEntries"),
             )
-        ).alias("value")
+        ).alias("value"),
+        *keep,
     )
 
 

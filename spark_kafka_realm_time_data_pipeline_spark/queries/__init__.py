@@ -35,7 +35,11 @@ def registry() -> dict[str, QuerySpec]:
     from . import llm, reference, relational, streaming, udfs
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (reference, relational, llm, streaming, udfs):
+    # Order decides which entries land in the driver's bounded CORRECTNESS
+    # window (first ~50): rotate the round-2-unchecked LLM/streaming/UDF
+    # families to the front; the relational/reference entries (all green in
+    # CORRECTNESS_r02) rotate behind them.
+    for mod in (llm, streaming, udfs, reference, relational):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

@@ -447,19 +447,35 @@ GROUP BY o_orderpriority
 
 
 def q_join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure non-equi (theta) band join over a small dim — nested-loop is
-    correct here because the input is broadcast-sized; at scale the band
-    would be bucketized to an equi-key first (see asof_join)."""
-    s1 = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("a_key"), F.col("s_acctbal").alias("a_bal")
+    """Band (theta) join |a_bal - b_bal| < 100, bucketized to an equi-key:
+    band = floor(bal/100); a qualifying pair's bands differ by at most 1, so
+    replicating one side into {band-1, band, band+1} turns the theta join
+    into a 3x-replicated shuffle equi-join on band + an exact residual
+    filter.  No broadcast (supplier grows with SF), no nested-loop — the
+    100 TB shape.  Each qualifying pair matches exactly once because the
+    three replicas carry distinct band values."""
+    band_w = 100.0
+    s1 = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("a_key"), F.col("s_acctbal").alias("a_bal"))
+        .withColumn("band", F.floor(F.col("a_bal") / band_w))
     )
     s2 = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("b_key"), F.col("s_acctbal").alias("b_bal")
+        F.col("s_suppkey").alias("b_key"),
+        F.col("s_acctbal").alias("b_bal"),
+        F.floor(F.col("s_acctbal") / band_w).alias("b_band"),
     )
-    return s1.join(
-        F.broadcast(s2),
-        (F.col("a_key") < F.col("b_key")) & (F.abs(F.col("a_bal") - F.col("b_bal")) < 100.0),
-    ).select("a_key", "b_key")
+    s2_rep = s2.withColumn(
+        "band", F.explode(F.array(F.col("b_band") - 1, F.col("b_band"), F.col("b_band") + 1))
+    )
+    return (
+        s1.join(s2_rep, "band")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.abs(F.col("a_bal") - F.col("b_bal")) < band_w)
+        )
+        .select("a_key", "b_key")
+    )
 
 
 ORA_JOIN_THETA = """
@@ -950,8 +966,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -1143,8 +1159,8 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORA_SCALAR_MATH = """
 SELECT l_orderkey, l_linenumber,
        abs(l_discount - 0.05) AS abs_off,
-       floor(l_extendedprice) AS floor_price,
-       ceil(l_extendedprice) AS ceil_price,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
        sqrt(l_quantity) AS sqrt_qty,
        l_orderkey % 7 AS mod7,
        l_extendedprice * l_discount AS disc_amount,

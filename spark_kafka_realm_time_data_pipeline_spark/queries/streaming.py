@@ -243,8 +243,8 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sess AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS sid
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM marked
 )
 SELECT user_id,

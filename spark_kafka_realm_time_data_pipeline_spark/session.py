@@ -38,6 +38,16 @@ RUNTIME_CONF = {
     # refuses natively; read as long and convert at the source layer
     # (sources/files.py) — DuckDB likewise truncates nanos to micros.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # RocksDB state store: the HDFS-backed default keeps all streaming state
+    # (join/window/dedup maps) on the JVM heap — the reference's unbounded
+    # join state (sparkpykafkajoin.py:184-187) would OOM executors at real
+    # volume even with watermark eviction, because eviction only bounds
+    # logical state, not its heap residency.  RocksDB spills state to local
+    # disk with incremental checkpointing — the Spark 3.2+ posture for
+    # large-state streaming (SURVEY.md §4.2).
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
 }
 
 

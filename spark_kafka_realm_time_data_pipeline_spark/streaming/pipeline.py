@@ -23,6 +23,9 @@ state, and the RocksDB state store (config, not code) holds it off-heap.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -200,6 +203,26 @@ def build_streaming_stedi(
     )
 
 
+def assemble_stedi_stream(
+    spark: SparkSession,
+    cust_raw: DataFrame,
+    ev_raw: DataFrame,
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """The production composition between Kafka source and sink: binary->
+    string cast (P1), decode chains, watermarked stream-stream join, sink
+    projection.  Takes raw source DFs with the Kafka wire schema (key/value
+    binary + timestamp), so a broker-less smoke can drive the exact same
+    assembly from a `rate` source (tests/test_sinks.py) — catching option /
+    column-name typos the builder unit tests can't."""
+    from ..sources.kafka import cast_kv_string
+
+    cust_wire = cast_kv_string(cust_raw).select("value", "ts")
+    ev_wire = cast_kv_string(ev_raw).select("value", "ts")
+    joined = build_streaming_stedi(spark, cust_wire, ev_wire, watermark=watermark)
+    return serialize_risk_output(joined)
+
+
 def stedi_kafka_pipeline(
     spark: SparkSession,
     bootstrap_servers: str = "localhost:9092",
@@ -218,14 +241,23 @@ def stedi_kafka_pipeline(
     - maxOffsetsPerTrigger backpressure on both sources;
     - no inline awaitTermination (its :209 made the :211 sink dead code).
     """
-    from ..sources.kafka import REDIS_SERVER, STEDI_EVENTS, cast_kv_string, kafka_stream
+    from ..sources.kafka import REDIS_SERVER, STEDI_EVENTS, kafka_stream
     from .sinks import kafka_sink
 
-    cust_wire = cast_kv_string(kafka_stream(spark, REDIS_SERVER)).select("value", "ts")
-    ev_wire = cast_kv_string(kafka_stream(spark, STEDI_EVENTS)).select("value", "ts")
-    joined = build_streaming_stedi(spark, cust_wire, ev_wire, watermark=watermark)
+    out = assemble_stedi_stream(
+        spark,
+        kafka_stream(spark, REDIS_SERVER),
+        kafka_stream(spark, STEDI_EVENTS),
+        watermark=watermark,
+    )
+    if checkpoint_dir is None:
+        # stable per-topic default (NOT a per-call temp dir): a restarted
+        # pipeline must find the same offset log to resume exactly-once
+        checkpoint_dir = os.path.join(
+            tempfile.gettempdir(), f"stedi_ckpt_{output_topic}"
+        )
     return kafka_sink(
-        serialize_risk_output(joined),
+        out,
         topic=output_topic,
         bootstrap_servers=bootstrap_servers,
         checkpoint_dir=checkpoint_dir,

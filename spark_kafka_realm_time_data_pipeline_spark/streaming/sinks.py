@@ -24,22 +24,30 @@ from pyspark.sql.streaming import StreamingQuery
 def kafka_sink(
     df: DataFrame,
     topic: str,
+    checkpoint_dir: str,
     bootstrap_servers: str = "localhost:9092",
-    checkpoint_dir: str | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
     """K1: (key,value) string columns to a Kafka topic, exactly-once-ish via
     checkpointing (sparkpykafkajoin.py:202-209). The caller owns
     awaitTermination — the reference's inline .awaitTermination() is what
-    made its second sink unreachable."""
+    made its second sink unreachable.
+
+    ``checkpoint_dir`` is REQUIRED and must be stable across restarts: a
+    per-call temp dir (the old default) silently discards the offset log on
+    restart, replaying or dropping records — the opposite of the
+    exactly-once contract the checkpoint exists for.  Test-only sinks
+    (console/foreachBatch below) keep ephemeral checkpoints by design."""
+    if not checkpoint_dir:
+        raise ValueError(
+            "kafka_sink requires a stable checkpoint_dir; exactly-once resume "
+            "is impossible with an ephemeral checkpoint"
+        )
     writer = (
         df.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or tempfile.mkdtemp(prefix="kafka_ckpt_"),
-        )
+        .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -1,0 +1,30 @@
+"""Corpus invariants the oracle SQL depends on.
+
+ORA_MULTIMODAL_FRAMES / ORA_MULTIMODAL_FEATURES (queries/llm.py) replay the
+Spark side's *byte*-level frame chop / checksum as *character*-level SQL —
+equivalent only while the documents corpus is pure ASCII (byte == code
+point, octet_length == length).  A regenerated corpus with any non-ASCII
+text would silently break hash parity; this test turns that silent break
+into a loud one.  (The resize oracle was made unicode-exact instead and
+does not depend on this.)
+"""
+
+import glob
+
+import pyarrow.parquet as pq
+
+
+def test_documents_text_is_ascii_at_all_tested_sfs():
+    checked = 0
+    for path in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+        col = pq.read_table(path, columns=["text"]).column("text")
+        for chunk in col.chunks:
+            for v in chunk:
+                s = v.as_py()
+                if s is not None:
+                    assert s.isascii(), (
+                        f"non-ASCII text in {path}: the frames/features "
+                        "oracles assume byte==codepoint"
+                    )
+        checked += 1
+    assert checked >= 2, "expected at least sf0.001 and sf0.01 corpora"

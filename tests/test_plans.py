@@ -40,6 +40,23 @@ def test_fact_fact_join_not_hint_broadcast(spark, name):
     assert n_bcast <= expected_max, plan
 
 
+def test_theta_band_is_bucketized_equi_join(spark):
+    """Round-2 defect: F.broadcast(supplier) + pure theta predicate forced a
+    BroadcastNestedLoopJoin over a size-growing table.  The fixed plan
+    bucketizes acctbal into width-100 bands and equi-joins on band, so with
+    auto-broadcast disabled it must plan as a shuffle equi-join — never a
+    nested loop, never a broadcast of supplier."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "join_theta_band")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+
+
 def test_dim_broadcast_survives(spark):
     # with stats available the filtered customer dim broadcasts in Q3
     assert "BroadcastExchange" in _plan(spark, "topk_join")

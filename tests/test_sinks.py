@@ -15,6 +15,13 @@ from spark_kafka_realm_time_data_pipeline_spark.streaming.sinks import (
 from conftest import SF_DIR
 
 
+def _events_rows(spark) -> int:
+    """Expected row count from a batch read of the same table — not a
+    hardcoded corpus-snapshot literal, so a regenerated corpus can't fail
+    these tests spuriously."""
+    return spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
 def test_console_sink_runs(spark):
     """K2: the reference's console sink (sparkpyrediskafkastreamtoconsole.py:154)
     over a bounded replay — must process all rows and terminate.  (The
@@ -27,7 +34,7 @@ def test_console_sink_runs(spark):
     q.stop()
     assert progress, "no micro-batch ran"
     assert any("Console" in p["sink"]["description"] for p in progress)
-    assert sum(p["numInputRows"] for p in progress) == 1000
+    assert sum(p["numInputRows"] for p in progress) == _events_rows(spark)
 
 
 def test_foreach_batch_sink_collects(spark):
@@ -42,7 +49,7 @@ def test_foreach_batch_sink_collects(spark):
     q = foreach_batch_sink(ev, collect)
     q.awaitTermination(120)
     q.stop()
-    assert sum(n for _b, n in seen) == 1000  # sf0.001 events row count
+    assert sum(n for _b, n in seen) == _events_rows(spark)
 
 
 def test_kafka_builders_construct():

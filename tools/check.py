@@ -44,6 +44,46 @@ def _norm(v):
     return str(v)
 
 
+def _type_tag(v):
+    """Collapse a cell value to a type tag.  bool before int (bool is an int
+    subclass); everything else by class name."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return type(v).__name__
+
+
+def type_parity_problems(rows, cols, ora_rows, ora_cols):
+    """Per-column output-type comparison between the Spark and oracle result
+    sets.  The driver's value hash preserves the int/float distinction
+    (Spark BIGINT renders '3' where DuckDB DOUBLE/HUGEINT renders '3.0'),
+    which _norm's %.10g float normalization masks — so a query can pass this
+    mirror's hash yet fail the driver's.  This check closes that gap: the
+    set of non-null Python types in each column must match exactly."""
+    def col_tags(rws, cls):
+        tags = {c: set() for c in cls}
+        for r in rws:
+            for c, v in zip(cls, r):
+                t = _type_tag(v)
+                if t is not None:
+                    tags[c].add(t)
+        return tags
+
+    st, ot = col_tags(rows, cols), col_tags(ora_rows, ora_cols)
+    problems = []
+    for c in sorted(set(st) & set(ot)):
+        if st[c] != ot[c]:
+            problems.append(
+                f"type[{c}] {sorted(st[c]) or 'all-null'} vs {sorted(ot[c]) or 'all-null'}"
+            )
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -96,6 +136,8 @@ def main():
             problems.append(f"rowcount {len(rows)} vs {len(ora_rows)}")
         if sorted(cols) != sorted(ora_cols):
             problems.append(f"schema {sorted(cols)} vs {sorted(ora_cols)}")
+        if not problems:
+            problems.extend(type_parity_problems(rows, cols, ora_rows, ora_cols))
         if not problems:
             hs, ho = value_hash(rows, cols), value_hash(ora_rows, ora_cols)
             if hs != ho:
