@@ -49,6 +49,9 @@ HEADLINE = [
     "pandas_udf_scalar",
     "streaming_stedi_join",
     "streaming_window_tumbling",
+    "ngram_decontaminate",
+    "pack_sequences",
+    "quantize_embeddings",
 ]
 
 

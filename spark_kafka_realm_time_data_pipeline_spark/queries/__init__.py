@@ -44,4 +44,12 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    return merged
+    # Queries whose code or oracle changed since their last green driver row
+    # are lifted to the front of the relational block so the fix itself gets
+    # a green CORRECTNESS entry (round 3: the two r2 hash-fails + the
+    # de-broadcast theta band join).
+    changed = ("sessionize", "scalar_math", "join_theta_band")
+    families = [n for n in merged if n in llm.QUERIES | streaming.QUERIES | udfs.QUERIES]
+    rest = [n for n in merged if n not in families and n not in changed]
+    ordered = families + list(changed) + rest
+    return {n: merged[n] for n in ordered}

@@ -16,6 +16,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
+from ..operators import training as TR
 from ..sources.files import load_table
 from . import QuerySpec
 
@@ -484,7 +485,50 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.ngram_decontaminate(D.planted_corpus(spark, sf_dir))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TR.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ngram_decontaminate": QuerySpec(
+        q_ngram_decontaminate,
+        TR.ORA_NGRAM_DECONTAMINATE.format(corpus_cte=D.ORA_CORPUS + ","),
+        "benchmark 8-gram decontamination (eval-leakage scrub)",
+    ),
+    "stratified_sample": QuerySpec(
+        q_stratified_sample,
+        TR.ORA_STRATIFIED_SAMPLE,
+        "deterministic md5-keyed per-language sampling",
+    ),
+    "pack_sequences": QuerySpec(
+        q_pack_sequences,
+        TR.ORA_PACK_SEQUENCES,
+        "concat-and-chunk sequence packing per source shard",
+    ),
+    "length_histogram": QuerySpec(
+        q_length_histogram, TR.ORA_LENGTH_HISTOGRAM, "doc-length histogram"
+    ),
+    "quantize_embeddings": QuerySpec(
+        q_quantize_embeddings,
+        TR.ORA_QUANTIZE_EMBEDDINGS,
+        "per-vector int8 quantization (max-abs scale)",
+    ),
     "dedup_exact": QuerySpec(q_dedup_exact, ORA_DEDUP_EXACT, "exact dedup via sha256+groupBy"),
     "dedup_minhash_lsh": QuerySpec(
         q_dedup_minhash, ORA_DEDUP_MINHASH, "MinHash->LSH bands->Jaccard verify"

@@ -1,0 +1,82 @@
+"""Semantic invariants for the training-data-curation operators
+(operators/training.py) — the oracle hash proves engine parity; these pin
+the *meaning* (bounds, determinism, conservation) the hash can't express.
+"""
+
+from pyspark.sql import functions as F
+
+from spark_kafka_realm_time_data_pipeline_spark.operators import training as TR
+from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+
+from conftest import SF_DIR
+
+
+def _run(spark, name):
+    return registry()[name].fn(spark, SF_DIR)
+
+
+def test_decontaminate_excludes_benchmark_docs(spark):
+    rows = _run(spark, "ngram_decontaminate").collect()
+    assert rows, "expected at least one contaminated training doc"
+    for r in rows:
+        assert r.doc_id % TR.BENCH_MOD != 0, "benchmark doc leaked into output"
+        assert r.n_contaminated >= 1
+
+
+def test_decontaminate_flags_planted_duplicate(spark):
+    """A training doc textually identical to a benchmark doc must be
+    flagged — the defining requirement of an eval-leakage scrub."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench_row = docs.filter(F.col("doc_id") % TR.BENCH_MOD == 0).orderBy("doc_id").first()
+    planted = spark.createDataFrame(
+        [(10_000_001, bench_row.text, "en", "planted", len(bench_row.text))],
+        docs.schema,
+    )
+    out = TR.ngram_decontaminate(docs.unionByName(planted))
+    flagged = {r.doc_id for r in out.collect()}
+    assert 10_000_001 in flagged
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    a = sorted(r.doc_id for r in _run(spark, "stratified_sample").collect())
+    b = sorted(r.doc_id for r in _run(spark, "stratified_sample").collect())
+    assert a == b, "sample must be identical across reruns"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_en_total = docs.filter(F.col("lang") == "en").count()
+    n_en_kept = (
+        _run(spark, "stratified_sample").filter(F.col("lang") == "en").count()
+    )
+    # en threshold '4' = keep 4/16; md5 is uniform so allow wide slack
+    rate = n_en_kept / n_en_total
+    assert 0.10 < rate < 0.40, rate
+
+
+def test_pack_sequences_offsets_within_budget(spark):
+    rows = _run(spark, "pack_sequences").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.seq_offset < TR.PACK_BUDGET
+        assert r.seq_id >= 0
+    # each source shard starts at sequence 0, offset 0
+    first = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        first.setdefault(r.source, r)
+    for r in first.values():
+        assert (r.seq_id, r.seq_offset) == (0, 0), r
+
+
+def test_length_histogram_conserves_docs(spark):
+    rows = _run(spark, "length_histogram").collect()
+    total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.bucket * TR.HIST_BUCKET <= r.min_chars <= r.max_chars
+        assert r.max_chars < (r.bucket + 1) * TR.HIST_BUCKET
+
+
+def test_quantize_bounds(spark):
+    rows = _run(spark, "quantize_embeddings").collect()
+    assert rows
+    for r in rows:
+        assert r.scale >= 0
+        assert -TR.Q_LEVELS <= r.q_min <= r.q_max <= TR.Q_LEVELS
