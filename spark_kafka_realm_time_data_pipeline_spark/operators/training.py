@@ -54,14 +54,23 @@ def ngram_decontaminate(docs: DataFrame) -> DataFrame:
     this synthetic benchmark grows with SF.  The training-side explode is
     the dominant shuffle — one distinct + one join, both on the gram key.
     """
-    grams = docs.select(
-        "doc_id", F.explode(_word_ngrams()).alias("ngram")
-    ).distinct()
+    # shuffle the 60-bit md5-derived gram key, not the 8-word string: the
+    # distinct + join move ~8 bytes/row instead of ~60, and the hash is
+    # engine-portable so the oracle replays it bit-for-bit (collision odds
+    # at 60 bits are negligible and replayed identically anyway)
+    gram_key = F.conv(F.substring(F.md5(F.col("ngram").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    grams = (
+        docs.select("doc_id", F.explode(_word_ngrams()).alias("ngram"))
+        .select("doc_id", gram_key.alias("gram_key"))
+        .distinct()
+    )
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    bench = grams.filter(is_bench).select("ngram").distinct()
+    bench = grams.filter(is_bench).select("gram_key").distinct()
     train = grams.filter(~is_bench)
     return (
-        train.join(bench, "ngram")
+        train.join(bench, "gram_key")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
@@ -78,13 +87,15 @@ words AS (
   SELECT doc_id, w, unnest(range(1, len(w) - {NGRAM_N - 2})) AS i FROM words
 ), grams AS (
   SELECT DISTINCT doc_id,
-         array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + {NGRAM_N - 1}), ' ') AS ngram
+         CAST(('0x' || substring(md5(
+           array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + {NGRAM_N - 1}), ' ')
+         ), 1, 15)) AS BIGINT) AS gram_key
   FROM starts
 ), bench AS (
-  SELECT DISTINCT ngram FROM grams WHERE doc_id % {BENCH_MOD} = 0
+  SELECT DISTINCT gram_key FROM grams WHERE doc_id % {BENCH_MOD} = 0
 )
 SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
-FROM grams g JOIN bench b USING (ngram)
+FROM grams g JOIN bench b USING (gram_key)
 WHERE g.doc_id % {BENCH_MOD} <> 0
 GROUP BY g.doc_id
 """
