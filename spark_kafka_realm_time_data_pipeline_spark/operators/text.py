@@ -86,6 +86,56 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition ratio (top word frequency / total words) — the
+    Gopher/C4-style repetition quality signal.  Pure integer counting plus
+    one final IEEE division, so it is hash-exact across engines with no
+    rounding tricks.  Argmax tie-breaks on the word itself (max_by over a
+    (count, word) struct) for determinism.
+
+    Two shuffles: (doc_id, word) count with map-side combine, then the
+    per-doc argmax — both keyed aggregations, no windows over raw rows."""
+    counts = (
+        docs.select("doc_id", F.explode(_toks()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.max_by("word", F.struct(F.col("cnt"), F.col("word"))).alias("top_word"),
+            F.max("cnt").alias("top_count"),
+            F.sum("cnt").alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            "top_word",
+            "top_count",
+            "n_words",
+            (F.col("top_count").cast("double") / F.col("n_words").cast("double")).alias(
+                "repetition_ratio"
+            ),
+        )
+    )
+
+
+ORA_REPETITION = """
+WITH counts AS (
+  SELECT doc_id, word, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, word, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word DESC) AS rn,
+         CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_words
+  FROM counts
+)
+SELECT doc_id, word AS top_word, cnt AS top_count, n_words,
+       CAST(cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS repetition_ratio
+FROM ranked WHERE rn = 1
+"""
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Rolling polynomial hash over the token stream:
     acc = (acc*31 + len(tok) + (ascii(first_char)-96)*131) mod 1e9+7.

@@ -362,6 +362,10 @@ FROM scored
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -559,6 +563,11 @@ QUERIES: dict[str, QuerySpec] = {
     "text_langid": QuerySpec(q_text_langid, _ora_langid(), "language-ID heuristic"),
     "text_fingerprint": QuerySpec(
         q_text_fingerprint, ORA_TEXT_FINGERPRINT, "rolling-hash fingerprint"
+    ),
+    "text_repetition": QuerySpec(
+        q_text_repetition,
+        T.ORA_REPETITION,
+        "repetition-ratio quality signal (top-word frequency)",
     ),
     "multimodal_meta": QuerySpec(
         q_multimodal_meta, ORA_MULTIMODAL_META, "binary payload + metadata struct"

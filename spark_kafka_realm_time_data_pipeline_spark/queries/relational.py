@@ -1204,7 +1204,100 @@ FROM embeddings
 """
 
 
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): 5-way join with a cross-dimension
+    OR predicate.  The two-nation filter is applied to each nation dim
+    BEFORE the joins (Catalyst can't push the coupled OR through on its
+    own), so the fact-side joins only carry rows for the two nations;
+    the residual OR runs after.  nation is a fixed 25-row dim -> hint
+    broadcast is safe; the fact-fact joins are left to stats/AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pair = ("NATION_18", "NATION_19")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    volume = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount", 4, 2))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+    )
+
+
+ORA_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional-aggregate ratio.
+    Both sums run in exact DECIMAL and cast to double at the end, so the
+    final division is IEEE-identical across engines.  part grows with SF:
+    no broadcast hint, stats/AQE decide."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount", 4, 2))
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORA_TPCH_Q14 = """
+SELECT 100.0
+       * CAST(SUM(CASE WHEN p_type = 'PROMO'
+           THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))
+           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "tpch_q7_volume": QuerySpec(
+        q_tpch_q7_volume, ORA_TPCH_Q7, "TPC-H Q7 two-nation volume (OR across dims)"
+    ),
+    "tpch_q14_promo": QuerySpec(
+        q_tpch_q14_promo, ORA_TPCH_Q14, "TPC-H Q14 conditional-aggregate ratio"
+    ),
     "pricing_summary": QuerySpec(q_pricing_summary, ORA_PRICING, "TPC-H Q1 hash-agg"),
     "filtered_revenue": QuerySpec(q_filtered_revenue, ORA_FILTERED_REVENUE, "TPC-H Q6 scan+agg"),
     "group_stats": QuerySpec(q_group_stats, ORA_GROUP_STATS, "group agg + count distinct"),

@@ -57,6 +57,54 @@ def test_theta_band_is_bucketized_equi_join(spark):
     assert "BroadcastExchange" not in plan, plan
 
 
+def test_curation_ops_stay_narrow(spark):
+    """stratified_sample and quantize_embeddings are pure narrow maps:
+    zero exchanges, zero Python on executors — the zero-shuffle claim in
+    PLANS.md is load-bearing at 100 TB, so pin it."""
+    for name in ("stratified_sample", "quantize_embeddings"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing shuffles ONCE (hashpartitioning on source for the per-shard
+    running sum); a second exchange would mean an accidental global sort."""
+    plan = _plan(spark, "pack_sequences")
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(source" in plan, plan
+
+
+def test_decontaminate_is_jvm_side_equi_join(spark):
+    """The gram join must stay an equi-join on the hashed key with no
+    Python and, with auto-broadcast off, no broadcast of the corpus-derived
+    benchmark side."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "ngram_decontaminate")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_tpch_q7_only_nation_dims_broadcast(spark):
+    """Q7's fact-fact joins must not be hint-forced: with auto-broadcast
+    off, only the two 25-row nation dims may appear as BroadcastExchange."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "tpch_q7_volume")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") <= 2, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
 def test_dim_broadcast_survives(spark):
     # with stats available the filtered customer dim broadcasts in Q3
     assert "BroadcastExchange" in _plan(spark, "topk_join")
