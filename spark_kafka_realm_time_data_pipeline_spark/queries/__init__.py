@@ -48,14 +48,19 @@ def registry() -> dict[str, QuerySpec]:
     # are lifted to the front of the relational block so the fix itself gets
     # a green CORRECTNESS entry (round 3: the two r2 hash-fails + the
     # de-broadcast theta band join).
-    changed = (
-        "sessionize",
-        "scalar_math",
-        "join_theta_band",
-        "tpch_q7_volume",
-        "tpch_q14_promo",
-    )
-    families = [n for n in merged if n in llm.QUERIES | streaming.QUERIES | udfs.QUERIES]
-    rest = [n for n in merged if n not in families and n not in changed]
-    ordered = families + list(changed) + rest
+    changed = [
+        n
+        for n in (
+            "sessionize",
+            "scalar_math",
+            "join_theta_band",
+            "tpch_q7_volume",
+            "tpch_q14_promo",
+        )
+        if n in merged  # ordering hint only — a renamed query must not break registry()
+    ]
+    family_names = llm.QUERIES.keys() | streaming.QUERIES.keys() | udfs.QUERIES.keys()
+    families = [n for n in merged if n in family_names]
+    rest = [n for n in merged if n not in family_names and n not in changed]
+    ordered = families + changed + rest
     return {n: merged[n] for n in ordered}

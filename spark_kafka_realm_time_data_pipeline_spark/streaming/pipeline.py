@@ -251,10 +251,17 @@ def stedi_kafka_pipeline(
         watermark=watermark,
     )
     if checkpoint_dir is None:
-        # stable per-topic default (NOT a per-call temp dir): a restarted
-        # pipeline must find the same offset log to resume exactly-once
+        # stable default keyed by (cluster, topic) — NOT a per-call temp
+        # dir (a restarted pipeline must find the same offset log) and NOT
+        # topic-only (the same topic name on a different cluster must not
+        # resume from the wrong cluster's offsets).  Production deployments
+        # should still pass an explicit durable path: the system temp dir
+        # does not survive reboots.
+        import hashlib
+
+        cluster_key = hashlib.md5(bootstrap_servers.encode()).hexdigest()[:8]
         checkpoint_dir = os.path.join(
-            tempfile.gettempdir(), f"stedi_ckpt_{output_topic}"
+            tempfile.gettempdir(), f"stedi_ckpt_{cluster_key}_{output_topic}"
         )
     return kafka_sink(
         out,

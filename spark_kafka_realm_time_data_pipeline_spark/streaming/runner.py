@@ -57,18 +57,21 @@ def run_to_memory(
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
     # streaming profile: fewer, fuller state partitions (see
     # STREAM_SHUFFLE_PARTITIONS); restored after the bounded replay ends so
-    # batch queries keep the session default
+    # batch queries keep the session default.  conf.set and .start() sit
+    # INSIDE the try: a plan that fails analysis in .start() must not leak
+    # the streaming partition count (or the checkpoint dir) into the session.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
-    query = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    query = None
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+        query = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         finished = query.awaitTermination(timeout_seconds)
         if not finished:
             raise TimeoutError(
@@ -76,7 +79,8 @@ def run_to_memory(
                 f"{timeout_seconds}s — refusing to return a partial result"
             )
     finally:
-        query.stop()
+        if query is not None:
+            query.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
     # copy the result out of the memory sink (eager localCheckpoint) and

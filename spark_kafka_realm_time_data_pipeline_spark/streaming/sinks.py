@@ -24,6 +24,7 @@ from pyspark.sql.streaming import StreamingQuery
 def kafka_sink(
     df: DataFrame,
     topic: str,
+    *,
     checkpoint_dir: str,
     bootstrap_servers: str = "localhost:9092",
     available_now: bool = False,

@@ -11,6 +11,7 @@ does not depend on this.)
 
 import glob
 
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
@@ -18,13 +19,10 @@ def test_documents_text_is_ascii_at_all_tested_sfs():
     checked = 0
     for path in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
         col = pq.read_table(path, columns=["text"]).column("text")
-        for chunk in col.chunks:
-            for v in chunk:
-                s = v.as_py()
-                if s is not None:
-                    assert s.isascii(), (
-                        f"non-ASCII text in {path}: the frames/features "
-                        "oracles assume byte==codepoint"
-                    )
+        all_ascii = pc.all(pc.string_is_ascii(col.drop_null())).as_py()
+        assert all_ascii, (
+            f"non-ASCII text in {path}: the frames/features oracles assume "
+            "byte==codepoint"
+        )
         checked += 1
     assert checked >= 2, "expected at least sf0.001 and sf0.01 corpora"
