@@ -369,7 +369,46 @@ FROM agg a JOIN latest l ON a.user_id = l.user_id AND l.rn = 1
 """
 
 
+def q_streaming_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: union of two independent streaming sources feeding one
+    windowed aggregation — the multi-topic fan-in shape (e.g. regional
+    Kafka topics merged into one metric).  Each side is its own
+    FileStreamSource scan; Structured Streaming tracks both sources'
+    offsets in one checkpoint.  State is per (window, event_type) — union
+    adds no state of its own."""
+    a = stream_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    b = stream_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    agg = (
+        a.unionByName(b)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, spark, output_mode="complete")
+
+
+ORA_STREAMING_UNION = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_union": QuerySpec(
+        q_streaming_union,
+        ORA_STREAMING_UNION,
+        "union of two streaming sources into one windowed agg",
+    ),
     "streaming_stedi_join": QuerySpec(
         q_streaming_stedi_join,
         _STEDI_JOIN_ORACLE,
