@@ -70,8 +70,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # JVM/codegen warm-up on the smallest corpus so measured times reflect
-    # steady-state execution, not first-query classloading.
+    # steady-state execution, not first-query classloading.  The streaming
+    # warm-up additionally loads the micro-batch/state-store machinery
+    # (RocksDB JNI, checkpoint writers) that would otherwise be billed to
+    # the first streaming headline query.
     materialize(qs["stedi_flagship"](spark, "/root/testdata/sf0.001"))
+    materialize(qs["streaming_window_tumbling"](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
