@@ -1,0 +1,65 @@
+"""Space-filling-curve data layout (Z-order) for multi-dimension pruning.
+
+At 100 TB a parquet lake is pruned by file-level min/max statistics. A sort
+on one column gives perfect pruning on that column and none on any other;
+interleaving the bits of two (or more) key columns into a Z-value and
+range-partitioning + sorting on it gives each file a small bounding BOX in
+key space, so filters on EITHER dimension prune files. This is the layout
+trick behind Delta/Iceberg `OPTIMIZE ZORDER BY` — here expressed with plain
+Catalyst bit arithmetic (shiftleft/shiftright/bitwiseAND), no UDFs, fully
+whole-stage-codegen'd.
+
+The reference has no storage layout at all (its data lives in Kafka topics);
+this module is part of the engine's batch-lake posture (SURVEY.md §7 step 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 16
+
+
+def zvalue(x: Column, y: Column, bits: int = DEFAULT_BITS) -> Column:
+    """Morton/Z-value: interleave the low ``bits`` bits of ``x`` (even bit
+    positions) and ``y`` (odd positions) into one BIGINT.
+
+    Pure integer expression — Catalyst constant-folds the shift amounts and
+    codegen emits straight-line long arithmetic; cost is O(bits) ops/row
+    with zero shuffles.  ``bits=16`` covers keys up to 65535; widen for
+    larger key domains (the z-value stays < 2^(2*bits) <= 2^63).
+    """
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x.cast("bigint"), i).bitwiseAND(1), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y.cast("bigint"), i).bitwiseAND(1), 2 * i + 1)
+    return z
+
+
+def zvalue_sql(x: str, y: str, bits: int = DEFAULT_BITS) -> str:
+    """ANSI-SQL twin of :func:`zvalue` (DuckDB `>> << &` on BIGINT) — the
+    oracle replays the exact interleave so the check is hash-exact."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(df: DataFrame, x: str, y: str, n_files: int, bits: int = DEFAULT_BITS) -> DataFrame:
+    """Re-layout ``df`` for two-dimension pruning: range-partition by
+    Z-value into ``n_files`` partitions and sort within each, so every
+    output file's (x, y) min/max stats form a tight bounding box.
+
+    Shuffle cost: ONE range-exchange (same as any repartitionByRange); the
+    payoff is permanent scan-time pruning on both keys.  Use on write:
+    ``zorder_layout(df, "k1", "k2", 1024).write.parquet(...)``.
+    """
+    z = zvalue(F.col(x), F.col(y), bits).alias("__z")
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

@@ -136,6 +136,41 @@ FROM ranked WHERE rn = 1
 """
 
 
+def pii_redact(df: DataFrame, col: str, key_col: str) -> DataFrame:
+    """PII scrubbing pass (training-data hygiene): mask numeric identifier
+    runs with a placeholder, count the characters redacted, and derive a
+    stable pseudonymous id (md5 prefix) so downstream joins still work
+    after the raw identifier is gone.
+
+    A narrow map — zero shuffles, zero Python; regexp_replace/md5 are
+    codegen'd JVM expressions, so this runs at full scan speed on 100 TB."""
+    digits = F.length(col) - F.length(F.regexp_replace(col, "[0-9]", ""))
+    return df.select(
+        key_col,
+        F.regexp_replace(col, "[0-9]+", "<ID>").alias("redacted"),
+        digits.cast("bigint").alias("digits_redacted"),
+        F.substring(F.md5(F.col(col)), 1, 8).alias("pseudo_id"),
+    )
+
+
+def heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus vocabulary heavy hitters: explode -> two-phase hash aggregate
+    -> deterministic global top-k (count desc, word asc).
+
+    Scale shape: map-side combine collapses each partition to its local
+    vocabulary before the shuffle, so shuffle volume is bounded by |vocab|,
+    not corpus size; the final top-k sorts only the aggregated vocabulary
+    (TakeOrderedAndProject — no global sort of raw tokens)."""
+    return (
+        docs.select(F.explode(_toks()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(k)
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Rolling polynomial hash over the token stream:
     acc = (acc*31 + len(tok) + (ascii(first_char)-96)*131) mod 1e9+7.

@@ -45,9 +45,11 @@ def registry() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
     # Queries whose code or oracle changed since their last green driver row
-    # are lifted to the front of the relational block so the fix itself gets
-    # a green CORRECTNESS entry (round 3: the two r2 hash-fails + the
-    # de-broadcast theta band join).
+    # go FIRST so each fix itself gets a green CORRECTNESS entry (round 3:
+    # the two r2 hash-fails + the de-broadcast theta band join), then the
+    # round-2-unchecked LLM/streaming/UDF families fill the rest of the
+    # driver's bounded window; queries added this round land just past it
+    # (mirror-verified now, rotated into the window next round).
     changed = [
         n
         for n in (
@@ -59,8 +61,23 @@ def registry() -> dict[str, QuerySpec]:
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]
+    new_r3 = [
+        n
+        for n in (
+            "tpch_q9_profit",
+            "scd2_intervals",
+            "funnel_stages",
+            "zorder_stats",
+            "pii_redact",
+            "heavy_hitters",
+            "streaming_interval_join",
+        )
+        if n in merged
+    ]
     family_names = llm.QUERIES.keys() | streaming.QUERIES.keys() | udfs.QUERIES.keys()
-    families = [n for n in merged if n in family_names]
-    rest = [n for n in merged if n not in family_names and n not in changed]
-    ordered = families + changed + rest
+    families = [n for n in merged if n in family_names and n not in new_r3]
+    rest = [
+        n for n in merged if n not in family_names and n not in changed and n not in new_r3
+    ]
+    ordered = changed + families + new_r3 + rest
     return {n: merged[n] for n in ordered}

@@ -382,6 +382,36 @@ FROM documents
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the customer dim (numeric-id masking + stable md5
+    pseudonym) — operators/text.py:pii_redact."""
+    return T.pii_redact(load_table(spark, sf_dir, "customer"), "c_name", "c_custkey")
+
+
+ORA_PII_REDACT = """
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,
+       CAST(length(c_name)
+            - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT)
+           AS digits_redacted,
+       substring(md5(c_name), 1, 8) AS pseudo_id
+FROM customer
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters over the corpus —
+    operators/text.py:heavy_hitters."""
+    return T.heavy_hitters(load_table(spark, sf_dir, "documents"), k=20)
+
+
+ORA_HEAVY_HITTERS = """
+SELECT word, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+) WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+
 # --- multimodal ---------------------------------------------------------------
 
 
@@ -561,6 +591,12 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(q_text_quality, ORA_TEXT_QUALITY, "quality scoring"),
     "text_tokens": QuerySpec(q_text_tokens, ORA_TEXT_TOKENS, "token counting"),
     "text_langid": QuerySpec(q_text_langid, _ora_langid(), "language-ID heuristic"),
+    "pii_redact": QuerySpec(
+        q_pii_redact, ORA_PII_REDACT, "PII masking + stable pseudonymous id"
+    ),
+    "heavy_hitters": QuerySpec(
+        q_heavy_hitters, ORA_HEAVY_HITTERS, "vocabulary heavy hitters (bounded-shuffle top-k)"
+    ),
     "text_fingerprint": QuerySpec(
         q_text_fingerprint, ORA_TEXT_FINGERPRINT, "rolling-hash fingerprint"
     ),

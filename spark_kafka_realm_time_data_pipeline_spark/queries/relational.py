@@ -1291,12 +1291,207 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): LIKE-filtered part dim fans
+    into a 5-way join, profit = revenue - cost aggregated by (nation, year).
+    The corpus has no partsupp table, so cost is proxied as
+    p_retailprice * l_quantity — the join/agg shape (the point of Q9) is
+    intact: a composite filter that Catalyst pushes into the part scan, two
+    fact-side shuffle joins, a fixed 25-row nation dim broadcast, and a
+    low-cardinality final agg with map-side combine.  part/orders grow with
+    SF -> no hints there, stats/AQE pick the strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    revenue = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount", 4, 2))
+    ).cast("decimal(18,4)")
+    cost = (dec("p_retailprice") * dec("l_quantity")).cast("decimal(18,4)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(revenue - cost).cast("double").alias("profit"))
+    )
+
+
+ORA_TPCH_Q9 = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))
+              - CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                     * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DOUBLE)
+           AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a CDC change stream:
+    each change row becomes a validity interval [valid_from, valid_to)
+    closed by the key's next change; the open interval is the current row.
+    ONE shuffle (hash on user_id), then lead() inside each partition —
+    the standard dimension-history pattern, linear at any scale because a
+    key's history lives in one partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", "event_id", "value")
+        .select(
+            "user_id",
+            _ts("ts", "valid_from"),
+            F.date_format(nxt, FMT_SPARK).alias("valid_to"),
+            F.col("value").alias("attr_value"),
+            nxt.isNull().alias("is_current"),
+        )
+    )
+
+
+ORA_SCD2 = f"""
+SELECT user_id,
+       {_ora_ts('ts', 'valid_from')},
+       strftime(lead(ts) OVER w, '{FMT_DUCK}') AS valid_to,
+       value AS attr_value,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (signup -> view -> click -> purchase): one
+    conditional-aggregate pass computes each user's first event time per
+    stage; a user reaches stage k when those first-times are monotonically
+    ordered.  Single shuffle on user_id with map-side combine over the four
+    conditional MINs, then a 1-row global rollup — shuffle volume is
+    |users| rows regardless of event count."""
+    ev = load_table(spark, sf_dir, "events")
+    stages = ("signup", "view", "click", "purchase")
+    mins = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+            for t in stages
+        ]
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & F.col("t_view").isNotNull() & (F.col("t_view") >= F.col("t_signup"))
+    s3 = s2 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    s4 = s3 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") >= F.col("t_click"))
+    return mins.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("bigint")).alias("reached_signup"),
+        F.sum(s2.cast("bigint")).alias("reached_view"),
+        F.sum(s3.cast("bigint")).alias("reached_click"),
+        F.sum(s4.cast("bigint")).alias("reached_purchase"),
+    )
+
+
+ORA_FUNNEL = """
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS reached_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL
+                      AND t_view >= t_signup THEN 1 ELSE 0 END) AS BIGINT)
+           AS reached_view,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL
+                      AND t_view >= t_signup AND t_click IS NOT NULL
+                      AND t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT)
+           AS reached_click,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view IS NOT NULL
+                      AND t_view >= t_signup AND t_click IS NOT NULL
+                      AND t_click >= t_view AND t_purchase IS NOT NULL
+                      AND t_purchase >= t_click THEN 1 ELSE 0 END) AS BIGINT)
+           AS reached_purchase
+FROM m
+"""
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: interleave (l_partkey, l_suppkey) bits into a
+    Morton value, bucket by its high bits, and report each bucket's
+    bounding box over BOTH dims — the min/max stats a Z-ordered file would
+    expose for two-dimension pruning (operators/layout.py:zorder_layout is
+    the write-path form).  Pure codegen'd bit arithmetic + one hash agg."""
+    from ..operators.layout import zvalue
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zvalue(F.col("l_partkey"), F.col("l_suppkey"))
+    return (
+        li.select(
+            F.shiftright(z, 14).alias("zbucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+
+
+def _ora_zorder_stats() -> str:
+    from ..operators.layout import zvalue_sql
+
+    return f"""
+SELECT ({zvalue_sql('l_partkey', 'l_suppkey')} >> 14) AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_part,
+       MAX(l_partkey) AS max_part,
+       MIN(l_suppkey) AS min_supp,
+       MAX(l_suppkey) AS max_supp
+FROM lineitem
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q7_volume": QuerySpec(
         q_tpch_q7_volume, ORA_TPCH_Q7, "TPC-H Q7 two-nation volume (OR across dims)"
     ),
     "tpch_q14_promo": QuerySpec(
         q_tpch_q14_promo, ORA_TPCH_Q14, "TPC-H Q14 conditional-aggregate ratio"
+    ),
+    "tpch_q9_profit": QuerySpec(
+        q_tpch_q9_profit, ORA_TPCH_Q9, "TPC-H Q9 5-way join profit by nation/year"
+    ),
+    "scd2_intervals": QuerySpec(
+        q_scd2_intervals, ORA_SCD2, "SCD Type-2 validity intervals from CDC stream"
+    ),
+    "funnel_stages": QuerySpec(
+        q_funnel_stages, ORA_FUNNEL, "ordered funnel via conditional-aggregate pass"
+    ),
+    "zorder_stats": QuerySpec(
+        q_zorder_stats, _ora_zorder_stats(), "Z-order Morton bucketing bounding-box audit"
     ),
     "pricing_summary": QuerySpec(q_pricing_summary, ORA_PRICING, "TPC-H Q1 hash-agg"),
     "filtered_revenue": QuerySpec(q_filtered_revenue, ORA_FILTERED_REVENUE, "TPC-H Q6 scan+agg"),

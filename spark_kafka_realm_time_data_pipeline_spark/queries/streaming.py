@@ -403,7 +403,66 @@ GROUP BY 1, 2, 3
 """
 
 
+_INTERVAL_S = 1800  # attribution lookback: click within 30 min before purchase
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: stream-stream INTERVAL join — equi-key plus an event-time range
+    condition (each purchase matched to the same user's clicks in the
+    preceding 30 minutes): the attribution-join shape.  Unlike the pure
+    equi-join, the time bound plus both sides' watermarks lets
+    StreamingSymmetricHashJoinExec evict state as the watermark advances —
+    state is O(events within the interval), not O(stream).  Inner join =>
+    matches emit immediately; the availableNow replay is therefore exactly
+    the batch interval join, which the oracle states in plain SQL."""
+    p = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_uid"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_uid"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            f"p_uid = c_uid AND c_ts >= p_ts - INTERVAL {_INTERVAL_S} SECONDS"
+            " AND c_ts <= p_ts"
+        ),
+    ).select(F.col("p_uid").alias("user_id"), "purchase_id", "click_id")
+    return run_to_memory(joined, spark)
+
+
+ORA_STREAMING_INTERVAL_JOIN = f"""
+SELECT p.user_id AS user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL {_INTERVAL_S} SECONDS
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_interval_join": QuerySpec(
+        q_streaming_interval_join,
+        ORA_STREAMING_INTERVAL_JOIN,
+        "watermarked stream-stream interval join (time-bounded state)",
+    ),
     "streaming_union": QuerySpec(
         q_streaming_union,
         ORA_STREAMING_UNION,
