@@ -71,6 +71,7 @@ def registry() -> dict[str, QuerySpec]:
             "pii_redact",
             "heavy_hitters",
             "streaming_interval_join",
+            "time_gapfill",
         )
         if n in merged
     ]

@@ -1474,6 +1474,63 @@ GROUP BY 1
 """
 
 
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill (the hypertable/`time_bucket_gapfill`
+    shape): build each key's dense hourly grid with sequence+explode, left-join
+    the observed hourly values, and carry the last observation forward with
+    last(ignorenulls) over an unbounded-preceding row frame.
+
+    Scale shape: one hash agg to hourly granularity (map-side combine), one
+    shuffle to co-partition grid and observations on (user_id, hour), one
+    window partitioned by user_id — a key's whole series lives in one
+    partition, so the fill never crosses executors.  The grid explode is
+    |keys| x |hours| rows, generated, never stored.  Keyed to user_id < 100
+    to keep the oracle diff light; the plan is key-count-independent."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("v"))
+    spans = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        _ts("h", "bucket"),
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+ORA_TIME_GAPFILL = f"""
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id < 100
+), hourly AS (
+  SELECT user_id, h, value AS v FROM ranked WHERE rn = 1
+), spans AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM spans
+)
+SELECT g.user_id,
+       {_ora_ts('g.h', 'bucket')},
+       last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       (o.v IS NULL) AS was_gap
+FROM grid g LEFT JOIN hourly o ON g.user_id = o.user_id AND g.h = o.h
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q7_volume": QuerySpec(
         q_tpch_q7_volume, ORA_TPCH_Q7, "TPC-H Q7 two-nation volume (OR across dims)"
@@ -1492,6 +1549,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "zorder_stats": QuerySpec(
         q_zorder_stats, _ora_zorder_stats(), "Z-order Morton bucketing bounding-box audit"
+    ),
+    "time_gapfill": QuerySpec(
+        q_time_gapfill, ORA_TIME_GAPFILL, "dense-grid gap-fill + forward-fill per key"
     ),
     "pricing_summary": QuerySpec(q_pricing_summary, ORA_PRICING, "TPC-H Q1 hash-agg"),
     "filtered_revenue": QuerySpec(q_filtered_revenue, ORA_FILTERED_REVENUE, "TPC-H Q6 scan+agg"),
