@@ -49,9 +49,14 @@ HEADLINE = [
     "pandas_udf_scalar",
     "streaming_stedi_join",
     "streaming_window_tumbling",
+    "streaming_interval_join",
     "ngram_decontaminate",
     "pack_sequences",
     "quantize_embeddings",
+    "tpch_q9_profit",
+    "zorder_stats",
+    "time_gapfill",
+    "heavy_hitters",
 ]
 
 
@@ -70,12 +75,19 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     # JVM/codegen warm-up on the smallest corpus so measured times reflect
-    # steady-state execution, not first-query classloading.  The streaming
-    # warm-up additionally loads the micro-batch/state-store machinery
-    # (RocksDB JNI, checkpoint writers) that would otherwise be billed to
-    # the first streaming headline query.
-    materialize(qs["stedi_flagship"](spark, "/root/testdata/sf0.001"))
-    materialize(qs["streaming_window_tumbling"](spark, "/root/testdata/sf0.001"))
+    # steady-state execution, not first-query classloading.  Each distinct
+    # machinery path is exercised once: batch codegen, windowed-agg
+    # micro-batching, the stream-stream join (symmetric-hash state stores +
+    # wire-synth plan — ~15 s of one-time setup at sf0.1 if unwarmed, vs
+    # ~6 s steady-state), and mapInPandas (Python worker spawn + addPyFile
+    # zip shipping, ~13 s one-time across 32 threads).
+    for warm in (
+        "stedi_flagship",
+        "streaming_window_tumbling",
+        "streaming_stedi_join",
+        "multimodal_features",
+    ):
+        materialize(qs[warm](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

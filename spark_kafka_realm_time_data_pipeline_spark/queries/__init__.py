@@ -72,6 +72,8 @@ def registry() -> dict[str, QuerySpec]:
             "heavy_hitters",
             "streaming_interval_join",
             "time_gapfill",
+            "merge_upsert",
+            "streaming_foreachbatch_topk",
         )
         if n in merged
     ]

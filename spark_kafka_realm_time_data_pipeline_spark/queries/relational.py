@@ -1531,6 +1531,54 @@ FROM grid g LEFT JOIN hourly o ON g.user_id = o.user_id AND g.h = o.h
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta/Iceberg-style MERGE INTO semantics on plain DataFrames: fold a
+    CDC source (latest signup value per user) into a target dim with a full
+    outer join — matched keys update, source-only keys insert, target-only
+    keys carry through, each row tagged with its merge action.
+
+    Scale shape: source collapses to one row per key via max_by (map-side
+    combine), then ONE co-partitioned shuffle join against the target; no
+    driver involvement, no row-at-a-time merge loop.  On a lakehouse table
+    the same plan feeds a partition-overwrite write (tests/test_writers.py
+    exercises dynamic partition overwrite)."""
+    tgt = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("new_value"))
+    )
+    joined = tgt.join(src, tgt.c_custkey == src.user_id, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "user_id").alias("key"),
+        F.col("c_name").alias("name"),
+        F.coalesce("new_value", "c_acctbal").alias("value"),
+        F.when(F.col("c_custkey").isNotNull() & F.col("user_id").isNotNull(), "update")
+        .when(F.col("user_id").isNotNull(), "insert")
+        .otherwise("keep")
+        .alias("action"),
+    )
+
+
+ORA_MERGE_UPSERT = """
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'signup'
+), src AS (
+  SELECT user_id, value AS new_value FROM ranked WHERE rn = 1
+)
+SELECT COALESCE(c_custkey, user_id) AS key,
+       c_name AS name,
+       COALESCE(new_value, c_acctbal) AS value,
+       CASE WHEN c_custkey IS NOT NULL AND user_id IS NOT NULL THEN 'update'
+            WHEN user_id IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM customer FULL OUTER JOIN src ON c_custkey = user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q7_volume": QuerySpec(
         q_tpch_q7_volume, ORA_TPCH_Q7, "TPC-H Q7 two-nation volume (OR across dims)"
@@ -1552,6 +1600,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "time_gapfill": QuerySpec(
         q_time_gapfill, ORA_TIME_GAPFILL, "dense-grid gap-fill + forward-fill per key"
+    ),
+    "merge_upsert": QuerySpec(
+        q_merge_upsert, ORA_MERGE_UPSERT, "MERGE INTO semantics via full outer join"
     ),
     "pricing_summary": QuerySpec(q_pricing_summary, ORA_PRICING, "TPC-H Q1 hash-agg"),
     "filtered_revenue": QuerySpec(q_filtered_revenue, ORA_FILTERED_REVENUE, "TPC-H Q6 scan+agg"),

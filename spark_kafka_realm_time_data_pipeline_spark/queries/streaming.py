@@ -457,7 +457,71 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def q_streaming_foreachbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 foreachBatch sink as a first-class operator: streaming windowed
+    counts fan into foreachBatch, where each micro-batch runs a BATCH-only
+    op (window-function ranking — unsupported on streaming DataFrames) and
+    writes the winner per window to parquet.  This is the engine's pattern
+    for stream -> lakehouse jobs: complete-mode state holds the running
+    aggregate; the batch hook ranks and overwrites the serving table, so
+    the final replay leaves exactly the top event type per hour on disk.
+    Everything inside the hook is a distributed plan — no driver collect."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..streaming.sinks import foreach_batch_sink
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out_dir = tempfile.mkdtemp(prefix="feb_topk_")
+
+    def write_topk(batch_df: DataFrame, batch_id: int) -> None:
+        rank_w = W.partitionBy("w").orderBy(F.desc("n_events"), "event_type")
+        (
+            batch_df.withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    query = foreach_batch_sink(agg, write_topk, output_mode="complete")
+    try:
+        if not query.awaitTermination(300):
+            raise TimeoutError("foreachBatch top-k replay did not finish in 300s")
+    finally:
+        query.stop()
+    try:
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+ORA_STREAMING_FEB_TOPK = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT window_start, event_type, n_events,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rn
+  FROM counts
+)
+SELECT window_start, event_type, n_events FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_foreachbatch_topk": QuerySpec(
+        q_streaming_foreachbatch_topk,
+        ORA_STREAMING_FEB_TOPK,
+        "foreachBatch sink: batch-only ranking per micro-batch to parquet",
+    ),
     "streaming_interval_join": QuerySpec(
         q_streaming_interval_join,
         ORA_STREAMING_INTERVAL_JOIN,
