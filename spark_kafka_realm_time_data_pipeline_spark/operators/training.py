@@ -47,24 +47,27 @@ def ngram_decontaminate(docs: DataFrame) -> DataFrame:
     """Flag training docs sharing any word 8-gram with the benchmark set
     (docs with doc_id % BENCH_MOD == 0 stand in for MMLU/GSM8K/etc).
 
-    Shape: explode distinct (doc_id, ngram) pairs once, split into
-    benchmark/training sides, equi-join on the gram string, count per doc.
+    Shape: explode raw (doc_id, gram_key) pairs, distinct ONLY the (small)
+    benchmark side, equi-join on the gram key, then countDistinct per doc.
+    The per-pair dedup runs over the matched sliver (~1% of grams) inside
+    the final groupBy instead of globally before the join — that global
+    distinct was a second full-corpus shuffle and 40% of the whole bench.
     At 100 TB the benchmark side is a *fixed-size* eval suite (a few MB of
-    grams) and Catalyst auto-broadcasts it from stats; no hint here because
-    this synthetic benchmark grows with SF.  The training-side explode is
-    the dominant shuffle — one distinct + one join, both on the gram key.
+    grams): its distinct is a bounded shuffle, and AQE converts the join to
+    broadcast at runtime once the bench stage's size is known (no static
+    hint here because this synthetic benchmark grows with SF).  The
+    training-side explode feeds ONE shuffle — the join — and the explode
+    itself is a narrow map.
     """
     # shuffle the 60-bit md5-derived gram key, not the 8-word string: the
-    # distinct + join move ~8 bytes/row instead of ~60, and the hash is
+    # join moves ~8 bytes/row instead of ~60, and the hash is
     # engine-portable so the oracle replays it bit-for-bit (collision odds
     # at 60 bits are negligible and replayed identically anyway)
     gram_key = F.conv(F.substring(F.md5(F.col("ngram").cast("binary")), 1, 15), 16, 10).cast(
         "long"
     )
-    grams = (
-        docs.select("doc_id", F.explode(_word_ngrams()).alias("ngram"))
-        .select("doc_id", gram_key.alias("gram_key"))
-        .distinct()
+    grams = docs.select("doc_id", F.explode(_word_ngrams()).alias("ngram")).select(
+        "doc_id", gram_key.alias("gram_key")
     )
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = grams.filter(is_bench).select("gram_key").distinct()
@@ -72,7 +75,7 @@ def ngram_decontaminate(docs: DataFrame) -> DataFrame:
     return (
         train.join(bench, "gram_key")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .agg(F.count_distinct("gram_key").alias("n_contaminated"))
     )
 
 
@@ -86,7 +89,7 @@ words AS (
 ), starts AS (
   SELECT doc_id, w, unnest(range(1, len(w) - {NGRAM_N - 2})) AS i FROM words
 ), grams AS (
-  SELECT DISTINCT doc_id,
+  SELECT doc_id,
          CAST(('0x' || substring(md5(
            array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + {NGRAM_N - 1}), ' ')
          ), 1, 15)) AS BIGINT) AS gram_key
@@ -94,7 +97,7 @@ words AS (
 ), bench AS (
   SELECT DISTINCT gram_key FROM grams WHERE doc_id % {BENCH_MOD} = 0
 )
-SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram_key) AS BIGINT) AS n_contaminated
 FROM grams g JOIN bench b USING (gram_key)
 WHERE g.doc_id % {BENCH_MOD} <> 0
 GROUP BY g.doc_id

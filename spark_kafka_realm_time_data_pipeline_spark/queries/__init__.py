@@ -44,26 +44,16 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Queries whose code or oracle changed since their last green driver row
-    # go FIRST so each fix itself gets a green CORRECTNESS entry (round 3:
-    # the two r2 hash-fails + the de-broadcast theta band join), then the
-    # round-2-unchecked LLM/streaming/UDF families fill the rest of the
-    # driver's bounded window; queries added this round land just past it
-    # (mirror-verified now, rotated into the window next round).
-    changed = [
+    # Round-4 rotation: the 10 round-3 additions land at positions 0-9 (they
+    # were past the r3 window; every other oracled query already has a green
+    # row in CORRECTNESS_r02 or _r03), queries whose code/oracle changed this
+    # round come next so the fix itself is driver-proven, then the round-4
+    # additions fill the rest of the ~50-entry window.  Previously-proven
+    # entries rotate behind.
+    front = [
         n
         for n in (
-            "sessionize",
-            "scalar_math",
-            "join_theta_band",
-            "tpch_q7_volume",
-            "tpch_q14_promo",
-        )
-        if n in merged  # ordering hint only — a renamed query must not break registry()
-    ]
-    new_r3 = [
-        n
-        for n in (
+            # new in r3, mirror-verified, not yet driver-green
             "tpch_q9_profit",
             "scd2_intervals",
             "funnel_stages",
@@ -74,13 +64,39 @@ def registry() -> dict[str, QuerySpec]:
             "time_gapfill",
             "merge_upsert",
             "streaming_foreachbatch_topk",
+            # changed in r4 (plan restructures — need fresh green rows)
+            "ngram_decontaminate",
+            "dedup_minhash_ngram",
+            # new in r4
+            "tpch_q3_shipping",
+            "tpch_q4_order_priority",
+            "tpch_q5_local_supplier",
+            "tpch_q6_forecast",
+            "tpch_q8_market_share",
+            "tpch_q10_returned",
+            "tpch_q11_important_stock",
+            "tpch_q12_shipmode",
+            "tpch_q13_cust_distribution",
+            "tpch_q16_parts_supplier",
+            "tpch_q17_small_qty",
+            "tpch_q19_discounted",
+            "tpch_q20_potential_promo",
+            "tpch_q22_global_sales",
+            "text_normalize",
+            "domain_mix_weights",
+            "curriculum_buckets",
+            "embedding_normalize",
+            "ann_ivf_centroids",
+            "ngram_lm_counts",
+            "url_host_dedup",
+            "contamination_overlap",
+            "quality_filter_pipeline",
+            "token_budget_split",
+            "rlhf_pair_stats",
+            "window_dedup_rank",
         )
-        if n in merged
+        if n in merged  # ordering hint only — a renamed query must not break registry()
     ]
-    family_names = llm.QUERIES.keys() | streaming.QUERIES.keys() | udfs.QUERIES.keys()
-    families = [n for n in merged if n in family_names and n not in new_r3]
-    rest = [
-        n for n in merged if n not in family_names and n not in changed and n not in new_r3
-    ]
-    ordered = changed + families + new_r3 + rest
+    rest = [n for n in merged if n not in front]
+    ordered = front + rest
     return {n: merged[n] for n in ordered}
