@@ -80,11 +80,26 @@ def doc_tokens(corpus: DataFrame) -> DataFrame:
 def doc_shingles(corpus: DataFrame, n: int = 5) -> DataFrame:
     """Distinct (doc_id, character n-gram) pairs — the shingle set for
     n-gram Jaccard dedup (catches word-reordering/near-identical text that
-    word tokens miss).  Catalyst-native: sequence -> transform(substring) ->
-    explode; texts shorter than n yield one whole-text shingle.  A narrow
-    flatMap — no shuffle until the downstream aggregation."""
+    word tokens miss).  Catalyst-native: sequence -> transform(substring ->
+    md5 -> 60-bit long) -> explode; texts shorter than n yield one
+    whole-text shingle.  A narrow flatMap — no shuffle until the downstream
+    aggregation.
+
+    Shingles are hashed to a compact 60-bit integer key HERE, before the
+    persist/joins: the (doc, shingle) set is the widest intermediate in the
+    suite (~|text| rows per doc), and an 8-byte long both shrinks the cached
+    footprint and turns every downstream groupBy/join into integer hashing.
+    md5-derived, so the DuckDB oracle replays it bit-for-bit; 60-bit
+    collisions are negligible and replayed identically anyway."""
     positions = F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
-    grams = F.transform(positions, lambda i: F.col("text").substr(i, F.lit(n)))
+    grams = F.transform(
+        positions,
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("text").substr(i, F.lit(n)).cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
     return corpus.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("tok")
     )
@@ -95,7 +110,9 @@ def doc_shingles(corpus: DataFrame, n: int = 5) -> DataFrame:
 MINHASH_PRIME = 268435399
 
 
-def minhash_signatures(toks: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+def minhash_signatures(
+    toks: DataFrame, n_hashes: int = N_MINHASH, tok_hashed: bool = False
+) -> DataFrame:
     """MinHash signature per doc via a Carter-Wegman family: ONE md5 per
     token supplies two 28-bit integers (a, b); hash s is the affine map
     ``(a + s*(2b+1)) % P``.  One groupBy(doc_id) with n_hashes integer-min
@@ -103,13 +120,28 @@ def minhash_signatures(toks: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     fresh md5 per (seed, token) (measured 6.7s -> sub-second at sf0.1).
     Integer mins also shrink the shuffle ~8x vs 32-char hex-string mins.
     All arithmetic is engine-portable; the DuckDB oracle replays it exactly.
+
+    ``tok_hashed=True`` marks toks whose ``tok`` is ALREADY an md5-derived
+    60-bit long (hashed shingles): (a, b) are then sliced out of it with
+    pure integer div/mod — no second md5 pass over the widest intermediate
+    in the suite.
     """
     seeds = list(range(n_hashes))
-    hashed = toks.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("long").alias("a"),
-        F.conv(F.substring(F.md5("tok"), 9, 7), 16, 10).cast("long").alias("b"),
-    )
+    if tok_hashed:
+        # low 28 bits -> a, next 28 bits -> b; both < 2^28 so the affine
+        # combination below stays within signed 64-bit range
+        hashed = toks.select(
+            "doc_id",
+            (F.col("tok") % F.lit(1 << 28)).alias("a"),
+            # integer div, NOT `/`: float division loses bits above 2^53
+            (F.expr(f"tok div {1 << 28}") % F.lit(1 << 28)).alias("b"),
+        )
+    else:
+        hashed = toks.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(F.md5("tok"), 9, 7), 16, 10).cast("long").alias("b"),
+        )
     sig = lambda s: (F.col("a") + F.lit(s) * (F.col("b") * 2 + 1)) % MINHASH_PRIME
     return hashed.groupBy("doc_id").agg(
         *[F.min(sig(s)).alias(f"s{s}") for s in seeds]
@@ -200,6 +232,7 @@ def minhash_lsh_dedup(
     corpus: DataFrame,
     threshold: float = 0.8,
     tokenizer=doc_tokens,
+    tok_hashed: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH bands -> candidates ->
     exact-Jaccard verification.  ``tokenizer`` picks the set representation:
@@ -215,7 +248,7 @@ def minhash_lsh_dedup(
 
     toks = tokenizer(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        sigs = minhash_signatures(toks)
+        sigs = minhash_signatures(toks, tok_hashed=tok_hashed)
         cands = lsh_candidate_pairs(sigs)
         # eager localCheckpoint: materialize the (small) verified-pair set
         # and truncate lineage so the big token cache can be released NOW

@@ -67,16 +67,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_SEEDS = ",".join(str(s) for s in range(D.N_MINHASH))
 
 
-def _ora_minhash_pipeline(toks_cte: str) -> str:
-    return f"""
-WITH {D.ORA_CORPUS},
-{toks_cte},
-hashed AS (
+_ORA_AB_MD5 = """
   SELECT doc_id,
          CAST(('0x' || substring(md5(tok), 1, 7)) AS BIGINT) AS a,
          CAST(('0x' || substring(md5(tok), 9, 7)) AS BIGINT) AS b
   FROM toks
-),
+"""
+# hashed-shingle variant: tok is already a 60-bit md5-derived BIGINT; slice
+# (a, b) out with integer div/mod exactly as minhash_signatures(tok_hashed=True)
+_ORA_AB_SPLIT = f"""
+  SELECT doc_id, tok % {1 << 28} AS a, (tok // {1 << 28}) % {1 << 28} AS b
+  FROM toks
+"""
+
+
+def _ora_minhash_pipeline(toks_cte: str, ab_select: str = _ORA_AB_MD5) -> str:
+    return f"""
+WITH {D.ORA_CORPUS},
+{toks_cte},
+hashed AS ({ab_select}),
 sigs AS (
   SELECT doc_id, seed, MIN((a + seed * (2*b + 1)) % {D.MINHASH_PRIME}) AS sig
   FROM hashed CROSS JOIN (SELECT unnest([{_MINHASH_SEEDS}]) AS seed) seeds
@@ -117,13 +126,15 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) 
 ORA_DEDUP_MINHASH = _ora_minhash_pipeline(ORA_TOKS)
 
 # Character 5-gram shingles (matches operators/dedup.doc_shingles: positions
-# 1..len-4, short texts yield one whole-text shingle).
+# 1..len-4, short texts yield one whole-text shingle, each shingle hashed to
+# a 60-bit BIGINT key exactly as the Spark side does).
 ORA_SHINGLES = (
     "toks AS (SELECT DISTINCT doc_id, "
     "unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), "
-    "i -> substring(text, CAST(i AS INT), 5)))) AS tok FROM corpus)"
+    "i -> CAST(('0x' || substring(md5(substring(text, CAST(i AS INT), 5)), 1, 15)) AS BIGINT)"
+    "))) AS tok FROM corpus)"
 )
-ORA_DEDUP_MINHASH_NGRAM = _ora_minhash_pipeline(ORA_SHINGLES)
+ORA_DEDUP_MINHASH_NGRAM = _ora_minhash_pipeline(ORA_SHINGLES, _ORA_AB_SPLIT)
 
 
 def q_dedup_minhash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,7 +143,10 @@ def q_dedup_minhash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     edits that word-token Jaccard misses.  Same 100 TB shape (one signature
     shuffle, bucket equi-join, capped buckets)."""
     return D.minhash_lsh_dedup(
-        D.planted_corpus(spark, sf_dir), threshold=0.8, tokenizer=D.doc_shingles
+        D.planted_corpus(spark, sf_dir),
+        threshold=0.8,
+        tokenizer=D.doc_shingles,
+        tok_hashed=True,
     )
 
 
