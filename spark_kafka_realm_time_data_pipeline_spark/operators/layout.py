@@ -21,14 +21,25 @@ from pyspark.sql import functions as F
 DEFAULT_BITS = 16
 
 
+def bits_for(max_key: int) -> int:
+    """Bit width covering a key domain [0, max_key] — pass a column max (or
+    a known domain bound) so :func:`zvalue` never silently truncates.
+    Capped at 31 so two interleaved keys stay within a signed 64-bit long."""
+    return min(max(int(max_key).bit_length(), 1), 31)
+
+
 def zvalue(x: Column, y: Column, bits: int = DEFAULT_BITS) -> Column:
     """Morton/Z-value: interleave the low ``bits`` bits of ``x`` (even bit
     positions) and ``y`` (odd positions) into one BIGINT.
 
     Pure integer expression — Catalyst constant-folds the shift amounts and
     codegen emits straight-line long arithmetic; cost is O(bits) ops/row
-    with zero shuffles.  ``bits=16`` covers keys up to 65535; widen for
-    larger key domains (the z-value stays < 2^(2*bits) <= 2^63).
+    with zero shuffles.  ``bits=16`` covers keys up to 65535; keys ABOVE the
+    bound have their high bits dropped, aliasing distinct keys to one
+    Z-value — clustering quality degrades silently (results stay correct;
+    only pruning suffers).  Size ``bits`` from the key domain via
+    :func:`bits_for` (e.g. ``bits_for(df.agg(F.max("k")).first()[0])``);
+    the z-value stays < 2^(2*bits) <= 2^62.
     """
     z = F.lit(0).cast("bigint")
     for i in range(bits):

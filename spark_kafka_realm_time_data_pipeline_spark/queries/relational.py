@@ -1437,7 +1437,12 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Morton value, bucket by its high bits, and report each bucket's
     bounding box over BOTH dims — the min/max stats a Z-ordered file would
     expose for two-dimension pruning (operators/layout.py:zorder_layout is
-    the write-path form).  Pure codegen'd bit arithmetic + one hash agg."""
+    the write-path form).  Pure codegen'd bit arithmetic + one hash agg.
+
+    Uses the default 16-bit key width: l_partkey tops out at 20000 at the
+    harness's largest SF (0.1), under the 65535 bound; a real deployment
+    sizes it from the key domain via layout.bits_for (keys past the bound
+    alias silently and only pruning quality degrades)."""
     from ..operators.layout import zvalue
 
     li = load_table(spark, sf_dir, "lineitem")

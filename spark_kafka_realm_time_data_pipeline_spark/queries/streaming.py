@@ -489,13 +489,15 @@ def q_streaming_foreachbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(out_dir)
         )
 
-    query = foreach_batch_sink(agg, write_topk, output_mode="complete")
+    # one try/finally owns the temp dir for the WHOLE run+read, so a stream
+    # error or awaitTermination timeout can't leak it
     try:
-        if not query.awaitTermination(300):
-            raise TimeoutError("foreachBatch top-k replay did not finish in 300s")
-    finally:
-        query.stop()
-    try:
+        query = foreach_batch_sink(agg, write_topk, output_mode="complete")
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("foreachBatch top-k replay did not finish in 300s")
+        finally:
+            query.stop()
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -61,7 +61,9 @@ def test_zorder_layout_tightens_bounding_boxes(spark):
         )
         .collect()
     )
-    assert len(boxes) == n_parts
+    # repartitionByRange may emit fewer non-empty partitions on small or
+    # skewed key domains — the bounding-box areas below are the real property
+    assert 2 <= len(boxes) <= n_parts
     glob = li.agg(
         (F.max("l_partkey") - F.min("l_partkey")).alias("dx"),
         (F.max("l_suppkey") - F.min("l_suppkey")).alias("dy"),
@@ -71,5 +73,5 @@ def test_zorder_layout_tightens_bounding_boxes(spark):
     # box — this is the property that yields two-dimensional min/max pruning
     for b in boxes:
         assert (b.dx + 1) * (b.dy + 1) < 0.5 * global_area, b
-    mean_area = sum((b.dx + 1) * (b.dy + 1) for b in boxes) / n_parts
+    mean_area = sum((b.dx + 1) * (b.dy + 1) for b in boxes) / len(boxes)
     assert mean_area < 0.3 * global_area
