@@ -64,6 +64,10 @@ HEADLINE = [
     "zorder_stats",
     "time_gapfill",
     "heavy_hitters",
+    # round-4 curation additions
+    "contamination_overlap",
+    "ann_ivf_centroids",
+    "url_host_dedup",
 ]
 
 

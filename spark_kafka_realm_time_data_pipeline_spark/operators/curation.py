@@ -1,0 +1,702 @@
+"""Corpus-curation operators, round 4: the remaining pipeline stages a
+100 TB pretraining run needs between raw crawl and tokenized shards —
+normalization, domain mixing, curriculum assignment, URL dedup, LM counts,
+contamination profiling, quality gating, split assignment, preference-pair
+stats, keep-best dedup, plus embedding unit-normalization and IVF centroid
+construction on the vector side.
+
+Same engine-portability discipline as operators/training.py: every float is
+produced by a deterministic left fold or a single IEEE division, every hash
+is md5-derived, and integer arithmetic does the heavy lifting — so each op
+has a full DuckDB value oracle that replays the arithmetic bit-for-bit.
+
+Scale notes are per-function.  None of these ops collects to the driver;
+the widest intermediate (word n-grams in ``contamination_overlap``) reuses
+the hashed-gram-key design from ``ngram_decontaminate`` (one join shuffle,
+dedup after the match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .training import BENCH_MOD, NGRAM_N, _word_ngrams
+
+# --- text normalization ------------------------------------------------------
+
+
+def _norm_text(col: str = "text") -> Column:
+    """Canonical text form: lowercase, strip non-[a-z0-9 ], collapse runs
+    of spaces, trim.  The normalization every dedup/quality stage upstream
+    agrees on before hashing."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Per-doc normalized form summary: original/normalized lengths and a
+    stable md5 content key over the normalized text (the key exact-dedup
+    runs on).  Narrow map, zero shuffles — full scan speed at any SF."""
+    norm = _norm_text()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("orig_chars"),
+        F.length(norm).alias("norm_chars"),
+        F.substring(F.md5(norm.cast("binary")), 1, 16).alias("norm_hash"),
+    )
+
+
+ORA_NORMALIZE_TEXT = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS orig_chars,
+       length(norm) AS norm_chars,
+       substring(md5(norm), 1, 16) AS norm_hash
+FROM n
+"""
+
+
+# --- domain mix weights ------------------------------------------------------
+
+
+def domain_mix_weights(docs: DataFrame) -> DataFrame:
+    """Per-source token share and the resampling weight that would flatten
+    the mixture to uniform (weight = uniform_share / actual_share) — the
+    core computation behind domain-reweighted pretraining mixes (DoReMi-style
+    pipelines start from exactly these statistics).
+
+    Shape: one groupBy(source) with map-side combine (shuffle bounded by
+    |sources|, not corpus rows), then unpartitioned windows over the
+    |sources|-row aggregate — negligible at any scale."""
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w).cast("double")
+    n_src = F.count(F.lit(1)).over(w).cast("double")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / total).alias("token_share"),
+        (total / (n_src * F.col("n_tokens").cast("double"))).alias("mix_weight"),
+    )
+
+
+ORA_DOMAIN_MIX_WEIGHTS = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share,
+       CAST(SUM(n_tokens) OVER () AS DOUBLE)
+         / (CAST(COUNT(*) OVER () AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS mix_weight
+FROM per
+"""
+
+
+# --- curriculum buckets ------------------------------------------------------
+
+N_STAGES = 4
+
+
+def curriculum_buckets(docs: DataFrame) -> DataFrame:
+    """Curriculum-stage assignment: quartile (ntile) of doc length within
+    each language, then per-(lang, stage) profile.  Short-to-long length
+    scheduling is the standard text curriculum; ntile over (n_chars, doc_id)
+    is fully deterministic.
+
+    Shape: one window shuffle partitioned by lang, then a tiny groupBy.
+    Per-lang ordering is the scale constraint (a language is sortable in
+    parallel by range partitioning; no global sort)."""
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    staged = docs.withColumn("stage", F.ntile(N_STAGES).over(w))
+    return staged.groupBy("lang", "stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+ORA_CURRICULUM_BUCKETS = f"""
+WITH staged AS (
+  SELECT lang, n_chars,
+         ntile({N_STAGES}) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS stage
+  FROM documents
+)
+SELECT lang, stage, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM staged GROUP BY lang, stage
+"""
+
+
+# --- embedding unit-normalization -------------------------------------------
+
+
+def normalize_embeddings(emb: DataFrame) -> DataFrame:
+    """L2 unit-normalization summary per vector: the norm plus min/max and
+    a deterministic left-fold checksum of the unit vector (emitting scalars
+    keeps the oracle compare rendering-independent; the unit array itself is
+    the same transform minus the final aggregates).  Narrow map, zero
+    shuffles."""
+    from .similarity import fold_sum, norm
+
+    vnorm = norm("embedding")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    with_norm = emb.select("vec_id", emb_d.alias("emb_d"), vnorm.alias("l2_norm"))
+    unit = F.transform("emb_d", lambda x: x / F.col("l2_norm"))
+    zero = F.lit(0.0)
+    guard = F.col("l2_norm") == 0.0
+    return with_norm.select(
+        "vec_id",
+        "l2_norm",
+        F.when(guard, zero).otherwise(F.array_min(unit)).alias("unit_min"),
+        F.when(guard, zero).otherwise(F.array_max(unit)).alias("unit_max"),
+        F.when(guard, zero).otherwise(fold_sum(unit)).alias("unit_sum"),
+    )
+
+
+_ORA_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, x) -> acc + x))"
+)
+
+ORA_NORMALIZE_EMBEDDINGS = f"""
+WITH n AS (
+  SELECT vec_id, embedding, {_ORA_NORM} AS l2_norm FROM embeddings
+), u AS (
+  SELECT vec_id, l2_norm,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / l2_norm) AS unit
+  FROM n
+)
+SELECT vec_id, l2_norm,
+       CASE WHEN l2_norm = 0 THEN 0.0 ELSE list_aggregate(unit, 'min') END AS unit_min,
+       CASE WHEN l2_norm = 0 THEN 0.0 ELSE list_aggregate(unit, 'max') END AS unit_max,
+       CASE WHEN l2_norm = 0 THEN 0.0
+            ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), unit), (acc, x) -> acc + x)
+       END AS unit_sum
+FROM u
+"""
+
+
+# --- IVF centroid construction ----------------------------------------------
+
+# Fixed-point quantization scale for centroid sums: floor(x * 2^20) is exact
+# IEEE arithmetic (power-of-two multiply), making the per-cluster component
+# sums pure integer math — order-independent across partitions, unlike a
+# float sum.  Overflow bound: |x| <~ 2^10 leaves room for ~2^32 vectors per
+# cluster in a signed 64-bit accumulator.
+CENT_SCALE = 1 << 20
+
+
+def ivf_centroid_stats(emb: DataFrame, cluster_col: str = "label") -> DataFrame:
+    """IVF coarse-quantizer construction: per-cluster centroid from
+    fixed-point component sums (the training half of the IVF ANN index —
+    ``similarity.ivf_topk`` is the probe half, rows-only because it uses
+    float ``avg``; this op is the hash-exact scale path).
+
+    Shape: posexplode is a narrow ×dim flatMap; ONE shuffle on
+    (cluster, pos) with map-side integer combine; the final per-cluster
+    array is dim-bounded (64 doubles), never corpus-bounded."""
+    qvals = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * CENT_SCALE).cast("long")
+    )
+    expl = emb.select(
+        F.col(cluster_col).alias("cluster"), F.posexplode(qvals).alias("pos", "qval")
+    )
+    per = expl.groupBy("cluster", "pos").agg(
+        F.sum("qval").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean = (
+        F.col("s").cast("double") / F.col("n").cast("double") / F.lit(float(CENT_SCALE))
+    )
+    cent = (
+        per.select("cluster", "pos", mean.alias("m"), "n")
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            "cluster",
+            "n_vectors",
+            F.transform("pairs", lambda p: p.getField("m")).alias("centroid"),
+        )
+    )
+    from .similarity import fold_sum
+
+    cnorm = F.sqrt(fold_sum(F.transform("centroid", lambda x: x * x)))
+    return cent.select(
+        "cluster",
+        "n_vectors",
+        cnorm.alias("centroid_norm"),
+        fold_sum(F.col("centroid")).alias("centroid_sum"),
+    )
+
+
+ORA_IVF_CENTROIDS = f"""
+WITH expl AS (
+  SELECT label AS cluster,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {CENT_SCALE}) AS BIGINT))) AS qval
+  FROM embeddings
+), per AS (
+  SELECT cluster, pos, SUM(qval) AS s, COUNT(*) AS n FROM expl GROUP BY cluster, pos
+), means AS (
+  SELECT cluster, pos,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / CAST({CENT_SCALE} AS DOUBLE) AS m, n
+  FROM per
+), cent AS (
+  SELECT cluster, list(m ORDER BY pos) AS centroid, MAX(n) AS n_vectors
+  FROM means GROUP BY cluster
+)
+SELECT cluster, CAST(n_vectors AS BIGINT) AS n_vectors,
+       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(centroid, x -> x * x)), (acc, x) -> acc + x)) AS centroid_norm,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), centroid),
+                   (acc, x) -> acc + x) AS centroid_sum
+FROM cent
+"""
+
+
+# --- bigram LM counts --------------------------------------------------------
+
+LM_MIN_COUNT = 5
+
+
+def ngram_lm_counts(docs: DataFrame) -> DataFrame:
+    """Bigram language-model counts with conditional probabilities
+    P(w2 | w1) = count(w1 w2) / count(w1 ·) — the n-gram-LM statistic
+    perplexity-based quality filters (CCNet-style) are built on.
+
+    Shape: explode is narrow; groupBy(bigram) shuffles at most |vocab|^2
+    keys after map-side combine; the context aggregate and join run over
+    the already-collapsed count table (vocab-bounded, not corpus-bounded).
+    The count floor keeps the emitted model head-only."""
+    big = docs.select(F.explode(_word_ngrams(n=2)).alias("bigram"))
+    counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    with_ctx = counts.withColumn("w1", F.split("bigram", " ")[0])
+    ctx = with_ctx.groupBy("w1").agg(F.sum("n").alias("ctx_n"))
+    return (
+        with_ctx.join(ctx, "w1")
+        .filter(F.col("n") >= LM_MIN_COUNT)
+        .select(
+            "bigram",
+            "n",
+            "ctx_n",
+            (F.col("n").cast("double") / F.col("ctx_n").cast("double")).alias("cond_p"),
+        )
+    )
+
+
+ORA_NGRAM_LM_COUNTS = f"""
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), big AS (
+  SELECT array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS bigram
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)
+), counts AS (
+  SELECT bigram, COUNT(*) AS n, split_part(bigram, ' ', 1) AS w1
+  FROM big GROUP BY bigram
+), ctx AS (
+  SELECT w1, CAST(SUM(n) AS BIGINT) AS ctx_n FROM counts GROUP BY w1
+)
+SELECT bigram, n, ctx_n,
+       CAST(n AS DOUBLE) / CAST(ctx_n AS DOUBLE) AS cond_p
+FROM counts JOIN ctx USING (w1)
+WHERE n >= {LM_MIN_COUNT}
+"""
+
+
+# --- URL canonicalization dedup ---------------------------------------------
+
+
+def _synthetic_url() -> Column:
+    """Deterministic URL per doc (the corpus has no URL column): host case
+    and query/fragment noise vary by doc_id so canonicalization has real
+    work to do, exactly replayed by the oracle."""
+    host = F.when(F.col("doc_id") % 2 == 1, F.upper("source")).otherwise(F.col("source"))
+    noise = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 3 == 2, F.lit("#frag"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("https://"), host, F.lit(".example.com/page/"),
+        (F.col("doc_id") % 50).cast("string"), noise,
+    )
+
+
+def url_host_dedup(docs: DataFrame) -> DataFrame:
+    """URL-canonicalized dedup: lowercase the URL, strip query string and
+    fragment, then collapse to one canonical doc per normalized URL — the
+    first-pass dedup every web-crawl pipeline runs (far cheaper than
+    content hashing, catches mirror/tracking-param duplicates).
+
+    Shape: narrow normalize map, ONE shuffle on the normalized URL with
+    map-side combine."""
+    norm_url = F.lower(F.regexp_replace(_synthetic_url(), "[?#].*$", ""))
+    return (
+        docs.select("doc_id", _synthetic_url().alias("url"), norm_url.alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.count_distinct("url").alias("n_raw_variants"),
+        )
+    )
+
+
+ORA_URL_HOST_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+         concat('https://',
+                CASE WHEN doc_id % 2 = 1 THEN upper(source) ELSE source END,
+                '.example.com/page/', CAST(doc_id % 50 AS VARCHAR),
+                CASE doc_id % 3 WHEN 1 THEN '?utm_source=feed'
+                                WHEN 2 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+)
+SELECT lower(regexp_replace(url, '[?#].*$', '')) AS norm_url,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_dupes,
+       COUNT(DISTINCT url) AS n_raw_variants
+FROM u GROUP BY 1
+"""
+
+
+# --- contamination overlap profile ------------------------------------------
+
+
+def _gram_key() -> Column:
+    # same 60-bit md5-derived key as ngram_decontaminate (training.py): the
+    # join moves 8-byte longs, and the oracle replays the hash bit-for-bit
+    return F.conv(
+        F.substring(F.md5(F.col("ngram").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def contamination_overlap(docs: DataFrame) -> DataFrame:
+    """The inverse view of ``ngram_decontaminate``: per BENCHMARK doc, how
+    much of it leaks into the training corpus — distinct contaminated
+    grams, distinct touching train docs, and the contaminated fraction.
+    This is the report eval owners read to decide whether to rotate a
+    benchmark out.
+
+    Shape: identical scale posture to the decontaminate op — the bench
+    side's per-doc distinct is bounded (fixed eval suite), train grams stay
+    raw until after the equi-join, dedup (count_distinct) runs over the
+    matched sliver only, ONE full-width shuffle (the join)."""
+    grams = docs.select("doc_id", F.explode(_word_ngrams()).alias("ngram")).select(
+        "doc_id", _gram_key().alias("gram_key")
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = (
+        grams.filter(is_bench)
+        .select(F.col("doc_id").alias("bench_doc_id"), "gram_key")
+        .distinct()
+    )
+    bench_tot = bench.groupBy("bench_doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    train = grams.filter(~is_bench).select(
+        F.col("doc_id").alias("train_doc_id"), "gram_key"
+    )
+    hits = (
+        bench.join(train, "gram_key")
+        .groupBy("bench_doc_id")
+        .agg(
+            F.count_distinct("gram_key").alias("n_hit_grams"),
+            F.count_distinct("train_doc_id").alias("n_train_docs"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        bench_tot.join(hits, "bench_doc_id", "left")
+        .select(
+            "bench_doc_id",
+            "n_grams",
+            F.coalesce("n_hit_grams", zero).alias("n_hit_grams"),
+            F.coalesce("n_train_docs", zero).alias("n_train_docs"),
+            (
+                F.coalesce("n_hit_grams", zero).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+ORA_CONTAMINATION_OVERLAP = f"""
+WITH {{corpus_cte}}
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+), grams AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(
+           array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + {NGRAM_N - 1}), ' ')
+         ), 1, 15)) AS BIGINT) AS gram_key
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {NGRAM_N - 2})) AS i FROM words)
+), bench AS (
+  SELECT doc_id AS bench_doc_id, gram_key FROM grams WHERE doc_id % {BENCH_MOD} = 0
+), bench_tot AS (
+  SELECT bench_doc_id, COUNT(*) AS n_grams FROM bench GROUP BY bench_doc_id
+), hits AS (
+  SELECT b.bench_doc_id,
+         COUNT(DISTINCT b.gram_key) AS n_hit_grams,
+         COUNT(DISTINCT g.doc_id) AS n_train_docs
+  FROM bench b JOIN grams g
+    ON g.gram_key = b.gram_key AND g.doc_id % {BENCH_MOD} <> 0
+  GROUP BY b.bench_doc_id
+)
+SELECT t.bench_doc_id, t.n_grams,
+       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       COALESCE(h.n_train_docs, 0) AS n_train_docs,
+       CAST(COALESCE(h.n_hit_grams, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+         AS contaminated_frac
+FROM bench_tot t LEFT JOIN hits h USING (bench_doc_id)
+"""
+
+
+# --- quality filter pipeline -------------------------------------------------
+
+QF_MIN_CHARS = 50
+QF_MAX_CHARS = 5000
+QF_MIN_WORDS = 10
+QF_MIN_AVG_WLEN = 2.0
+QF_MAX_AVG_WLEN = 12.0
+QF_MAX_STOPWORD = 0.5
+QF_MIN_DISTINCT = 0.3
+
+
+def quality_filter_pipeline(docs: DataFrame) -> DataFrame:
+    """C4/Gopher-style chained quality gate: per-doc boolean verdict for
+    each rule plus the final keep decision — kept as columns (not a filter)
+    so curation runs can audit *why* documents drop.  All signals are
+    narrow array/string expressions: zero shuffles, full scan speed."""
+    from .text import STOPWORDS
+
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    compact = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    avg_wlen = compact.cast("double") / n_words.cast("double")
+    stop_list = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t))).cast("double")
+        / n_words.cast("double")
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_words.cast("double")
+    p_len = (F.col("n_chars") >= QF_MIN_CHARS) & (F.col("n_chars") <= QF_MAX_CHARS)
+    p_words = n_words >= QF_MIN_WORDS
+    p_wlen = (avg_wlen >= QF_MIN_AVG_WLEN) & (avg_wlen <= QF_MAX_AVG_WLEN)
+    p_stop = stop_ratio <= QF_MAX_STOPWORD
+    p_distinct = distinct_ratio >= QF_MIN_DISTINCT
+    return docs.select(
+        "doc_id",
+        p_len.alias("pass_length"),
+        p_words.alias("pass_words"),
+        p_wlen.alias("pass_word_len"),
+        p_stop.alias("pass_stopwords"),
+        p_distinct.alias("pass_distinct"),
+        (p_len & p_words & p_wlen & p_stop & p_distinct).alias("keep"),
+    )
+
+
+_QF_STOP_LIST = None  # built in the oracle below from text.STOPWORDS
+
+
+def _ora_quality_filter() -> str:
+    from .text import STOPWORDS
+
+    stop = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_wlen,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({stop}, t))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+  FROM documents
+)
+SELECT doc_id,
+       (n_chars >= {QF_MIN_CHARS} AND n_chars <= {QF_MAX_CHARS}) AS pass_length,
+       (n_words >= {QF_MIN_WORDS}) AS pass_words,
+       (avg_wlen >= {QF_MIN_AVG_WLEN} AND avg_wlen <= {QF_MAX_AVG_WLEN}) AS pass_word_len,
+       (stop_ratio <= {QF_MAX_STOPWORD}) AS pass_stopwords,
+       (distinct_ratio >= {QF_MIN_DISTINCT}) AS pass_distinct,
+       (n_chars >= {QF_MIN_CHARS} AND n_chars <= {QF_MAX_CHARS}
+        AND n_words >= {QF_MIN_WORDS}
+        AND avg_wlen >= {QF_MIN_AVG_WLEN} AND avg_wlen <= {QF_MAX_AVG_WLEN}
+        AND stop_ratio <= {QF_MAX_STOPWORD}
+        AND distinct_ratio >= {QF_MIN_DISTINCT}) AS keep
+FROM s
+"""
+
+
+# --- token-budget split assignment -------------------------------------------
+
+# train/val/test boundaries in tenths of each source's token total
+SPLIT_TRAIN_TENTHS = 8
+SPLIT_VAL_TENTHS = 9
+
+
+def token_budget_split(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment by cumulative token budget
+    within each source shard: first 80% of tokens -> train, next 10% ->
+    val, rest -> test.  The comparisons are pure integer cross-multiplies
+    (cum*10 vs total*8) — no float boundary jitter, bit-identical in any
+    engine.
+
+    Shape: same single per-source window shuffle as ``pack_sequences``
+    (shards are independent; no global ordering)."""
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    with_cum = (
+        docs.withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+        .withColumn("cum_excl", F.sum("n_tokens").over(w_cum) - F.col("n_tokens"))
+        .withColumn("total", F.sum("n_tokens").over(w_all))
+    )
+    split = (
+        F.when(F.col("cum_excl") * 10 < F.col("total") * SPLIT_TRAIN_TENTHS, F.lit("train"))
+        .when(F.col("cum_excl") * 10 < F.col("total") * SPLIT_VAL_TENTHS, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return with_cum.select("doc_id", "source", "n_tokens", split.alias("split"))
+
+
+ORA_TOKEN_BUDGET_SPLIT = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS cum_excl,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CASE WHEN cum_excl * 10 < total * {SPLIT_TRAIN_TENTHS} THEN 'train'
+            WHEN cum_excl * 10 < total * {SPLIT_VAL_TENTHS} THEN 'val'
+            ELSE 'test' END AS split
+FROM c
+"""
+
+
+# --- RLHF preference-pair stats ----------------------------------------------
+
+
+def rlhf_pair_stats(docs: DataFrame) -> DataFrame:
+    """Preference-pair audit: pair adjacent docs (even doc_id = chosen, the
+    following odd = rejected), then per-source length-bias statistics —
+    the standard check that a reward dataset isn't just teaching "longer is
+    better".
+
+    Shape: self-equi-join on the derived pair key (both sides shuffle on
+    doc_id — co-partitioned), then a |sources|-bounded aggregate."""
+    chosen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", F.col("n_chars").alias("chosen_chars")
+    )
+    rejected = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("n_chars").alias("rejected_chars")
+    )
+    pairs = chosen.join(rejected, "doc_id")
+    delta = F.col("chosen_chars") - F.col("rejected_chars")
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(delta > 0, 1).otherwise(0)).alias("n_chosen_longer"),
+            F.sum(delta).alias("delta_sum"),
+        )
+        .select(
+            "source",
+            "n_pairs",
+            "n_chosen_longer",
+            (F.col("delta_sum").cast("double") / F.col("n_pairs").cast("double")).alias(
+                "avg_len_delta"
+            ),
+        )
+    )
+
+
+ORA_RLHF_PAIR_STATS = """
+WITH pairs AS (
+  SELECT c.source, c.n_chars AS chosen_chars, r.n_chars AS rejected_chars
+  FROM (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 2 = 0) c
+  JOIN (SELECT doc_id - 1 AS doc_id, n_chars FROM documents WHERE doc_id % 2 = 1) r
+    USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN chosen_chars > rejected_chars THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_chosen_longer,
+       CAST(SUM(chosen_chars - rejected_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_len_delta
+FROM pairs GROUP BY source
+"""
+
+
+# --- keep-best window dedup --------------------------------------------------
+
+PREFIX_CHARS = 40
+
+
+def window_dedup_rank(corpus: DataFrame) -> DataFrame:
+    """Keep-best dedup: cluster on an md5 prefix key of the first
+    PREFIX_CHARS characters (catches exact and suffix-edited near copies),
+    rank members longest-first within each cluster, keep-best = rank 1.
+    Emitting every member with its rank and cluster size makes the op
+    auditable; the keep decision is ``rank = 1``.
+
+    Shape: ONE window shuffle on the cluster key.  Clusters are naturally
+    small (prefix collisions), so per-key ordering is cheap; a degenerate
+    hot prefix would be handled by the same bucket-cap discipline as LSH."""
+    ckey = F.substring(
+        F.md5(F.substring("text", 1, PREFIX_CHARS).cast("binary")), 1, 12
+    )
+    with_key = corpus.withColumn("cluster_key", ckey)
+    w = Window.partitionBy("cluster_key").orderBy(
+        F.desc(F.length("text")), F.col("doc_id")
+    )
+    return with_key.select(
+        "doc_id",
+        "cluster_key",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_key")).alias("n_members"),
+    )
+
+
+ORA_WINDOW_DEDUP_RANK = f"""
+WITH {{corpus_cte}}
+k AS (
+  SELECT doc_id, text,
+         substring(md5(substring(text, 1, {PREFIX_CHARS})), 1, 12) AS cluster_key
+  FROM corpus
+)
+SELECT doc_id, cluster_key,
+       row_number() OVER (PARTITION BY cluster_key
+                          ORDER BY length(text) DESC, doc_id) AS rank,
+       COUNT(*) OVER (PARTITION BY cluster_key) AS n_members
+FROM k
+"""

@@ -32,14 +32,14 @@ class QuerySpec(NamedTuple):
 
 
 def registry() -> dict[str, QuerySpec]:
-    from . import llm, reference, relational, streaming, tpch, udfs
+    from . import curation, llm, reference, relational, streaming, tpch, udfs
 
     merged: dict[str, QuerySpec] = {}
     # Order decides which entries land in the driver's bounded CORRECTNESS
     # window (first ~50): rotate the round-2-unchecked LLM/streaming/UDF
     # families to the front; the relational/reference entries (all green in
     # CORRECTNESS_r02) rotate behind them.
-    for mod in (llm, streaming, udfs, reference, relational, tpch):
+    for mod in (llm, streaming, udfs, reference, relational, tpch, curation):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

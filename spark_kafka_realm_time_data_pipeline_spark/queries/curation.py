@@ -1,0 +1,131 @@
+"""Round-4 curation queries: the pipeline stages between raw crawl and
+tokenized shards (normalization, mixing, curriculum, URL dedup, LM counts,
+contamination profile, quality gate, split assignment, preference-pair
+stats, keep-best dedup) plus the vector-side unit-normalize and IVF
+centroid build.  Implementations in operators/curation.py; every entry has
+a full DuckDB value oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import curation as C
+from ..operators import dedup as D
+from ..sources.files import load_table
+from . import QuerySpec
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.normalize_text(_docs(spark, sf_dir))
+
+
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.domain_mix_weights(_docs(spark, sf_dir))
+
+
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.curriculum_buckets(_docs(spark, sf_dir))
+
+
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.normalize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ann_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.ivf_centroid_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.ngram_lm_counts(_docs(spark, sf_dir))
+
+
+def q_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.url_host_dedup(_docs(spark, sf_dir))
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # planted corpus guarantees real cross-boundary 8-gram overlap at any SF
+    return C.contamination_overlap(D.planted_corpus(spark, sf_dir))
+
+
+def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.quality_filter_pipeline(_docs(spark, sf_dir))
+
+
+def q_token_budget_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.token_budget_split(_docs(spark, sf_dir))
+
+
+def q_rlhf_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.rlhf_pair_stats(_docs(spark, sf_dir))
+
+
+def q_window_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # planted corpus: exact + suffix-edited near copies share the prefix key
+    return C.window_dedup_rank(D.planted_corpus(spark, sf_dir))
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_normalize": QuerySpec(
+        q_text_normalize, C.ORA_NORMALIZE_TEXT, "canonical text form + md5 content key"
+    ),
+    "domain_mix_weights": QuerySpec(
+        q_domain_mix_weights,
+        C.ORA_DOMAIN_MIX_WEIGHTS,
+        "per-source token share + uniform-mix resampling weight",
+    ),
+    "curriculum_buckets": QuerySpec(
+        q_curriculum_buckets,
+        C.ORA_CURRICULUM_BUCKETS,
+        "per-language length-quartile curriculum stages (ntile)",
+    ),
+    "embedding_normalize": QuerySpec(
+        q_embedding_normalize,
+        C.ORA_NORMALIZE_EMBEDDINGS,
+        "L2 unit-normalization summary per vector",
+    ),
+    "ann_ivf_centroids": QuerySpec(
+        q_ann_ivf_centroids,
+        C.ORA_IVF_CENTROIDS,
+        "IVF coarse-quantizer build via fixed-point integer sums",
+    ),
+    "ngram_lm_counts": QuerySpec(
+        q_ngram_lm_counts,
+        C.ORA_NGRAM_LM_COUNTS,
+        "bigram LM counts + conditional probabilities",
+    ),
+    "url_host_dedup": QuerySpec(
+        q_url_host_dedup,
+        C.ORA_URL_HOST_DEDUP,
+        "URL-canonicalization dedup (strip query/fragment, case-fold)",
+    ),
+    "contamination_overlap": QuerySpec(
+        q_contamination_overlap,
+        C.ORA_CONTAMINATION_OVERLAP.format(corpus_cte=D.ORA_CORPUS + ","),
+        "per-benchmark-doc leakage profile (inverse decontamination)",
+    ),
+    "quality_filter_pipeline": QuerySpec(
+        q_quality_filter_pipeline,
+        C._ora_quality_filter(),
+        "chained C4/Gopher-style quality gate with per-rule audit flags",
+    ),
+    "token_budget_split": QuerySpec(
+        q_token_budget_split,
+        C.ORA_TOKEN_BUDGET_SPLIT,
+        "integer-exact train/val/test split by cumulative token budget",
+    ),
+    "rlhf_pair_stats": QuerySpec(
+        q_rlhf_pair_stats,
+        C.ORA_RLHF_PAIR_STATS,
+        "preference-pair length-bias statistics per source",
+    ),
+    "window_dedup_rank": QuerySpec(
+        q_window_dedup_rank,
+        C.ORA_WINDOW_DEDUP_RANK.format(corpus_cte=D.ORA_CORPUS + ","),
+        "keep-best dedup: rank within prefix-key clusters",
+    ),
+}

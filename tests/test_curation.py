@@ -1,0 +1,123 @@
+"""Property tests for the round-4 curation operators (operators/curation.py).
+
+The oracle hash (tools/check.py / driver) is the primary gate; these assert
+the *semantic* properties the hash can't see: partition totals, flag
+consistency, split coverage, cluster structure on the planted corpus."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from conftest import SF_DIR
+from spark_kafka_realm_time_data_pipeline_spark.operators import curation as C
+from spark_kafka_realm_time_data_pipeline_spark.operators import dedup as D
+from spark_kafka_realm_time_data_pipeline_spark.sources.files import load_table
+
+
+def test_domain_mix_weights_shares_sum_to_one(spark):
+    res = C.domain_mix_weights(load_table(spark, SF_DIR, "documents")).collect()
+    assert abs(sum(r.token_share for r in res) - 1.0) < 1e-9
+    # weight * share == uniform share for every source
+    n = len(res)
+    for r in res:
+        assert abs(r.mix_weight * r.token_share - 1.0 / n) < 1e-9
+
+
+def test_curriculum_buckets_cover_all_docs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    res = C.curriculum_buckets(docs).collect()
+    assert sum(r.n_docs for r in res) == docs.count()
+    # stages are contiguous non-overlapping length ranges per language
+    by_lang: dict[str, list] = {}
+    for r in res:
+        by_lang.setdefault(r.lang, []).append(r)
+    for rows in by_lang.values():
+        rows.sort(key=lambda r: r.stage)
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo.max_chars <= hi.min_chars
+
+
+def test_quality_filter_keep_is_conjunction(spark):
+    res = C.quality_filter_pipeline(load_table(spark, SF_DIR, "documents"))
+    bad = res.filter(
+        F.col("keep")
+        != (
+            F.col("pass_length")
+            & F.col("pass_words")
+            & F.col("pass_word_len")
+            & F.col("pass_stopwords")
+            & F.col("pass_distinct")
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_token_budget_split_is_total_and_ordered(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    res = C.token_budget_split(docs)
+    assert res.count() == docs.count()
+    # within each source, train docs all precede val docs precede test docs
+    order = F.when(F.col("split") == "train", 0).when(F.col("split") == "val", 1).otherwise(2)
+    lagged = res.withColumn("o", order).withColumn(
+        "prev_o", F.lag("o").over(Window.partitionBy("source").orderBy("doc_id"))
+    )
+    assert lagged.filter(F.col("prev_o") > F.col("o")).count() == 0
+    # train gets the lion's share of tokens per source
+    per = res.groupBy("source").pivot("split", ["train", "val", "test"]).sum("n_tokens")
+    for r in per.collect():
+        total = (r.train or 0) + (r.val or 0) + (r.test or 0)
+        assert (r.train or 0) >= 0.7 * total
+
+
+def test_window_dedup_rank_clusters_planted_copies(spark):
+    corpus = D.planted_corpus(spark, SF_DIR)
+    res = C.window_dedup_rank(corpus)
+    # every cluster has exactly one rank-1 member
+    per = res.groupBy("cluster_key").agg(
+        F.sum((F.col("rank") == 1).cast("int")).alias("n_best"),
+        F.max("n_members").alias("n_members"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    assert per.filter(F.col("n_best") != 1).count() == 0
+    assert per.filter(F.col("n_members") != F.col("n_rows")).count() == 0
+    # planted exact copies (doc_id+1000000) must land in their original's cluster
+    pairs = res.alias("a").join(
+        res.alias("b"), F.col("a.doc_id") + 1000000 == F.col("b.doc_id")
+    )
+    mismatched = pairs.filter(F.col("a.cluster_key") != F.col("b.cluster_key"))
+    assert mismatched.count() == 0
+
+
+def test_contamination_overlap_planted_positive(spark):
+    res = C.contamination_overlap(D.planted_corpus(spark, SF_DIR)).collect()
+    assert len(res) > 0
+    for r in res:
+        assert 0 <= r.n_hit_grams <= r.n_grams
+        assert 0.0 <= r.contaminated_frac <= 1.0
+    # planted copies of bench docs (doc_id%97==0 and %10==0 -> doc 0 copied)
+    # guarantee at least one contaminated benchmark doc
+    assert any(r.n_hit_grams > 0 for r in res)
+
+
+def test_ivf_centroid_counts(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    res = C.ivf_centroid_stats(emb).collect()
+    assert sum(r.n_vectors for r in res) == emb.count()
+    for r in res:
+        assert r.centroid_norm >= 0.0
+
+
+def test_normalize_embeddings_unit_bounds(spark):
+    res = C.normalize_embeddings(load_table(spark, SF_DIR, "embeddings"))
+    bad = res.filter(
+        (F.col("l2_norm") > 0)
+        & ((F.col("unit_min") < -1.0000001) | (F.col("unit_max") > 1.0000001))
+    )
+    assert bad.count() == 0
+
+
+def test_url_host_dedup_partitions_docs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    res = C.url_host_dedup(docs).collect()
+    assert sum(r.n_dupes for r in res) == docs.count()
+    for r in res:
+        assert 1 <= r.n_raw_variants <= r.n_dupes
