@@ -700,3 +700,268 @@ SELECT doc_id, cluster_key,
        COUNT(*) OVER (PARTITION BY cluster_key) AS n_members
 FROM k
 """
+
+
+# --- BPE pair counts (tokenizer training, first merge iteration) -------------
+
+BPE_MIN_COUNT = 10
+
+
+def bpe_pair_counts(docs: DataFrame) -> DataFrame:
+    """The inner loop of BPE tokenizer training, iteration one: count
+    adjacent symbol pairs inside each word, weighted by word frequency —
+    the argmax pair is the first merge.  Computing over the *distinct word
+    list* x its corpus count (instead of re-scanning every occurrence) is
+    the standard trick: pair extraction runs once per vocabulary entry, so
+    the explode is |vocab|-bounded, not corpus-bounded.
+
+    Shape: one corpus-wide shuffle collapses tokens to (word, count) with
+    map-side combine; pair explode + the (pair) aggregate then run over
+    vocabulary-sized data."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)),
+    )
+    return (
+        words.select(F.explode(pair_arr).alias("pair"), "wcount")
+        .groupBy("pair")
+        .agg(F.sum("wcount").alias("n"))
+        .filter(F.col("n") >= BPE_MIN_COUNT)
+    )
+
+
+ORA_BPE_PAIR_COUNTS = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS wcount FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE length(word) >= 2 GROUP BY word
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                i -> substring(word, CAST(i AS INT), 2))) AS pair,
+         wcount
+  FROM words
+)
+SELECT pair, CAST(SUM(wcount) AS BIGINT) AS n
+FROM pairs GROUP BY pair HAVING SUM(wcount) >= {BPE_MIN_COUNT}
+"""
+
+
+# --- sliding-window chunking --------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunk_documents(docs: DataFrame) -> DataFrame:
+    """Sliding-window document chunking (the RAG / long-context pretraining
+    shape): fixed-size token windows with overlap, one output row per
+    chunk.  A pure narrow flatMap — explode over a stepped sequence of
+    chunk starts; zero shuffles at any scale."""
+    n_tokens = F.size(F.split("text", " "))
+    starts = F.sequence(F.lit(0), n_tokens - 1, F.lit(CHUNK_STRIDE))
+    return (
+        docs.withColumn("n_tokens", n_tokens.cast("long"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.least(
+                F.lit(CHUNK_TOKENS).cast("long"),
+                F.col("n_tokens") - F.col("chunk_start"),
+            ).alias("chunk_len"),
+        )
+    )
+
+
+ORA_CHUNK_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         unnest(range(0, n_tokens, {CHUNK_STRIDE})) AS chunk_start,
+         generate_subscripts(range(0, n_tokens, {CHUNK_STRIDE}), 1) - 1 AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       least({CHUNK_TOKENS}, n_tokens - chunk_start) AS chunk_len
+FROM s
+"""
+
+
+# --- SemDeDup cluster representatives ----------------------------------------
+
+
+def _centroid_frame(emb: DataFrame, cluster_col: str = "label") -> DataFrame:
+    """(cluster, n_vectors, centroid: array<double>) via the fixed-point
+    integer-sum path of ``ivf_centroid_stats`` — shared by the centroid
+    stats query and SemDeDup representative selection."""
+    qvals = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * CENT_SCALE).cast("long")
+    )
+    expl = emb.select(
+        F.col(cluster_col).alias("cluster"), F.posexplode(qvals).alias("pos", "qval")
+    )
+    per = expl.groupBy("cluster", "pos").agg(
+        F.sum("qval").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean = (
+        F.col("s").cast("double") / F.col("n").cast("double") / F.lit(float(CENT_SCALE))
+    )
+    return (
+        per.select("cluster", "pos", mean.alias("m"), "n")
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            "cluster",
+            "n_vectors",
+            F.transform("pairs", lambda p: p.getField("m")).alias("centroid"),
+        )
+    )
+
+
+def semdedup_representatives(emb: DataFrame, cluster_col: str = "label") -> DataFrame:
+    """SemDeDup-style representative selection: within each embedding
+    cluster, rank members by cosine similarity to the (fixed-point exact)
+    cluster centroid and keep the closest as the cluster representative —
+    the keep-one-per-semantic-cluster dedup step (Abbas et al. 2023 shape).
+
+    Shape: centroid build is the two-integer-shuffle plan of
+    ``ivf_centroid_stats``; the member-to-centroid join is an equi-join on
+    cluster id with the |clusters|-row centroid side broadcast; ranking is
+    one window shuffle partitioned by cluster."""
+    from .similarity import cosine
+
+    cent = _centroid_frame(emb, cluster_col)
+    members = emb.select(
+        F.col(cluster_col).alias("cluster"), "vec_id", "embedding"
+    )
+    scored = members.join(F.broadcast(cent), "cluster").withColumn(
+        "centroid_cos", cosine("embedding", "centroid")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("centroid_cos"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster",
+            F.col("vec_id").alias("rep_vec_id"),
+            "centroid_cos",
+            "n_vectors",
+        )
+    )
+
+
+_ORA_COS_CENT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip(embedding, centroid), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x) "
+    "/ (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, x) -> acc + x)) "
+    "* sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(centroid, x -> x * x)), (acc, x) -> acc + x)))"
+)
+
+ORA_SEMDEDUP_REPRESENTATIVES = f"""
+WITH expl AS (
+  SELECT label AS cluster,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {CENT_SCALE}) AS BIGINT))) AS qval
+  FROM embeddings
+), per AS (
+  SELECT cluster, pos, SUM(qval) AS s, COUNT(*) AS n FROM expl GROUP BY cluster, pos
+), means AS (
+  SELECT cluster, pos,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / CAST({CENT_SCALE} AS DOUBLE) AS m, n
+  FROM per
+), cent AS (
+  SELECT cluster, list(m ORDER BY pos) AS centroid, MAX(n) AS n_vectors
+  FROM means GROUP BY cluster
+), scored AS (
+  SELECT e.label AS cluster, e.vec_id, c.n_vectors,
+         {_ORA_COS_CENT} AS centroid_cos
+  FROM embeddings e JOIN cent c ON e.label = c.cluster
+)
+SELECT cluster, vec_id AS rep_vec_id, centroid_cos, CAST(n_vectors AS BIGINT) AS n_vectors
+FROM (
+  SELECT cluster, vec_id, centroid_cos, n_vectors,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY centroid_cos DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk = 1
+"""
+
+
+# --- vocabulary OOV coverage --------------------------------------------------
+
+VOCAB_SIZE = 200
+
+
+def vocab_coverage(docs: DataFrame) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-VOCAB_SIZE word
+    vocabulary (count desc, word asc — deterministic), then measure each
+    document's out-of-vocabulary token ratio — the go/no-go check before
+    freezing a tokenizer on a corpus mix.
+
+    Shape: vocabulary is a corpus-wide aggregate bounded by |vocab| after
+    map-side combine, then a broadcast left-anti-style membership join on
+    the exploded tokens (broadcast is |VOCAB_SIZE| rows — always tiny) and
+    one per-doc aggregate."""
+    from .text import heavy_hitters
+
+    vocab = heavy_hitters(docs, k=VOCAB_SIZE).select("word", F.lit(1).alias("in_vocab"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    flagged = toks.join(F.broadcast(vocab), "word", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_ratio"
+            ),
+        )
+    )
+
+
+ORA_VOCAB_COVERAGE = f"""
+WITH vocab AS (
+  SELECT word FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+  ORDER BY COUNT(*) DESC, word LIMIT {VOCAB_SIZE}
+), toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_ratio
+FROM toks t LEFT JOIN vocab v USING (word)
+WHERE t.word <> ''
+GROUP BY t.doc_id
+"""

@@ -94,6 +94,10 @@ def registry() -> dict[str, QuerySpec]:
             "token_budget_split",
             "rlhf_pair_stats",
             "window_dedup_rank",
+            "bpe_pair_counts",
+            "doc_chunk_overlap",
+            "semdedup_representatives",
+            "vocab_coverage",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

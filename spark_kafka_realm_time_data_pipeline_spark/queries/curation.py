@@ -69,6 +69,22 @@ def q_window_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.window_dedup_rank(D.planted_corpus(spark, sf_dir))
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.chunk_documents(_docs(spark, sf_dir))
+
+
+def q_semdedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.semdedup_representatives(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.vocab_coverage(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_normalize": QuerySpec(
         q_text_normalize, C.ORA_NORMALIZE_TEXT, "canonical text form + md5 content key"
@@ -127,5 +143,25 @@ QUERIES: dict[str, QuerySpec] = {
         q_window_dedup_rank,
         C.ORA_WINDOW_DEDUP_RANK.format(corpus_cte=D.ORA_CORPUS + ","),
         "keep-best dedup: rank within prefix-key clusters",
+    ),
+    "bpe_pair_counts": QuerySpec(
+        q_bpe_pair_counts,
+        C.ORA_BPE_PAIR_COUNTS,
+        "BPE merge iteration 1: vocab-bounded adjacent-pair counts",
+    ),
+    "doc_chunk_overlap": QuerySpec(
+        q_doc_chunk_overlap,
+        C.ORA_CHUNK_DOCUMENTS,
+        "sliding-window chunking with overlap (RAG/pretrain shape)",
+    ),
+    "semdedup_representatives": QuerySpec(
+        q_semdedup_representatives,
+        C.ORA_SEMDEDUP_REPRESENTATIVES,
+        "SemDeDup: keep the centroid-closest vector per cluster",
+    ),
+    "vocab_coverage": QuerySpec(
+        q_vocab_coverage,
+        C.ORA_VOCAB_COVERAGE,
+        "per-doc OOV ratio against the deterministic top-k vocabulary",
     ),
 }

@@ -121,3 +121,46 @@ def test_url_host_dedup_partitions_docs(spark):
     assert sum(r.n_dupes for r in res) == docs.count()
     for r in res:
         assert 1 <= r.n_raw_variants <= r.n_dupes
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    res = C.chunk_documents(docs)
+    # chunk lengths are positive and capped; last chunk ends exactly at doc end
+    assert res.filter((F.col("chunk_len") <= 0) | (F.col("chunk_len") > C.CHUNK_TOKENS)).count() == 0
+    last = res.groupBy("doc_id").agg(
+        F.max("chunk_start").alias("last_start"),
+        F.max(F.col("chunk_start") + F.col("chunk_len")).alias("cover_end"),
+    )
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n"))
+    joined = last.join(toks, "doc_id")
+    assert joined.filter(F.col("cover_end") != F.col("n")).count() == 0
+    # consecutive chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE tokens
+    assert C.CHUNK_STRIDE < C.CHUNK_TOKENS
+
+
+def test_semdedup_rep_is_cluster_member(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    res = C.semdedup_representatives(emb)
+    # one representative per cluster, and it belongs to that cluster
+    assert res.count() == emb.select("label").distinct().count()
+    bad = res.join(
+        emb.select(F.col("vec_id").alias("rep_vec_id"), F.col("label").alias("cluster")),
+        ["rep_vec_id", "cluster"],
+        "left_anti",
+    )
+    assert bad.count() == 0
+    # cosine to own-cluster centroid is high for the representative
+    assert res.filter(F.col("centroid_cos") < 0).count() == 0
+
+
+def test_vocab_coverage_bounds(spark):
+    res = C.vocab_coverage(load_table(spark, SF_DIR, "documents"))
+    assert res.filter((F.col("oov_ratio") < 0) | (F.col("oov_ratio") > 1)).count() == 0
+    assert res.filter(F.col("n_oov") > F.col("n_tokens")).count() == 0
+
+
+def test_bpe_pairs_are_two_chars(spark):
+    res = C.bpe_pair_counts(load_table(spark, SF_DIR, "documents"))
+    assert res.filter(F.length("pair") != 2).count() == 0
+    assert res.filter(F.col("n") < C.BPE_MIN_COUNT).count() == 0
