@@ -114,30 +114,55 @@ N_STAGES = 4
 
 
 def curriculum_buckets(docs: DataFrame) -> DataFrame:
-    """Curriculum-stage assignment: quartile (ntile) of doc length within
-    each language, then per-(lang, stage) profile.  Short-to-long length
-    scheduling is the standard text curriculum; ntile over (n_chars, doc_id)
-    is fully deterministic.
+    """Curriculum-stage assignment: length quartile within each language,
+    then per-(lang, stage) profile.  Short-to-long length scheduling is the
+    standard text curriculum.
 
-    Shape: one window shuffle partitioned by lang, then a tiny groupBy.
-    Per-lang ordering is the scale constraint (a language is sortable in
-    parallel by range partitioning; no global sort)."""
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    staged = docs.withColumn("stage", F.ntile(N_STAGES).over(w))
+    Deliberately NOT ``ntile() OVER (PARTITION BY lang)``: that window
+    funnels every document of a language through ONE task, and at 100 TB a
+    dominant language is half the corpus.  Instead the quartile is computed
+    on the compact (lang, n_chars) HISTOGRAM — stage = 1 + (4·cum_before)
+    div total, pure integer math over cumulative counts — so the raw corpus
+    only ever feeds a bounded groupBy (map-side combined, shuffle rows =
+    |lang|×|distinct lengths|) and the window runs over that tiny
+    aggregate.  Equal-length docs land in the same stage (never split on an
+    arbitrary tiebreak), which is also the better curriculum semantics."""
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    staged = (
+        hist.withColumn("cum_before", F.sum("c").over(w_cum) - F.col("c"))
+        .withColumn("total", F.sum("c").over(w_all))
+        .withColumn(
+            "stage",
+            (F.lit(1) + F.expr(f"({N_STAGES} * cum_before) div total")).cast("int"),
+        )
+    )
     return staged.groupBy("lang", "stage").agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c").alias("n_docs"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
 
 
 ORA_CURRICULUM_BUCKETS = f"""
-WITH staged AS (
-  SELECT lang, n_chars,
-         ntile({N_STAGES}) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS stage
-  FROM documents
+WITH h AS (
+  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY lang, n_chars
+), staged AS (
+  SELECT lang, n_chars, c,
+         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - c AS cum_before,
+         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS total
+  FROM h
 )
-SELECT lang, stage, COUNT(*) AS n_docs,
+SELECT lang,
+       CAST(1 + ({N_STAGES} * cum_before) // total AS INT) AS stage,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM staged GROUP BY lang, stage
 """
