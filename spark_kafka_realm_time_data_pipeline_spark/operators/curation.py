@@ -990,3 +990,102 @@ FROM toks t LEFT JOIN vocab v USING (word)
 WHERE t.word <> ''
 GROUP BY t.doc_id
 """
+
+
+# --- end-to-end curation pipeline --------------------------------------------
+
+
+def curation_pipeline(docs: DataFrame) -> DataFrame:
+    """The whole curation funnel as ONE composed Catalyst plan —
+    normalize -> exact-dedup on the normalized hash -> quality gate ->
+    per-language funnel report (inputs, dup drops, quality drops, kept
+    docs + kept tokens).  Input needs (doc_id, text, lang).
+
+    This is the query a user actually ships: each stage is a column
+    expression or a high-cardinality window, so the optimizer fuses the
+    narrow stages into one codegen'd pass over the scan, and the only
+    shuffles are the dedup window (keyed by the md5 hash — uniformly
+    distributed, no skew) and the final |langs|-row aggregate.  Staging
+    tables between these steps would cost a full materialization each at
+    100 TB; composing them costs nothing."""
+    from .text import STOPWORDS
+
+    norm_hash = F.md5(_norm_text().cast("binary"))
+    w = Window.partitionBy("norm_hash").orderBy("doc_id")
+
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    n_chars = F.length("text")
+    compact = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    avg_wlen = compact.cast("double") / n_words.cast("double")
+    stop_list = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t))).cast("double")
+        / n_words.cast("double")
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_words.cast("double")
+    q_keep = (
+        (n_chars >= QF_MIN_CHARS)
+        & (n_chars <= QF_MAX_CHARS)
+        & (n_words >= QF_MIN_WORDS)
+        & (avg_wlen >= QF_MIN_AVG_WLEN)
+        & (avg_wlen <= QF_MAX_AVG_WLEN)
+        & (stop_ratio <= QF_MAX_STOPWORD)
+        & (distinct_ratio >= QF_MIN_DISTINCT)
+    )
+
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        norm_hash.alias("norm_hash"),
+        n_words.cast("long").alias("n_tokens"),
+        q_keep.alias("q_keep"),
+    ).withColumn("is_dup", F.row_number().over(w) > 1)
+
+    kept = ~F.col("is_dup") & F.col("q_keep")
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        one_if(F.col("is_dup")).alias("n_dup_dropped"),
+        one_if(~F.col("is_dup") & ~F.col("q_keep")).alias("n_quality_dropped"),
+        one_if(kept).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+    )
+
+
+ORA_CURATION_PIPELINE = f"""
+WITH {{corpus_cte}}
+attrs AS (
+  SELECT c.doc_id, c.text, d.lang
+  FROM corpus c JOIN documents d ON d.doc_id = c.doc_id % 1000000
+), staged AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+           ORDER BY doc_id) > 1 AS is_dup,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         (length(text) >= {QF_MIN_CHARS} AND length(text) <= {QF_MAX_CHARS}
+          AND len(string_split(text, ' ')) >= {QF_MIN_WORDS}
+          AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) >= {QF_MIN_AVG_WLEN}
+          AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) <= {QF_MAX_AVG_WLEN}
+          AND CAST(len(list_filter(string_split(text, ' '),
+                   t -> list_contains({{stop_list}}, t))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) <= {QF_MAX_STOPWORD}
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE) >= {QF_MIN_DISTINCT}
+         ) AS q_keep
+  FROM attrs
+)
+SELECT lang,
+       COUNT(*) AS n_input,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+       CAST(SUM(CASE WHEN NOT is_dup AND NOT q_keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_dropped,
+       CAST(SUM(CASE WHEN NOT is_dup AND q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN NOT is_dup AND q_keep THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM staged GROUP BY lang
+"""

@@ -98,6 +98,7 @@ def registry() -> dict[str, QuerySpec]:
             "doc_chunk_overlap",
             "semdedup_representatives",
             "vocab_coverage",
+            "curation_pipeline_e2e",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

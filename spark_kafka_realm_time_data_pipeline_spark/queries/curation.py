@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import curation as C
 from ..operators import dedup as D
+from ..operators import text as T
 from ..sources.files import load_table
 from . import QuerySpec
 
@@ -83,6 +84,20 @@ def q_semdedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.vocab_coverage(_docs(spark, sf_dir))
+
+
+def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation funnel over the planted corpus (so the dedup
+    stage has real positives); language attrs re-attached via the planted
+    id scheme (copies carry original_id + 1e6/2e6)."""
+    from pyspark.sql import functions as F
+
+    corpus = D.planted_corpus(spark, sf_dir).withColumn(
+        "orig_id", F.col("doc_id") % 1000000
+    )
+    attrs = _docs(spark, sf_dir).select(F.col("doc_id").alias("orig_id"), "lang")
+    with_lang = corpus.join(attrs, "orig_id").select("doc_id", "text", "lang")
+    return C.curation_pipeline(with_lang)
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -163,5 +178,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_vocab_coverage,
         C.ORA_VOCAB_COVERAGE,
         "per-doc OOV ratio against the deterministic top-k vocabulary",
+    ),
+    "curation_pipeline_e2e": QuerySpec(
+        q_curation_pipeline_e2e,
+        C.ORA_CURATION_PIPELINE.format(
+            corpus_cte=D.ORA_CORPUS + ",",
+            stop_list="[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]",
+        ),
+        "composed funnel: normalize -> dedup -> quality gate -> per-lang report",
     ),
 }

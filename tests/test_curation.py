@@ -164,3 +164,18 @@ def test_bpe_pairs_are_two_chars(spark):
     res = C.bpe_pair_counts(load_table(spark, SF_DIR, "documents"))
     assert res.filter(F.length("pair") != 2).count() == 0
     assert res.filter(F.col("n") < C.BPE_MIN_COUNT).count() == 0
+
+
+def test_curation_pipeline_funnel_adds_up(spark):
+    from spark_kafka_realm_time_data_pipeline_spark.queries.curation import (
+        q_curation_pipeline_e2e,
+    )
+
+    res = q_curation_pipeline_e2e(spark, SF_DIR).collect()
+    assert len(res) > 0
+    total_dups = 0
+    for r in res:
+        assert r.n_input == r.n_dup_dropped + r.n_quality_dropped + r.n_kept
+        total_dups += r.n_dup_dropped
+    # the planted exact copies must be caught by the normalize+hash dedup
+    assert total_dups > 0
