@@ -68,6 +68,7 @@ HEADLINE = [
     "contamination_overlap",
     "ann_ivf_centroids",
     "url_host_dedup",
+    "curation_pipeline_e2e",
 ]
 
 
