@@ -102,8 +102,18 @@ def main() -> None:
         materialize(qs[warm](spark, "/root/testdata/sf0.001"))
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    only = set(sys.argv[1:])
-    names = [n for n in HEADLINE if not only or n in only] or sorted(only & qs.keys())
+    only = sys.argv[1:]
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        # HEADLINE members keep headline order; extra registry queries follow
+        # in the order given — nothing requested is silently dropped.
+        names = [n for n in HEADLINE if n in only] + [
+            n for n in only if n not in HEADLINE
+        ]
+    else:
+        names = list(HEADLINE)
 
     timings: dict[str, float] = {}
     wall0 = time.time()

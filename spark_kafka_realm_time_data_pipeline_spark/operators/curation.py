@@ -236,32 +236,12 @@ def ivf_centroid_stats(emb: DataFrame, cluster_col: str = "label") -> DataFrame:
 
     Shape: posexplode is a narrow ×dim flatMap; ONE shuffle on
     (cluster, pos) with map-side integer combine; the final per-cluster
-    array is dim-bounded (64 doubles), never corpus-bounded."""
-    qvals = F.transform(
-        "embedding", lambda x: F.floor(x.cast("double") * CENT_SCALE).cast("long")
-    )
-    expl = emb.select(
-        F.col(cluster_col).alias("cluster"), F.posexplode(qvals).alias("pos", "qval")
-    )
-    per = expl.groupBy("cluster", "pos").agg(
-        F.sum("qval").alias("s"), F.count(F.lit(1)).alias("n")
-    )
-    mean = (
-        F.col("s").cast("double") / F.col("n").cast("double") / F.lit(float(CENT_SCALE))
-    )
-    cent = (
-        per.select("cluster", "pos", mean.alias("m"), "n")
-        .groupBy("cluster")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"),
-            F.max("n").alias("n_vectors"),
-        )
-        .select(
-            "cluster",
-            "n_vectors",
-            F.transform("pairs", lambda p: p.getField("m")).alias("centroid"),
-        )
-    )
+    array is dim-bounded (64 doubles), never corpus-bounded.
+
+    Centroid construction is shared with ``semdedup_representatives`` via
+    ``_centroid_frame`` so the two queries can never diverge from their
+    common oracle prefix."""
+    cent = _centroid_frame(emb, cluster_col)
     from .similarity import fold_sum
 
     cnorm = F.sqrt(fold_sum(F.transform("centroid", lambda x: x * x)))
@@ -537,9 +517,6 @@ def quality_filter_pipeline(docs: DataFrame) -> DataFrame:
         p_distinct.alias("pass_distinct"),
         (p_len & p_words & p_wlen & p_stop & p_distinct).alias("keep"),
     )
-
-
-_QF_STOP_LIST = None  # built in the oracle below from text.STOPWORDS
 
 
 def _ora_quality_filter() -> str:

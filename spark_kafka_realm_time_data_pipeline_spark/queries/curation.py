@@ -112,7 +112,7 @@ QUERIES: dict[str, QuerySpec] = {
     "curriculum_buckets": QuerySpec(
         q_curriculum_buckets,
         C.ORA_CURRICULUM_BUCKETS,
-        "per-language length-quartile curriculum stages (ntile)",
+        "per-language length-quartile curriculum stages (histogram quartiles)",
     ),
     "embedding_normalize": QuerySpec(
         q_embedding_normalize,
