@@ -44,61 +44,71 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Round-4 rotation: the 10 round-3 additions land at positions 0-9 (they
-    # were past the r3 window; every other oracled query already has a green
-    # row in CORRECTNESS_r02 or _r03), queries whose code/oracle changed this
-    # round come next so the fix itself is driver-proven, then the round-4
-    # additions fill the rest of the ~50-entry window.  Previously-proven
-    # entries rotate behind.
+    # Round-6 rotation: the 7 queries broken by the corpus's TIMESTAMP_NTZ
+    # flip (fixed this round via inferTimestampNTZ.enabled=false +
+    # convert_nano_ts NTZ->LTZ normalization) go first so the fix itself is
+    # driver-proven with fresh green rows — their old green rows predate the
+    # corpus regeneration and are stale.  Queries whose plans changed this
+    # round (MinHash trim, flagship broadcast removal) come next.  The rest
+    # of the ~50-entry window re-proves the timestamp-consuming batch
+    # families under the restored LTZ read path.  Previously-proven entries
+    # rotate behind.
     front = [
         n
         for n in (
-            # new in r3, mirror-verified, not yet driver-green
-            "tpch_q9_profit",
-            "scd2_intervals",
-            "funnel_stages",
-            "zorder_stats",
-            "pii_redact",
-            "heavy_hitters",
+            # broken by the NTZ corpus flip, fixed in r6 — must re-prove
+            "sessionize",
+            "streaming_stedi_join",
+            "streaming_outer_join",
+            "streaming_late_window",
+            "streaming_session_window",
+            "streaming_dedup_watermark",
             "streaming_interval_join",
-            "time_gapfill",
-            "merge_upsert",
-            "streaming_foreachbatch_topk",
-            # changed in r4 (plan restructures — need fresh green rows)
-            "ngram_decontaminate",
+            # plans changed in r6 — need fresh green rows
+            "dedup_minhash_lsh",
             "dedup_minhash_ngram",
-            # new in r4
+            "stedi_flagship",
+            "join_skew_salted",
+            # timestamp-consuming families: re-prove hash parity under the
+            # restored LTZ-under-UTC read path
+            "streaming_window_tumbling",
+            "streaming_window_sliding",
+            "streaming_stedi_unbounded",
+            "streaming_dedup",
+            "streaming_cdc_latest",
+            "streaming_stateful_count",
+            "streaming_static_join",
+            "streaming_union",
+            "time_gapfill",
+            "scd2_intervals",
+            "asof_join",
+            "window_range_frame",
+            "pivot_events",
+            "funnel_stages",
+            "orderby_limit",
+            "window_rank",
+            "window_running",
+            "topk_per_group",
+            "pricing_summary",
+            "filtered_revenue",
             "tpch_q3_shipping",
             "tpch_q4_order_priority",
             "tpch_q5_local_supplier",
             "tpch_q6_forecast",
+            "tpch_q7_volume",
             "tpch_q8_market_share",
+            "tpch_q9_profit",
             "tpch_q10_returned",
-            "tpch_q11_important_stock",
             "tpch_q12_shipmode",
-            "tpch_q13_cust_distribution",
-            "tpch_q16_parts_supplier",
-            "tpch_q17_small_qty",
+            "tpch_q14_promo",
+            "view_over_agg_max",
+            "in_aggregate_subquery",
             "tpch_q19_discounted",
             "tpch_q20_potential_promo",
-            "tpch_q22_global_sales",
-            "text_normalize",
-            "domain_mix_weights",
-            "curriculum_buckets",
-            "embedding_normalize",
-            "ann_ivf_centroids",
-            "ngram_lm_counts",
-            "url_host_dedup",
-            "contamination_overlap",
-            "quality_filter_pipeline",
-            "token_budget_split",
-            "rlhf_pair_stats",
-            "window_dedup_rank",
-            "bpe_pair_counts",
-            "doc_chunk_overlap",
-            "semdedup_representatives",
-            "vocab_coverage",
-            "curation_pipeline_e2e",
+            "multi_exists_anti",
+            "merge_upsert",
+            "heavy_hitters",
+            "zorder_stats",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -34,10 +34,16 @@ RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
-    # the synthetic corpus writes TIMESTAMP(NANOS) parquet, which Spark
-    # refuses natively; read as long and convert at the source layer
+    # the synthetic corpus historically wrote TIMESTAMP(NANOS) parquet, which
+    # Spark refuses natively; read as long and convert at the source layer
     # (sources/files.py) — DuckDB likewise truncates nanos to micros.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # the regenerated corpus writes plain timestamp[us] (no zone); Spark 4
+    # would infer TIMESTAMP_NTZ, which withWatermark rejects outright
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and unix_micros can't consume.
+    # Read as TIMESTAMP_LTZ under the pinned UTC session zone instead — the
+    # exact semantics the DuckDB oracle (UTC-naive) hash-agrees with.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # RocksDB state store: the HDFS-backed default keeps all streaming state
     # (join/window/dedup maps) on the JVM heap — the reference's unbounded
     # join state (sparkpykafkajoin.py:184-187) would OOM executors at real
@@ -121,10 +127,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # the synthetic corpus writes TIMESTAMP(NANOS) parquet, which Spark
-        # refuses natively; read as long and convert at the source layer
-        # (sources/files.py) — DuckDB likewise truncates nanos to micros.
+        # the synthetic corpus historically wrote TIMESTAMP(NANOS) parquet,
+        # which Spark refuses natively; read as long and convert at the
+        # source layer (sources/files.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # plain timestamp[us] corpus columns must read as LTZ-under-UTC, not
+        # NTZ (watermarks reject NTZ); see RUNTIME_CONF.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{n}]")

@@ -13,28 +13,48 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from ..schemas import TABLES
 
-# Corpus columns written as parquet TIMESTAMP(NANOS): Spark reads them as
-# long (spark.sql.legacy.parquet.nanosAsLong) and we convert to micros here,
-# matching DuckDB's nanos->micros truncation so oracle comparisons agree.
-_NANO_TS_COLS = {
+# Corpus timestamp columns, normalized to TIMESTAMP_LTZ-under-UTC at the
+# source layer regardless of how the parquet writer encoded them (the corpus
+# generator has shipped both TIMESTAMP(NANOS) and plain timestamp[us] over
+# time).  Everything downstream — watermarks, unix_micros, the DuckDB
+# oracle's UTC-naive timestamps — assumes LTZ under the pinned UTC zone.
+_TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
 }
 
+# Backwards-compatible alias (older call sites / docs name the nanos shim).
+_NANO_TS_COLS = _TS_COLS
+
 
 def convert_nano_ts(df: DataFrame, name: str) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong) —
-    convert to micros. Integer division, NOT floor(x/1000): doubles lose
-    precision at ~1.7e18 nanos (> 2^53) and round 1 µs high on ~12% of
-    rows, breaking hash parity with the DuckDB oracle."""
-    for col in _NANO_TS_COLS.get(name, ()):
-        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+    """Normalize corpus timestamp columns to TIMESTAMP (LTZ) under UTC.
+
+    Two writer encodings are handled:
+    - TIMESTAMP(NANOS) read as long via nanosAsLong: convert to micros with
+      integer division, NOT floor(x/1000) — doubles lose precision at
+      ~1.7e18 nanos (> 2^53) and round 1 µs high on ~12% of rows, breaking
+      hash parity with the DuckDB oracle.
+    - plain timestamp[us] read as TIMESTAMP_NTZ (if the session missed
+      spark.sql.parquet.inferTimestampNTZ.enabled=false): reinterpret the
+      wall-clock value as UTC.  With the session zone pinned to UTC this is
+      a zero-cost logical cast, bit-identical to the conf-based read.
+    """
+    for col in _TS_COLS.get(name, ()):
+        if col not in df.columns:
+            continue
+        dt = df.schema[col].dataType
+        if isinstance(dt, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # NTZ->LTZ cast interprets the wall-clock in the session zone,
+            # which session.py pins to UTC.
+            df = df.withColumn(col, F.col(col).cast(TimestampType()))
     return df
 
 
