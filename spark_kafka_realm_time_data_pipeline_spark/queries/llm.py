@@ -58,7 +58,12 @@ GROUP BY content_hash HAVING COUNT(*) > 1
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_dedup(D.planted_corpus(spark, sf_dir), threshold=0.8)
+    return D.minhash_lsh_dedup(
+        D.planted_corpus(spark, sf_dir),
+        threshold=0.8,
+        tokenizer=D.doc_token_keys,
+        tok_hashed=True,
+    )
 
 
 # Generated from the SAME constants the Spark operator uses (one source of
@@ -73,10 +78,11 @@ _ORA_AB_MD5 = """
          CAST(('0x' || substring(md5(tok), 9, 7)) AS BIGINT) AS b
   FROM toks
 """
-# hashed-shingle variant: tok is already a 60-bit md5-derived BIGINT; slice
-# (a, b) out with integer div/mod exactly as minhash_signatures(tok_hashed=True)
+# hashed-shingle variant: tok is already a 42-bit polynomial BIGINT key;
+# (a, b) are residues mod two distinct 28-bit primes exactly as
+# minhash_signatures(tok_hashed=True) computes them
 _ORA_AB_SPLIT = f"""
-  SELECT doc_id, tok % {1 << 28} AS a, (tok // {1 << 28}) % {1 << 28} AS b
+  SELECT doc_id, tok % {D.MINHASH_PRIME} AS a, tok % {D.MINHASH_PRIME_B} AS b
   FROM toks
 """
 
@@ -93,7 +99,8 @@ sigs AS (
 ),
 bands AS (
   SELECT doc_id, seed // {D.BAND_ROWS} AS band_id,
-         string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS band_key
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(sig ORDER BY seed)),
+                     (acc, s) -> (acc * {D.SHINGLE_B} + s) % {D.SHINGLE_P}) AS band_key
   FROM sigs GROUP BY doc_id, seed // {D.BAND_ROWS}
 ),
 capped AS (
@@ -123,16 +130,37 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) 
 """
 
 
-ORA_DEDUP_MINHASH = _ora_minhash_pipeline(ORA_TOKS)
+# Word tokens folded to 42-bit integer keys with the shared polynomial
+# (matches operators/dedup.doc_token_keys; ascii('') = 0 on both engines so
+# empty tokens from repeated separators fold to 0 identically).
+ORA_TOKS_HASHED = (
+    "toks AS (SELECT DISTINCT doc_id, "
+    "unnest(list_distinct(list_transform(string_split(text, ' '), "
+    "w -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, c) -> (acc * {D.SHINGLE_B} + c) % {D.SHINGLE_P})"
+    "))) AS tok FROM corpus)"
+)
+
+ORA_DEDUP_MINHASH = _ora_minhash_pipeline(ORA_TOKS_HASHED, _ORA_AB_SPLIT)
 
 # Character 5-gram shingles (matches operators/dedup.doc_shingles: positions
-# 1..len-4, short texts yield one whole-text shingle, each shingle hashed to
-# a 60-bit BIGINT key exactly as the Spark side does).
+# 1..len-4, 0-padded beyond the text end, each shingle hashed with the SAME
+# mod-P polynomial over ascii codes the Spark side computes — generated from
+# the shared SHINGLE_B / SHINGLE_P constants, one source of truth).
+def _ora_gram_hash(n: int = 5) -> str:
+    h = f"CAST(coalesce(codes[i], 0) AS BIGINT)"
+    for k in range(1, n):
+        h = f"(({h}) * {D.SHINGLE_B} + coalesce(codes[i + {k}], 0)) % {D.SHINGLE_P}"
+    return h
+
+
 ORA_SHINGLES = (
     "toks AS (SELECT DISTINCT doc_id, "
     "unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), "
-    "i -> CAST(('0x' || substring(md5(substring(text, CAST(i AS INT), 5)), 1, 15)) AS BIGINT)"
-    "))) AS tok FROM corpus)"
+    f"i -> {_ora_gram_hash()}"
+    "))) AS tok FROM (SELECT doc_id, "
+    "list_transform(string_split(text, ''), c -> ascii(c)) AS codes, text FROM corpus))"
 )
 ORA_DEDUP_MINHASH_NGRAM = _ora_minhash_pipeline(ORA_SHINGLES, _ORA_AB_SPLIT)
 

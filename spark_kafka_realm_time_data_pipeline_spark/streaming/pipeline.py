@@ -86,8 +86,11 @@ def stedi_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive -> join -> project.  Returns (customer, score, email, birthYear)."""
     customers = customer_birth_year(decode_redis_envelope(synth_customer_wire(spark, sf_dir)))
     risk = parse_stedi_events(synth_event_wire(spark, sf_dir)).select("customer", "score")
-    # dim side is small relative to the event stream -> broadcast at scale
-    joined = risk.join(F.broadcast(customers), F.expr("customer = email"))
+    # No static broadcast hint: the customer side grows with SF, so a
+    # hardcoded broadcast becomes an OOM at scale.  AQE converts the
+    # shuffle join to broadcast-hash at runtime whenever the built side
+    # is actually under the threshold (verified in tests/test_plans.py).
+    joined = risk.join(customers, F.expr("customer = email"))
     return joined.select("customer", "score", "email", "birthYear")
 
 

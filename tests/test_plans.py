@@ -110,6 +110,24 @@ def test_dim_broadcast_survives(spark):
     assert "BroadcastExchange" in _plan(spark, "topk_join")
 
 
+def test_flagship_broadcast_is_stats_driven(spark):
+    """Round-6 fix: stedi_batch dropped its static F.broadcast(customers)
+    hint — the customer side grows with SF, so a hint-forced broadcast OOMs
+    at scale.  Two-sided pin: (a) with auto-broadcast disabled the join must
+    flip to a shuffle join (proving no hint survives); (b) with defaults the
+    planner still picks broadcast-hash at this scale from statistics/AQE, so
+    the small-dim fast path isn't lost."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_nohint = _plan(spark, "stedi_flagship")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in plan_nohint, plan_nohint
+    assert "SortMergeJoin" in plan_nohint or "ShuffledHashJoin" in plan_nohint, plan_nohint
+    assert "BroadcastHashJoin" in _plan(spark, "stedi_flagship")
+
+
 def test_scan_prunes_columns(spark):
     """A 2-column projection must not read the full lineitem schema
     (ReadSchema at the parquet scan)."""
