@@ -697,26 +697,38 @@ GROUP BY s.s_name
 N_SALT = 8
 
 
-def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_source: str,
+    n_salt: int = N_SALT,
+) -> DataFrame:
     """Skew-mitigated equi-join by salting: the fact side's hot keys are
-    split across N_SALT sub-keys (deterministically, by event_id so the
-    oracle replays it) and the dim side is replicated N_SALT times, so one
-    hot key's rows land on N_SALT reducers instead of one.
+    split across n_salt sub-keys (deterministically, by ``salt_source`` so
+    the oracle replays it) and the dim side is replicated n_salt times, so
+    one hot key's rows land on n_salt reducers instead of one.  Result is
+    row-identical to the plain equi-join."""
+    f = fact.withColumn("salt", (F.col(salt_source) % n_salt).cast("int"))
+    d = dim.withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)])))
+    return f.join(d, (f[fact_key] == d[dim_key]) & (f["salt"] == d["salt"]))
+
+
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (see salted_join).
 
     This is the manual form of what AQE skew-join does at runtime — kept as
     a first-class operator because AQE only splits on partition-size
     thresholds, while pipeline authors sometimes know the skewed keys a
     priori (e.g. null-ish sentinel user_ids in event streams).
-    Result is identical to the plain join — which is the oracle."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "salt", (F.col("event_id") % N_SALT).cast("int")
-    )
+    Result is identical to the plain join — which is the oracle.
+    tests/test_plans.py proves the mechanism on a planted 30%-hot-key
+    fixture: max reducer share drops ~n_salt-fold vs the unsalted join."""
+    ev = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    c_rep = c.withColumn(
-        "salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALT)]))
-    )
     return (
-        ev.join(c_rep, (ev.user_id == c_rep.c_custkey) & (ev.salt == c_rep.salt))
+        salted_join(ev, c, "user_id", "c_custkey", "event_id")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
     )

@@ -146,6 +146,66 @@ def test_no_python_row_udfs(spark):
         assert "BatchEvalPython" not in _plan(spark, name), name
 
 
+def test_salted_join_splits_planted_hot_key(spark):
+    """Planted-skew fixture: one user owns 30% of a 50k-row fact table.
+    Unsalted, that key's rows collapse onto ONE reducer (max task share >=
+    30%); salted across N_SALT sub-keys they spread out (max share ~30/8 +
+    base).  AQE is disabled so we measure the salting mechanism, not the
+    runtime skew-splitter that backstops it in production."""
+    from pyspark.sql import functions as SF
+
+    from spark_kafka_realm_time_data_pipeline_spark.queries.relational import (
+        N_SALT,
+        salted_join,
+    )
+
+    n_rows, n_keys, hot_share = 50_000, 200, 0.30
+    n_hot = int(n_rows * hot_share)
+    fact = spark.range(n_rows).select(
+        SF.col("id").alias("row_id"),
+        SF.when(SF.col("id") < n_hot, SF.lit(0))
+        .otherwise(SF.col("id") % n_keys)
+        .alias("user_id"),
+    )
+    dim = spark.range(n_keys).select(
+        SF.col("id").alias("c_custkey"), (SF.col("id") % 5).alias("seg")
+    )
+
+    def max_task_share(joined):
+        sizes = [
+            r["n"]
+            for r in joined.groupBy(SF.spark_partition_id().alias("p"))
+            .agg(SF.count(SF.lit(1)).alias("n"))
+            .collect()
+        ]
+        return max(sizes) / sum(sizes)
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # force a shuffle join: a broadcast join never shuffles the fact
+        # side, hiding the very skew this fixture plants
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # enough reducers for the 8 sub-keys to spread: the session fixture
+        # runs 4 shuffle partitions, where 8 hash cells inevitably collide.
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        plain = fact.join(dim, fact.user_id == dim.c_custkey)
+        plain_share = max_task_share(plain)
+        salted = salted_join(fact, dim, "user_id", "c_custkey", "row_id")
+        salted_share = max_task_share(salted)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # row parity: salting must not change the join result size
+    assert salted.count() == plain.count() == n_rows
+    assert plain_share >= hot_share, plain_share
+    assert salted_share <= hot_share / N_SALT + 0.05, (plain_share, salted_share)
+
+
 def test_pivot_executes(spark):
     df = registry()["pivot_events"].fn(spark, SF_DIR)
     cols = df.columns

@@ -1,0 +1,85 @@
+"""sf1 scale proof: measure headline operators at sf0.1 and at a 10x
+scaled corpus (tools/gen_scale.py) and record per-query scaling ratios.
+
+Near-linear scaling (ratio <= ~12x for 10x data on the same 32-thread
+box) is the evidence that the plan shapes — bucketed LSH, hash-keyed
+decontamination joins, histogram aggregates, windowed sessionization —
+have no hidden quadratic term or state blow-up.  Super-linear outliers
+get named in the artifact instead of hiding in an average.
+
+Writes BENCH_sf1.json:
+  {"sf0.1": {q: sec}, "sf1": {q: sec}, "ratio": {q: x}, ...}
+
+Usage: python tools/scale_proof.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_minhash_ngram",
+    "ngram_decontaminate",
+    "contamination_overlap",
+    "curation_pipeline_e2e",
+    "sessionize",
+    "tpch_q9_profit",
+    "stedi_flagship",
+]
+
+
+def run_bench(sf_dir: str, queries: list[str], runs: int = 3) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_BENCH_RUNS=str(runs))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *queries],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    queries = sys.argv[1:] or QUERIES
+    sf1_dir = os.path.join(REPO, ".scale", "sf1")
+    if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "gen_scale.py")],
+            check=True,
+            timeout=1200,
+        )
+    small = run_bench("/root/testdata/sf0.1", queries)
+    big = run_bench(sf1_dir, queries)
+    ratio = {
+        q: round(big["queries"][q] / small["queries"][q], 2)
+        for q in queries
+        if q in small.get("queries", {}) and q in big.get("queries", {})
+        and small["queries"][q] > 0
+    }
+    result = {
+        "metric": "sf1_scale_proof",
+        "data_scale": 10,
+        "sf0.1": small.get("queries", {}),
+        "sf1": big.get("queries", {}),
+        "ratio": ratio,
+        "errors": {**small.get("errors", {}), **big.get("errors", {})},
+        "note": (
+            "10x data on the same local[32] box; near-linear = ratio <= ~12. "
+            "Sub-linear ratios mean the sf0.1 time was fixed-overhead-bound."
+        ),
+    }
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
