@@ -287,7 +287,10 @@ def jaccard_verify(
     # broadcastable key list, and without the filter the full token frame —
     # the widest intermediate in the suite — crosses the wire even though
     # most docs are in no candidate pair.  Result-neutral (inner join).
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    docs_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    tb = toks.join(docs_b, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_b"), "tok"
+    )
     inter = (
         pairs.join(ta, "doc_a")
         .join(tb, ["doc_b", "tok"])
@@ -329,6 +332,18 @@ def minhash_lsh_dedup(
     materialized intermediate table a 100 TB pipeline would stage here."""
     from pyspark import StorageLevel
 
+    # The corpus arrives with file-split parallelism (maxPartitionBytes):
+    # a few hundred MB of documents = a handful of splits, and tokenize +
+    # the signature partial-agg then run that narrow regardless of cores —
+    # measured 6-wide on 32 cores at the 10x scale corpus, making the
+    # signature stage the one super-linear line in BENCH_sf1.json.  Fan the
+    # corpus out to the session's parallelism BEFORE the ~5x explode;
+    # shuffling the compact (doc_id, text) rows is far cheaper than the
+    # exploded token frame.  At real cluster scale the scan arrives with
+    # thousands of splits and this is a no-op.
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(target)
     toks = tokenizer(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     # signatures are consumed twice (band explode + set sizes) and are tiny
     # (n_docs x 65 ints) but expensive to produce (64-min agg over the
@@ -413,3 +428,55 @@ def simhash_dup_groups(corpus: DataFrame) -> DataFrame:
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, component_id)
+    with component_id = min doc_id in the component — the step that turns
+    pairwise matches into canonical duplicate GROUPS (keep component_id,
+    drop the rest).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup components are shallow — exact copies and
+    their near-edits chain 2-3 hops).  Each round is one equi-join + one
+    groupBy on the (small) pair graph — the label frame is checkpointed per
+    round so lineage stays flat.  At 100 TB scale the same loop is the
+    standard large/small-star formulation; the input pair set is already
+    bounded by the LSH bucket cap, not corpus size.  Convergence is checked
+    via the (monotonically non-increasing) label sum — no extra join.
+
+    The DuckDB oracle replays it as a recursive transitive closure, so the
+    fixpoint itself is value-checked, not just row-counted."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0] or 0
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.doc == nbr.src, "left")
+            .select(
+                labels.doc,
+                F.least(
+                    labels.label, F.coalesce(F.col("nbr_label"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0] or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("component_id"))

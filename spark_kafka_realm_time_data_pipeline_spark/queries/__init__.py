@@ -67,6 +67,8 @@ def registry() -> dict[str, QuerySpec]:
             # plans changed in r6 — need fresh green rows
             "dedup_minhash_lsh",
             "dedup_minhash_ngram",
+            # new in r6
+            "dedup_components",
             "stedi_flagship",
             "join_skew_salted",
             # timestamp-consuming families: re-prove hash parity under the

@@ -178,6 +178,41 @@ def q_dedup_minhash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the n-gram near-dup pairs: turns pairwise
+    matches into canonical duplicate groups (doc_id -> min-doc component
+    id) via iterative min-label propagation — the step between "pairs
+    found" and "corpus deduplicated" that per-pair queries stop short of."""
+    pairs = D.minhash_lsh_dedup(
+        D.planted_corpus(spark, sf_dir),
+        threshold=0.8,
+        tokenizer=D.doc_shingles,
+        tok_hashed=True,
+    ).select("doc_a", "doc_b")
+    return D.dup_components(pairs)
+
+
+# The oracle replays the fixpoint as a recursive transitive closure over the
+# symmetric pair graph: component_id(doc) = min(doc, min reachable doc).
+ORA_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORA_DEDUP_MINHASH_NGRAM}) t
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, least(src, MIN(dst)) AS component_id
+FROM reach GROUP BY src
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(D.planted_corpus(spark, sf_dir))
 
@@ -613,6 +648,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_minhash_ngram,
         ORA_DEDUP_MINHASH_NGRAM,
         "n-gram (char-shingle) Jaccard near-dup via MinHash-LSH",
+    ),
+    "dedup_components": QuerySpec(
+        q_dedup_components,
+        ORA_DEDUP_COMPONENTS,
+        "connected components over near-dup pairs (min-label fixpoint)",
     ),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _ora_simhash(), "SimHash fingerprints"),
     "dedup_simhash_hamming": QuerySpec(

@@ -179,3 +179,21 @@ def test_curation_pipeline_funnel_adds_up(spark):
         total_dups += r.n_dup_dropped
     # the planted exact copies must be caught by the normalize+hash dedup
     assert total_dups > 0
+
+
+def test_dup_components_hand_graph(spark):
+    """Min-label propagation on a hand-built graph: chain a-b-c collapses
+    to one component labeled by its min node; disjoint pair keeps its own;
+    every node of a component gets the same id."""
+    from pyspark.sql import functions as SF
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.dedup import dup_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in dup_components(pairs).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}

@@ -8,11 +8,16 @@ correct at the source SF runs unchanged at the scaled SF:
 - every entity key (custkey, orderkey, partkey, suppkey, event_id, user_id,
   doc_id, vec_id) is offset by ``replica * (max_key + 1)`` and every foreign
   key by the matching offset, so joins hit exactly one replica;
-- document text is perturbed per replica (every word suffixed with the
-  replica index) so replicas are NOT near-duplicates of each other — a
-  naive row copy would plant 10x organic duplicates and quadratically
-  inflate the dedup verify stage, measuring a different workload, not a
-  bigger one;
+- document text is perturbed per replica with a Caesar substitution cipher
+  on letters (shift by the replica index).  A bijective character map
+  preserves the corpus's WITHIN-replica shingle/token statistics exactly
+  (doc-pair Jaccard is invariant under a bijection of the symbol space)
+  while making cross-replica shingle sets disjoint — so the scaled corpus
+  has 10x the docs and ~10x the true near-dup pairs, not more.  Two
+  earlier schemes measured the wrong workload: a naive row copy plants
+  10x organic duplicates; suffixing every word with the replica index
+  makes every doc in a replica share the suffix shingles, which inflated
+  LSH candidates 191x instead of 10x at sf1;
 - embeddings are rotated by the replica index (norm-preserving) so ANN
   queries see distinct vectors.
 
@@ -102,19 +107,32 @@ def generate(src: str, dst: str, k: int = 10) -> None:
         f"SELECT event_id + {{r}} * {offs['events']} AS event_id, ts, "
         f"user_id + {{r}} * {uid_off} AS user_id, event_type, value, props FROM events",
     )
-    # replica 0 keeps the original text byte-for-byte; replicas >0 suffix
-    # every word so neither word-token nor shingle sets overlap with the
-    # original (Jaccard << any dedup threshold)
-    emit(
-        "documents",
-        f"SELECT doc_id + {{r}} * {offs['documents']} AS doc_id, "
-        "CASE WHEN {r} = 0 THEN text ELSE "
-        "array_to_string(list_transform(string_split(text, ' '), w -> w || '{r}'), ' ') "
-        "END AS text, lang, source, "
-        "CASE WHEN {r} = 0 THEN n_chars ELSE length("
-        "array_to_string(list_transform(string_split(text, ' '), w -> w || '{r}'), ' ')"
-        ") END AS n_chars FROM documents",
+    # replica 0 keeps the original text byte-for-byte; replicas >0 apply a
+    # shift-r letter cipher (translate) — length-preserving, so n_chars
+    # carries over unchanged
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+
+    def cipher(r: int) -> str:
+        plain = lower + upper
+        shifted = lower[r:] + lower[:r] + upper[r:] + upper[:r]
+        return f"translate(text, '{plain}', '{shifted}')"
+
+    doc_selects = [
+        f"SELECT doc_id + {r} * {offs['documents']} AS doc_id, "
+        + ("text" if r == 0 else cipher(r))
+        + f" AS text, lang, source, n_chars FROM documents"
+        for r in range(k)
+    ]
+    con.execute(
+        "COPY ("
+        + " UNION ALL ".join(doc_selects)
+        + f") TO '{dst}/documents.parquet' (FORMAT PARQUET)"
     )
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet')"
+    ).fetchone()[0]
+    print(f"  documents: {n} rows")
     emit(
         "embeddings",
         f"SELECT vec_id + {{r}} * {offs['embeddings']} AS vec_id, "
