@@ -185,3 +185,48 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % FP_MOD,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k most characteristic terms per document by tf-idf with a
+    rational (BM25-style) idf: score = tf * (2N - 2df + 1) / (2df + 1).
+
+    The rational idf is deliberate: every factor is an exact integer (tf,
+    doc count N, doc frequency df), so the score is ONE IEEE double
+    division of exact integers — bit-identical in Spark and DuckDB, where
+    ln()-based idf would differ in the last ulp across libm
+    implementations and silently flip ranks on near-ties.  Ties break on
+    (score DESC, term ASC), so the top-k set is fully deterministic.
+
+    Scale shape: tf is one groupBy(doc_id, term) with map-side combine;
+    df is one groupBy(term) over the (already aggregated) tf frame; N is
+    a broadcast scalar; ranking is a window over per-doc groups, bounded
+    by WindowGroupLimit pushdown, never a global sort of the corpus."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf") * (2 * F.col("n_docs") - 2 * F.col("df") + 1)).cast(
+                    "double"
+                )
+                / (2 * F.col("df") + 1).cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+    )

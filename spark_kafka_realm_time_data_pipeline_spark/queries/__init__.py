@@ -69,6 +69,7 @@ def registry() -> dict[str, QuerySpec]:
             "dedup_minhash_ngram",
             # new in r6
             "dedup_components",
+            "tfidf_top_terms",
             "stedi_flagship",
             "join_skew_salted",
             # timestamp-consuming families: re-prove hash parity under the

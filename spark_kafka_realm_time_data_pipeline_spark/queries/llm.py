@@ -375,6 +375,34 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by tf-idf with a rational idf
+    (exact-integer arithmetic — no ln(), so no cross-libm ulp drift)."""
+    return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+ORA_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * (2 * n.n_docs - 2 * df.df + 1) AS DOUBLE)
+           / CAST(2 * df.df + 1 AS DOUBLE) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score, rank FROM (
+  SELECT doc_id, term, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
+
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]"
 ORA_TEXT_QUALITY = f"""
 SELECT doc_id,
@@ -671,6 +699,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_sim_lsh, _ora_sim_lsh(), "random-hyperplane LSH ANN (full value oracle)"
     ),
     "text_quality": QuerySpec(q_text_quality, ORA_TEXT_QUALITY, "quality scoring"),
+    "tfidf_top_terms": QuerySpec(
+        q_tfidf_top_terms,
+        ORA_TFIDF_TOP_TERMS,
+        "per-doc tf-idf top terms (rational idf, deterministic ties)",
+    ),
     "text_tokens": QuerySpec(q_text_tokens, ORA_TEXT_TOKENS, "token counting"),
     "text_langid": QuerySpec(q_text_langid, _ora_langid(), "language-ID heuristic"),
     "pii_redact": QuerySpec(
