@@ -69,6 +69,7 @@ def registry() -> dict[str, QuerySpec]:
             "dedup_minhash_ngram",
             # new in r6
             "dedup_components",
+            "dedup_keep_corpus",
             "tfidf_top_terms",
             "stedi_flagship",
             "join_skew_salted",

@@ -194,8 +194,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The oracle replays the fixpoint as a recursive transitive closure over the
 # symmetric pair graph: component_id(doc) = min(doc, min reachable doc).
-ORA_DEDUP_COMPONENTS = f"""
-WITH RECURSIVE pairs AS (
+_ORA_COMPONENT_CTES = f"""pairs AS (
   SELECT doc_a, doc_b FROM ({ORA_DEDUP_MINHASH_NGRAM}) t
 ),
 sym AS (
@@ -207,9 +206,46 @@ reach(src, dst) AS (
   SELECT src, dst FROM sym
   UNION
   SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, MIN(dst)) AS component_id
+  FROM reach GROUP BY src
+)"""
+
+ORA_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_ORA_COMPONENT_CTES}
+SELECT doc_id, component_id FROM comp
+"""
+
+
+def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the near-dup funnel: the kept corpus.  Every doc that is a
+    non-canonical member of a duplicate component (component_id != doc_id)
+    is dropped via a left-anti join; canonical representatives and
+    untouched docs survive.  One anti-join against the (tiny) component
+    frame — the corpus itself is never shuffled."""
+    corpus = D.planted_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_dedup(
+        D.planted_corpus(spark, sf_dir),
+        threshold=0.8,
+        tokenizer=D.doc_shingles,
+        tok_hashed=True,
+    ).select("doc_a", "doc_b")
+    drop = (
+        D.dup_components(pairs)
+        .filter(F.col("doc_id") != F.col("component_id"))
+        .select("doc_id")
+    )
+    return corpus.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+ORA_DEDUP_KEEP_CORPUS = f"""
+WITH RECURSIVE {D.ORA_CORPUS},
+{_ORA_COMPONENT_CTES}
+SELECT c.doc_id FROM corpus c
+WHERE c.doc_id NOT IN (
+  SELECT doc_id FROM comp WHERE doc_id <> component_id
 )
-SELECT src AS doc_id, least(src, MIN(dst)) AS component_id
-FROM reach GROUP BY src
 """
 
 
@@ -681,6 +717,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_components,
         ORA_DEDUP_COMPONENTS,
         "connected components over near-dup pairs (min-label fixpoint)",
+    ),
+    "dedup_keep_corpus": QuerySpec(
+        q_dedup_keep_corpus,
+        ORA_DEDUP_KEEP_CORPUS,
+        "kept corpus after component dedup (anti-join non-canonical members)",
     ),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _ora_simhash(), "SimHash fingerprints"),
     "dedup_simhash_hamming": QuerySpec(
