@@ -206,6 +206,15 @@ def test_salted_join_splits_planted_hot_key(spark):
     assert salted_share <= hot_share / N_SALT + 0.05, (plain_share, salted_share)
 
 
+def test_tfidf_rank_is_group_limited(spark):
+    """tfidf_top_terms must rank per-doc groups with WindowGroupLimit
+    pushdown (top-k within partitions before the final window) and never
+    fall back to a global sort of the scored corpus or Python."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_pivot_executes(spark):
     df = registry()["pivot_events"].fn(spark, SF_DIR)
     cols = df.columns
