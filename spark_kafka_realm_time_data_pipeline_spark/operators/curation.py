@@ -22,7 +22,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .training import BENCH_MOD, NGRAM_N, _word_ngrams
+from .training import (
+    BENCH_MOD,
+    NGRAM_N,
+    ORA_GRAM_KEY_CTES,
+    _word_ngrams,
+    gram_key_pairs,
+)
 
 # --- text normalization ------------------------------------------------------
 
@@ -388,12 +394,8 @@ FROM u GROUP BY 1
 # --- contamination overlap profile ------------------------------------------
 
 
-def _gram_key() -> Column:
-    # same 60-bit md5-derived key as ngram_decontaminate (training.py): the
-    # join moves 8-byte longs, and the oracle replays the hash bit-for-bit
-    return F.conv(
-        F.substring(F.md5(F.col("ngram").cast("binary")), 1, 15), 16, 10
-    ).cast("long")
+# gram keys come from training._gram_keys (shared polynomial fold — r6
+# replaced the md5-per-gram-string key; see that docstring)
 
 
 def contamination_overlap(docs: DataFrame) -> DataFrame:
@@ -407,9 +409,7 @@ def contamination_overlap(docs: DataFrame) -> DataFrame:
     side's per-doc distinct is bounded (fixed eval suite), train grams stay
     raw until after the equi-join, dedup (count_distinct) runs over the
     matched sliver only, ONE full-width shuffle (the join)."""
-    grams = docs.select("doc_id", F.explode(_word_ngrams()).alias("ngram")).select(
-        "doc_id", _gram_key().alias("gram_key")
-    )
+    grams = gram_key_pairs(docs)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = (
         grams.filter(is_bench)
@@ -446,14 +446,9 @@ def contamination_overlap(docs: DataFrame) -> DataFrame:
 
 ORA_CONTAMINATION_OVERLAP = f"""
 WITH {{corpus_cte}}
-words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
-), grams AS (
-  SELECT DISTINCT doc_id,
-         CAST(('0x' || substring(md5(
-           array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + {NGRAM_N - 1}), ' ')
-         ), 1, 15)) AS BIGINT) AS gram_key
-  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {NGRAM_N - 2})) AS i FROM words)
+{ORA_GRAM_KEY_CTES},
+grams AS (
+  SELECT DISTINCT doc_id, gram_key FROM grams_raw
 ), bench AS (
   SELECT doc_id AS bench_doc_id, gram_key FROM grams WHERE doc_id % {BENCH_MOD} = 0
 ), bench_tot AS (

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import SHINGLE_B, SHINGLE_P
+
 # --- decontamination ---------------------------------------------------------
 
 NGRAM_N = 8  # word n-gram width; published scrubs use 8-13
@@ -43,6 +45,67 @@ def _word_ngrams(text_col: str = "text", n: int = NGRAM_N) -> Column:
     )
 
 
+def gram_key_pairs(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, gram_key) pairs: each word folded to an integer with the
+    shared Rabin-Karp polynomial (one pass over its chars), then the n
+    word-keys of each gram folded again with the same polynomial.
+
+    Round-6 replacement for md5(array_join(slice(words, i, n))): the gram
+    STRING (~60 bytes) is never materialized and no digest runs per gram —
+    pure integer arithmetic end to end, replayed bit-for-bit by the DuckDB
+    oracle (ORA_GRAM_KEY_CTES).  Word boundaries stay significant because
+    words are hashed individually before the gram fold.  Overflow-safe in
+    both engines: acc < P (2^42), acc*B + key < 2^62.1 + 2^42 < 2^63.
+
+    MUST be a two-Project DataFrame op, not one nested expression: when the
+    per-start lambda references the word-key transform as a subexpression,
+    Catalyst re-evaluates the ENTIRE word-key array per start position —
+    O(words^2) folds per doc (measured 2.2s -> 15.6s at sf0.1 before this
+    split).  Materializing the array as a named column pins one evaluation
+    per row; CollapseProject keeps multi-referenced non-cheap aliases."""
+    wk = F.transform(
+        F.split("text", " "),
+        lambda w: F.aggregate(
+            F.transform(F.split(w, ""), lambda c: F.ascii(c)),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * SHINGLE_B + c) % SHINGLE_P,
+        ),
+    )
+    grams = F.when(
+        F.size("_wk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_wk") - (n - 1)),
+            lambda i: F.aggregate(
+                F.slice(F.col("_wk"), i, F.lit(n)),
+                F.lit(0).cast("long"),
+                lambda acc, k: (acc * SHINGLE_B + k) % SHINGLE_P,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.withColumn("_wk", wk).select(
+        "doc_id", F.explode(grams).alias("gram_key")
+    )
+
+
+# DuckDB twin of _gram_keys, shared by the decontaminate and contamination
+# oracles (format with the corpus CTE already in scope): words -> per-word
+# polynomial keys -> per-start slice fold.
+ORA_GRAM_KEY_CTES = f"""words AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                (acc, c) -> (acc * {SHINGLE_B} + c) % {SHINGLE_P})) AS wk
+  FROM corpus
+), grams_raw AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                  list_slice(wk, CAST(i AS INT), CAST(i AS INT) + {NGRAM_N - 1})),
+                     (acc, k) -> (acc * {SHINGLE_B} + k) % {SHINGLE_P}) AS gram_key
+  FROM (SELECT doc_id, wk, unnest(range(1, len(wk) - {NGRAM_N - 2})) AS i FROM words)
+)"""
+
+
 def ngram_decontaminate(docs: DataFrame) -> DataFrame:
     """Flag training docs sharing any word 8-gram with the benchmark set
     (docs with doc_id % BENCH_MOD == 0 stand in for MMLU/GSM8K/etc).
@@ -59,16 +122,12 @@ def ngram_decontaminate(docs: DataFrame) -> DataFrame:
     training-side explode feeds ONE shuffle — the join — and the explode
     itself is a narrow map.
     """
-    # shuffle the 60-bit md5-derived gram key, not the 8-word string: the
-    # join moves ~8 bytes/row instead of ~60, and the hash is
-    # engine-portable so the oracle replays it bit-for-bit (collision odds
-    # at 60 bits are negligible and replayed identically anyway)
-    gram_key = F.conv(F.substring(F.md5(F.col("ngram").cast("binary")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    grams = docs.select("doc_id", F.explode(_word_ngrams()).alias("ngram")).select(
-        "doc_id", gram_key.alias("gram_key")
-    )
+    # shuffle an 8-byte integer gram key, not the 8-word string: the join
+    # moves ~8 bytes/row instead of ~60, and the polynomial key
+    # (gram_key_pairs) is engine-portable so the oracle replays it
+    # bit-for-bit (collision odds at 42 bits are negligible and replayed
+    # identically anyway)
+    grams = gram_key_pairs(docs)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = grams.filter(is_bench).select("gram_key").distinct()
     train = grams.filter(~is_bench)
@@ -84,21 +143,12 @@ def ngram_decontaminate(docs: DataFrame) -> DataFrame:
 # the raw random-word corpus shares almost no true 8-grams by chance.
 ORA_NGRAM_DECONTAMINATE = f"""
 WITH {{corpus_cte}}
-words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM corpus
-), starts AS (
-  SELECT doc_id, w, unnest(range(1, len(w) - {NGRAM_N - 2})) AS i FROM words
-), grams AS (
-  SELECT doc_id,
-         CAST(('0x' || substring(md5(
-           array_to_string(list_slice(w, CAST(i AS INT), CAST(i AS INT) + {NGRAM_N - 1}), ' ')
-         ), 1, 15)) AS BIGINT) AS gram_key
-  FROM starts
-), bench AS (
-  SELECT DISTINCT gram_key FROM grams WHERE doc_id % {BENCH_MOD} = 0
+{ORA_GRAM_KEY_CTES},
+bench AS (
+  SELECT DISTINCT gram_key FROM grams_raw WHERE doc_id % {BENCH_MOD} = 0
 )
 SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram_key) AS BIGINT) AS n_contaminated
-FROM grams g JOIN bench b USING (gram_key)
+FROM grams_raw g JOIN bench b USING (gram_key)
 WHERE g.doc_id % {BENCH_MOD} <> 0
 GROUP BY g.doc_id
 """
