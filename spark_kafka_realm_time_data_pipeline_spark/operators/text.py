@@ -230,3 +230,53 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "score", "rank")
     )
+
+
+# BM25 parameters (standard Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_term_scores(docs: DataFrame, query_doc_id: int = 17) -> DataFrame:
+    """Per-(doc, term) BM25 contributions for the terms of one query doc —
+    the scoring kernel of lexical retrieval over the corpus.
+
+    Deliberately emits per-TERM rows instead of the per-doc sum: summing
+    double contributions is shuffle-order-dependent, which would break
+    hash parity with the oracle; every emitted score is instead a FIXED
+    expression dag over exact integers (tf, df, dl, N, total_len), so both
+    engines evaluate bit-identical IEEE doubles.  The idf is the rational
+    BM25 form (N - df + 0.5)/(df + 0.5) written as integer halves.
+
+    Scale shape: one tf groupBy (map-side combine), df over the aggregated
+    frame, doc lengths from the same pass, query terms broadcast (a query
+    is a handful of terms), ranking bounded per doc."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qterms = (
+        toks.filter(F.col("doc_id") == query_doc_id).select("term").distinct()
+    )
+    # idf = (2N - 2df + 1)/(2df + 1); tf-norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    tfnorm = (F.col("tf").cast("double") * (BM25_K1 + 1)) / (
+        F.col("tf").cast("double")
+        + BM25_K1 * (1 - BM25_B + BM25_B * (F.col("dl").cast("double") / avgdl))
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("doc_id") != query_doc_id)
+        .select("doc_id", "term", (idf * tfnorm).alias("bm25"))
+    )

@@ -71,6 +71,7 @@ def registry() -> dict[str, QuerySpec]:
             "dedup_components",
             "dedup_keep_corpus",
             "tfidf_top_terms",
+            "bm25_term_scores",
             "stedi_flagship",
             "join_skew_salted",
             # timestamp-consuming families: re-prove hash parity under the

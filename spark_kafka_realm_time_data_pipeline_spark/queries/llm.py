@@ -17,6 +17,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 from ..operators import training as TR
+from ..operators.text import BM25_B, BM25_K1
 from ..sources.files import load_table
 from . import QuerySpec
 
@@ -246,6 +247,41 @@ SELECT c.doc_id FROM corpus c
 WHERE c.doc_id NOT IN (
   SELECT doc_id FROM comp WHERE doc_id <> component_id
 )
+"""
+
+
+def q_bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 contributions of one query doc's terms against the corpus —
+    per-term rows (a float per-doc SUM would be shuffle-order-dependent
+    and break hash parity; the per-term score is a fixed IEEE dag over
+    exact integers both engines evaluate bit-identically)."""
+    return T.bm25_term_scores(load_table(spark, sf_dir, "documents"), query_doc_id=17)
+
+
+# Same expression dag as operators/text.bm25_term_scores, constants folded
+# the same way Python folds them (k1+1 -> 2.2, 1-b -> 0.25).
+ORA_BM25_TERM_SCORES = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+totals AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+q AS (SELECT DISTINCT term FROM toks2 WHERE doc_id = 17)
+SELECT tf.doc_id, tf.term,
+       (CAST(2 * t.n_docs - 2 * df.df + 1 AS DOUBLE) / CAST(2 * df.df + 1 AS DOUBLE))
+       * ((CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1}) /
+          (CAST(tf.tf AS DOUBLE) + {BM25_K1} * ({1 - BM25_B} + {BM25_B} *
+            (CAST(dl.dl AS DOUBLE) / (CAST(t.total_len AS DOUBLE) / CAST(t.n_docs AS DOUBLE))))))
+       AS bm25
+FROM tf
+JOIN q USING (term)
+JOIN df USING (term)
+JOIN dl USING (doc_id)
+CROSS JOIN totals t
+WHERE tf.doc_id <> 17
 """
 
 
@@ -744,6 +780,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_tfidf_top_terms,
         ORA_TFIDF_TOP_TERMS,
         "per-doc tf-idf top terms (rational idf, deterministic ties)",
+    ),
+    "bm25_term_scores": QuerySpec(
+        q_bm25_term_scores,
+        ORA_BM25_TERM_SCORES,
+        "BM25 retrieval kernel: per-(doc, term) contributions for a query doc",
     ),
     "text_tokens": QuerySpec(q_text_tokens, ORA_TEXT_TOKENS, "token counting"),
     "text_langid": QuerySpec(q_text_langid, _ora_langid(), "language-ID heuristic"),
