@@ -72,6 +72,12 @@ def registry() -> dict[str, QuerySpec]:
             "dedup_keep_corpus",
             "tfidf_top_terms",
             "bm25_term_scores",
+            # gram keys switched md5 -> polynomial in r6 — old greens stale
+            "ngram_decontaminate",
+            "contamination_overlap",
+            # runner replay profile changed in r6 — re-prove the one
+            # streaming query not already listed above
+            "streaming_foreachbatch_topk",
             "stedi_flagship",
             "join_skew_salted",
             # timestamp-consuming families: re-prove hash parity under the
