@@ -480,3 +480,92 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def incremental_near_dup(
+    base: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Incremental (delta-vs-base) near-dup: which NEW docs duplicate the
+    EXISTING corpus — the shape a daily-ingest pipeline runs, where
+    re-deduplicating the full corpus per batch would be quadratic in
+    corpus lifetime.  Only delta docs are fully processed; the base side
+    contributes its (band_id, band_key) index, which at production scale
+    is a precomputed, incrementally-maintained table — recomputed here
+    because the bounded corpus makes that cheap.
+
+    Candidates come from an equi-join of delta bands against base bands
+    (each side bucket-capped deterministically), verified with exact
+    Jaccard over the union token frame.  Output: (delta_id, base_id,
+    jaccard) for verified pairs."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    both = base.select("doc_id", "text").unionByName(delta.select("doc_id", "text"))
+    target = both.sparkSession.sparkContext.defaultParallelism
+    if both.rdd.getNumPartitions() < target:
+        both = both.repartition(target)
+    toks = doc_shingles(both).persist(StorageLevel.MEMORY_AND_DISK)
+    delta_ids = delta.select("doc_id")
+    sigs = minhash_signatures(toks, tok_hashed=True, with_size=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        n_bands = N_MINHASH // BAND_ROWS
+
+        def band_key(b: int):
+            acc = F.lit(0).cast("long")
+            for r in range(BAND_ROWS):
+                acc = (acc * SHINGLE_B + F.col(f"s{b * BAND_ROWS + r}")) % SHINGLE_P
+            return acc
+
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"), band_key(b).alias("band_key")
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bd"),
+        ).select("doc_id", "bd.band_id", "bd.band_key")
+        # membership via semi/anti join against delta_ids (never isin over a
+        # collected list — delta can be arbitrarily large)
+        w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+        base_bands = (
+            bands.join(delta_ids, "doc_id", "left_anti")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_bucket)
+            .select(F.col("doc_id").alias("base_id"), "band_id", "band_key")
+        )
+        delta_bands = (
+            bands.join(delta_ids, "doc_id", "left_semi")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_bucket)
+            .select(F.col("doc_id").alias("delta_id"), "band_id", "band_key")
+        )
+        cands = (
+            delta_bands.join(base_bands, ["band_id", "band_key"])
+            .select("delta_id", "base_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        pairs = cands.select(
+            F.col("base_id").alias("doc_a"), F.col("delta_id").alias("doc_b")
+        )
+        verified = jaccard_verify(
+            pairs, toks, threshold, sizes=sigs.select("doc_id", "n_toks")
+        )
+        return verified.select(
+            F.col("doc_b").alias("delta_id"),
+            F.col("doc_a").alias("base_id"),
+            "jaccard",
+        ).localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+        toks.unpersist()

@@ -72,6 +72,7 @@ def registry() -> dict[str, QuerySpec]:
             "dedup_keep_corpus",
             "tfidf_top_terms",
             "bm25_term_scores",
+            "dedup_incremental",
             # gram keys switched md5 -> polynomial in r6 — old greens stale
             "ngram_decontaminate",
             "contamination_overlap",

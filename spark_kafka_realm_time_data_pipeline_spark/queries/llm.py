@@ -285,6 +285,64 @@ WHERE tf.doc_id <> 17
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the planted copies (doc_id >= 1000000) play
+    "today's batch" against the original documents as the existing corpus —
+    the asymmetric delta-vs-base shape a daily-ingest pipeline runs instead
+    of re-deduplicating the whole corpus per batch."""
+    corpus = D.planted_corpus(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < 1000000)
+    delta = corpus.filter(F.col("doc_id") >= 1000000)
+    return D.incremental_near_dup(base, delta, threshold=0.8)
+
+
+ORA_DEDUP_INCREMENTAL = f"""
+WITH {D.ORA_CORPUS},
+{ORA_SHINGLES},
+hashed AS ({_ORA_AB_SPLIT}),
+sigs AS (
+  SELECT doc_id, seed, MIN((a + seed * (2*b + 1)) % {D.MINHASH_PRIME}) AS sig
+  FROM hashed CROSS JOIN (SELECT unnest([{_MINHASH_SEEDS}]) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {D.BAND_ROWS} AS band_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(sig ORDER BY seed)),
+                     (acc, s) -> (acc * {D.SHINGLE_B} + s) % {D.SHINGLE_P}) AS band_key
+  FROM sigs GROUP BY doc_id, seed // {D.BAND_ROWS}
+),
+base_capped AS (
+  SELECT doc_id, band_id, band_key FROM bands WHERE doc_id < 1000000
+  QUALIFY row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id)
+          <= {D.MAX_BUCKET}
+),
+delta_capped AS (
+  SELECT doc_id, band_id, band_key FROM bands WHERE doc_id >= 1000000
+  QUALIFY row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id)
+          <= {D.MAX_BUCKET}
+),
+cands AS (
+  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+  FROM delta_capped d JOIN base_capped b
+    ON d.band_id = b.band_id AND d.band_key = b.band_key
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.delta_id, c.base_id, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.base_id
+  JOIN toks tb ON tb.doc_id = c.delta_id AND tb.tok = ta.tok
+  GROUP BY c.delta_id, c.base_id
+)
+SELECT i.delta_id, i.base_id,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.base_id
+JOIN sizes sb ON sb.doc_id = i.delta_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) >= 0.8
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(D.planted_corpus(spark, sf_dir))
 
@@ -758,6 +816,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_keep_corpus,
         ORA_DEDUP_KEEP_CORPUS,
         "kept corpus after component dedup (anti-join non-canonical members)",
+    ),
+    "dedup_incremental": QuerySpec(
+        q_dedup_incremental,
+        ORA_DEDUP_INCREMENTAL,
+        "incremental delta-vs-base near-dup (daily-ingest shape)",
     ),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _ora_simhash(), "SimHash fingerprints"),
     "dedup_simhash_hamming": QuerySpec(
