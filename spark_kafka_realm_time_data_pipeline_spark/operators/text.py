@@ -280,3 +280,61 @@ def bm25_term_scores(docs: DataFrame, query_doc_id: int = 17) -> DataFrame:
         .filter(F.col("doc_id") != query_doc_id)
         .select("doc_id", "term", (idf * tfnorm).alias("bm25"))
     )
+
+
+# Count-Min sketch geometry: depth 4 (independent Carter-Wegman rows), width
+# 256 counters per row.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def countmin_sketch(docs: DataFrame) -> DataFrame:
+    """Count-Min sketch of the corpus token-frequency stream: (row_id, col,
+    cnt) — the mergeable sketch a 100 TB pipeline maintains instead of an
+    exact vocabulary count when only approximate frequencies are needed.
+
+    Each token occurrence increments one counter per row; row r's column is
+    the Carter-Wegman map ``(a + r*(2b+1)) % P % width`` over the token's
+    polynomial key (a, b residues mod two distinct primes — the same family
+    the MinHash signatures use).  The sketch IS a groupBy count, so Spark
+    gives the mergeability for free: partial sketches combine map-side and
+    the shuffle carries at most depth*width rows per task.  Every counter
+    is exact integer arithmetic, so the DuckDB oracle reproduces the sketch
+    cell-for-cell — the estimate's correctness (min over rows >= true
+    count) is then a mathematical consequence, not a sampled claim."""
+    from .dedup import MINHASH_PRIME, MINHASH_PRIME_B, SHINGLE_B, SHINGLE_P
+
+    word_key = F.aggregate(
+        F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * SHINGLE_B + c) % SHINGLE_P,
+    )
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("wk", word_key)
+        .select(
+            (F.col("wk") % MINHASH_PRIME).alias("a"),
+            (F.col("wk") % MINHASH_PRIME_B).alias("b"),
+        )
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row_id"),
+                    (
+                        (F.col("a") + r * (F.col("b") * 2 + 1)) % MINHASH_PRIME
+                        % CMS_WIDTH
+                    ).alias("col"),
+                )
+                for r in range(CMS_DEPTH)
+            ]
+        )
+    )
+    return (
+        toks.select(rows.alias("rc"))
+        .select("rc.row_id", "rc.col")
+        .groupBy("row_id", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

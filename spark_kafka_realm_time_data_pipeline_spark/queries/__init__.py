@@ -73,6 +73,7 @@ def registry() -> dict[str, QuerySpec]:
             "tfidf_top_terms",
             "bm25_term_scores",
             "dedup_incremental",
+            "countmin_sketch",
             # gram keys switched md5 -> polynomial in r6 — old greens stale
             "ngram_decontaminate",
             "contamination_overlap",

@@ -343,6 +343,32 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) 
 """
 
 
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of corpus token frequencies — exact-integer cells
+    the oracle reproduces cell-for-cell (see operators/text.countmin_sketch)."""
+    return T.countmin_sketch(load_table(spark, sf_dir, "documents"))
+
+
+ORA_COUNTMIN_SKETCH = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+keys AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * {D.SHINGLE_B} + c) % {D.SHINGLE_P}) AS wk
+  FROM toks WHERE tok <> ''
+),
+ab AS (SELECT wk % {D.MINHASH_PRIME} AS a, wk % {D.MINHASH_PRIME_B} AS b FROM keys),
+cells AS (
+  SELECT r.row_id, (a + r.row_id * (2 * b + 1)) % {D.MINHASH_PRIME} % {T.CMS_WIDTH} AS col
+  FROM ab CROSS JOIN (SELECT unnest(range({T.CMS_DEPTH})) AS row_id) r
+)
+SELECT CAST(row_id AS INT) AS row_id, col, COUNT(*) AS cnt
+FROM cells GROUP BY row_id, col
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(D.planted_corpus(spark, sf_dir))
 
@@ -848,6 +874,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_bm25_term_scores,
         ORA_BM25_TERM_SCORES,
         "BM25 retrieval kernel: per-(doc, term) contributions for a query doc",
+    ),
+    "countmin_sketch": QuerySpec(
+        q_countmin_sketch,
+        ORA_COUNTMIN_SKETCH,
+        "Count-Min frequency sketch, cell-exact (mergeable map-side)",
     ),
     "text_tokens": QuerySpec(q_text_tokens, ORA_TEXT_TOKENS, "token counting"),
     "text_langid": QuerySpec(q_text_langid, _ora_langid(), "language-ID heuristic"),
