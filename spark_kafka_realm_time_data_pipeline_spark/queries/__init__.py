@@ -74,6 +74,7 @@ def registry() -> dict[str, QuerySpec]:
             "bm25_term_scores",
             "dedup_incremental",
             "countmin_sketch",
+            "streaming_countmin",
             # gram keys switched md5 -> polynomial in r6 — old greens stale
             "ngram_decontaminate",
             "contamination_overlap",

@@ -518,7 +518,72 @@ SELECT window_start, event_type, n_events FROM ranked WHERE rn = 1
 """
 
 
+
+
+def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained AS A STREAM: the depth-4 Carter-Wegman
+    cells of the event user_id frequency stream, kept by a complete-mode
+    streaming groupBy — the mergeable-summary pattern for unbounded
+    sources, where per-micro-batch partial sketches fold into the running
+    state and the state size is bounded by depth x width regardless of
+    stream length.  Cells are exact integers, so the bounded availableNow
+    replay has a full batch-SQL value oracle."""
+    from ..operators.dedup import MINHASH_PRIME, MINHASH_PRIME_B
+    from ..operators.text import CMS_DEPTH, CMS_WIDTH
+    from ..sources.files import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    ab = ev.select(
+        (F.col("user_id") % MINHASH_PRIME).alias("a"),
+        (F.col("user_id") % MINHASH_PRIME_B).alias("b"),
+    )
+    cells = ab.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"),
+                        (
+                            (F.col("a") + r * (F.col("b") * 2 + 1))
+                            % MINHASH_PRIME
+                            % CMS_WIDTH
+                        ).alias("col"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.row_id", "rc.col")
+    agg = cells.groupBy("row_id", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    return run_to_memory(agg, spark, output_mode="complete")
+
+
+def _ora_streaming_countmin() -> str:
+    from ..operators.dedup import MINHASH_PRIME, MINHASH_PRIME_B
+    from ..operators.text import CMS_DEPTH, CMS_WIDTH
+
+    return f"""
+WITH ab AS (
+  SELECT user_id % {MINHASH_PRIME} AS a, user_id % {MINHASH_PRIME_B} AS b FROM events
+),
+cells AS (
+  SELECT r.row_id, (a + r.row_id * (2 * b + 1)) % {MINHASH_PRIME} % {CMS_WIDTH} AS col
+  FROM ab CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS row_id) r
+)
+SELECT CAST(row_id AS INT) AS row_id, col, COUNT(*) AS cnt
+FROM cells GROUP BY row_id, col
+"""
+
+
+ORA_STREAMING_COUNTMIN = _ora_streaming_countmin()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_countmin": QuerySpec(
+        q_streaming_countmin,
+        ORA_STREAMING_COUNTMIN,
+        "Count-Min sketch as a complete-mode streaming aggregation",
+    ),
     "streaming_foreachbatch_topk": QuerySpec(
         q_streaming_foreachbatch_topk,
         ORA_STREAMING_FEB_TOPK,
