@@ -338,3 +338,49 @@ def countmin_sketch(docs: DataFrame) -> DataFrame:
         .groupBy("row_id", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# HyperLogLog geometry: 2^8 registers over the 42-bit polynomial key space.
+HLL_P = 8
+HLL_SUFFIX_BITS = 34  # 42-bit key minus the 8 bucket bits
+
+
+def hll_registers(docs: DataFrame) -> DataFrame:
+    """HyperLogLog register table over the corpus vocabulary: (bucket,
+    register) where register = max over keys of (leading zeros of the
+    34-bit key suffix + 1).
+
+    The portable, value-exact complement to the built-in
+    ``approx_count_distinct`` (whose sketch is engine-specific and can only
+    be rows-only checked): every register is exact integer arithmetic —
+    the leading-zero count comes from length(bin(w)), identical in Spark
+    and DuckDB — so the oracle reproduces the sketch register-for-register.
+    Max is idempotent, so no distinct pass is needed, partials combine
+    map-side, and the shuffle carries at most 2^p rows per task.  The
+    cardinality estimate is the standard harmonic mean over these
+    registers — derivable from this table in either engine."""
+    from .dedup import SHINGLE_B, SHINGLE_P
+
+    word_key = F.aggregate(
+        F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * SHINGLE_B + c) % SHINGLE_P,
+    )
+    n_buckets = 1 << HLL_P
+    keyed = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(word_key.alias("wk"))
+        .select(
+            (F.col("wk") % n_buckets).alias("bucket"),
+            F.expr(f"wk div {n_buckets}").alias("w"),
+        )
+    )
+    rank = F.when(F.col("w") == 0, F.lit(HLL_SUFFIX_BITS + 1)).otherwise(
+        HLL_SUFFIX_BITS + 1 - F.length(F.bin("w"))
+    )
+    return (
+        keyed.select("bucket", rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )

@@ -75,6 +75,7 @@ def registry() -> dict[str, QuerySpec]:
             "dedup_incremental",
             "countmin_sketch",
             "streaming_countmin",
+            "hll_registers",
             # gram keys switched md5 -> polynomial in r6 — old greens stale
             "ngram_decontaminate",
             "contamination_overlap",

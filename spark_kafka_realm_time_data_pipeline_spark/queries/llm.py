@@ -369,6 +369,30 @@ FROM cells GROUP BY row_id, col
 """
 
 
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over the corpus vocabulary — the portable
+    value-exact complement to approx_distinct (see operators/text)."""
+    return T.hll_registers(load_table(spark, sf_dir, "documents"))
+
+
+ORA_HLL_REGISTERS = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+keys AS (
+  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * {D.SHINGLE_B} + c) % {D.SHINGLE_P}) AS wk
+  FROM toks WHERE tok <> ''
+),
+bw AS (SELECT wk % {1 << T.HLL_P} AS bucket, wk // {1 << T.HLL_P} AS w FROM keys)
+SELECT bucket,
+       MAX(CASE WHEN w = 0 THEN {T.HLL_SUFFIX_BITS + 1}
+                ELSE {T.HLL_SUFFIX_BITS + 1} - length(bin(w)) END) AS register
+FROM bw GROUP BY bucket
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(D.planted_corpus(spark, sf_dir))
 
@@ -879,6 +903,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_countmin_sketch,
         ORA_COUNTMIN_SKETCH,
         "Count-Min frequency sketch, cell-exact (mergeable map-side)",
+    ),
+    "hll_registers": QuerySpec(
+        q_hll_registers,
+        ORA_HLL_REGISTERS,
+        "HyperLogLog register table, register-exact (portable approx-distinct)",
     ),
     "text_tokens": QuerySpec(q_text_tokens, ORA_TEXT_TOKENS, "token counting"),
     "text_langid": QuerySpec(q_text_langid, _ora_langid(), "language-ID heuristic"),
