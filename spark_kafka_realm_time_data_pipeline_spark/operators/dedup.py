@@ -569,3 +569,51 @@ def incremental_near_dup(
     finally:
         sigs.unpersist()
         toks.unpersist()
+
+
+def editdistance_near_dup(
+    corpus: DataFrame,
+    prefix_len: int = 32,
+    max_distance: int = 4,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Edit-distance near-dup: block on the exact text prefix, verify
+    candidates with Levenshtein — the fuzzy-dedup tier that catches
+    short-edit duplicates (suffix stamps, trailing boilerplate) whose
+    Jaccard over tokens is near 1 but whose byte identity breaks.
+
+    Blocking is an equi-join on the prefix key (never all-pairs): docs
+    sharing their first ``prefix_len`` chars meet in a bucket, buckets are
+    deterministically capped, and only in-bucket pairs pay the O(len^2)
+    Levenshtein — which both engines implement identically over exact
+    integers, so the verification is value-oracled.  Suffix-edit dups by
+    construction share the prefix; at production scale a second pass with
+    a suffix or mid-block key catches prefix edits the same way."""
+    from pyspark.sql import Window
+
+    keyed = corpus.select(
+        "doc_id", "text", F.substring("text", 1, prefix_len).alias("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("doc_id")
+    capped = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_bucket)
+        .drop("rn")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"), "blk"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_distance)
+        .distinct()
+    )

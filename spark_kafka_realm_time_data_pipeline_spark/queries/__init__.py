@@ -76,6 +76,7 @@ def registry() -> dict[str, QuerySpec]:
             "countmin_sketch",
             "streaming_countmin",
             "hll_registers",
+            "dedup_editdistance",
             # gram keys switched md5 -> polynomial in r6 — old greens stale
             "ngram_decontaminate",
             "contamination_overlap",

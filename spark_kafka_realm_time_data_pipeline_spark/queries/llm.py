@@ -393,6 +393,27 @@ FROM bw GROUP BY bucket
 """
 
 
+def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup tier: prefix-blocked candidates verified with
+    Levenshtein (integer metric, built into both engines) — catches
+    short-edit duplicates (trailing stamps/boilerplate) without all-pairs."""
+    return D.editdistance_near_dup(D.planted_corpus(spark, sf_dir))
+
+
+ORA_DEDUP_EDITDISTANCE = f"""
+WITH {D.ORA_CORPUS},
+keyed AS (SELECT doc_id, text, substring(text, 1, 32) AS blk FROM corpus),
+capped AS (
+  SELECT doc_id, text, blk FROM keyed
+  QUALIFY row_number() OVER (PARTITION BY blk ORDER BY doc_id) <= {D.MAX_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.text, b.text) AS edit_distance
+FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 4
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(D.planted_corpus(spark, sf_dir))
 
@@ -871,6 +892,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_incremental,
         ORA_DEDUP_INCREMENTAL,
         "incremental delta-vs-base near-dup (daily-ingest shape)",
+    ),
+    "dedup_editdistance": QuerySpec(
+        q_dedup_editdistance,
+        ORA_DEDUP_EDITDISTANCE,
+        "prefix-blocked Levenshtein near-dup (fuzzy tier)",
     ),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _ora_simhash(), "SimHash fingerprints"),
     "dedup_simhash_hamming": QuerySpec(
