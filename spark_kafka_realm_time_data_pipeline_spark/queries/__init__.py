@@ -77,6 +77,7 @@ def registry() -> dict[str, QuerySpec]:
             "streaming_countmin",
             "hll_registers",
             "dedup_editdistance",
+            "streaming_dedup_incremental",
             # gram keys switched md5 -> polynomial in r6 — old greens stale
             "ngram_decontaminate",
             "contamination_overlap",

@@ -578,7 +578,80 @@ FROM cells GROUP BY row_id, col
 ORA_STREAMING_COUNTMIN = _ora_streaming_countmin()
 
 
+
+
+def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: the planted copies arrive AS A STREAM and
+    each micro-batch is near-dup-matched against the static base corpus
+    inside foreachBatch — the production shape for continuous ingestion,
+    where the base band index is a maintained table and every incoming
+    batch pays only delta-vs-base work (never base-vs-base, never a
+    full-corpus re-dedup).  The batch hook reuses the exact
+    incremental_near_dup operator, so the codegen'd explode + groupBy
+    signature path runs per micro-batch instead of a (10-100x slower)
+    per-row interpreted-lambda MinHash on the stream.  availableNow
+    drains the bounded source in one deterministic micro-batch, which
+    makes the result value-identical to the batch twin — and the oracle
+    IS the batch twin's SQL."""
+    import shutil
+    import tempfile
+
+    from ..operators import dedup as D
+    from ..sources.files import load_table
+    from ..streaming.sinks import foreach_batch_sink
+
+    docs = stream_table(spark, sf_dir, "documents")
+    delta = (
+        docs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("doc_id") + 1000000).alias("doc_id"),
+                        F.col("text").alias("text"),
+                        (F.col("doc_id") % 10 == 0).alias("keep"),
+                    ),
+                    F.struct(
+                        (F.col("doc_id") + 2000000).alias("doc_id"),
+                        F.concat("text", F.lit(" zz")).alias("text"),
+                        (F.col("doc_id") % 7 == 0).alias("keep"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .filter("x.keep")
+        .select("x.doc_id", "x.text")
+    )
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = tempfile.mkdtemp(prefix="stream_incdedup_")
+
+    def match_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matches = D.incremental_near_dup(base, batch_df, threshold=0.8)
+        matches.write.mode("append").parquet(out_dir)
+
+    try:
+        query = foreach_batch_sink(delta, match_batch, output_mode="append")
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError(
+                    "incremental-dedup stream replay did not finish in 300s"
+                )
+        finally:
+            query.stop()
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# the streaming ingest dedup is value-identical to the batch twin (one
+# deterministic availableNow micro-batch), so it shares that oracle verbatim
+from .llm import ORA_DEDUP_INCREMENTAL as _ORA_DEDUP_INCREMENTAL  # noqa: E402
+
 QUERIES: dict[str, QuerySpec] = {
+    "streaming_dedup_incremental": QuerySpec(
+        q_streaming_dedup_incremental,
+        _ORA_DEDUP_INCREMENTAL,
+        "foreachBatch ingest dedup: stream micro-batches vs static base index",
+    ),
     "streaming_countmin": QuerySpec(
         q_streaming_countmin,
         ORA_STREAMING_COUNTMIN,
