@@ -384,3 +384,52 @@ def hll_registers(docs: DataFrame) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rank").alias("register"))
     )
+
+
+DRIFT_BUCKET_WIDTH = 100
+
+
+def length_drift_report(docs: DataFrame) -> DataFrame:
+    """Per-source length-distribution drift report: for every (source,
+    length-bucket) cell, the observed doc count, the count expected if the
+    source followed the corpus-wide length distribution, and the cell's
+    chi-square contribution — the monitoring table a pipeline inspects
+    when one ingest source starts shipping truncated or padded documents.
+
+    Every input to the float math is an exact integer (cell count, bucket
+    total, source total, grand total), and expected / chi2 are a fixed
+    IEEE dag over them — bit-identical across engines, no sampling.
+    Shape: three map-side-combined groupBys over the same narrow
+    projection plus broadcast-size joins (|sources| x |buckets| cells);
+    nothing scales with corpus size after the first aggregation."""
+    cells = docs.select(
+        "source",
+        (F.floor(F.col("n_chars") / DRIFT_BUCKET_WIDTH) * DRIFT_BUCKET_WIDTH)
+        .cast("long")
+        .alias("bucket"),
+    )
+    obs = cells.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    bucket_tot = cells.groupBy("bucket").agg(F.count(F.lit(1)).alias("bucket_n"))
+    source_tot = cells.groupBy("source").agg(F.count(F.lit(1)).alias("source_n"))
+    grand = cells.agg(F.count(F.lit(1)).alias("grand_n"))
+    expected = (
+        F.col("bucket_n").cast("double")
+        * F.col("source_n").cast("double")
+        / F.col("grand_n").cast("double")
+    )
+    return (
+        obs.join(bucket_tot, "bucket")
+        .join(F.broadcast(source_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "bucket",
+            "n",
+            expected.alias("expected"),
+            (
+                (F.col("n").cast("double") - expected)
+                * (F.col("n").cast("double") - expected)
+                / expected
+            ).alias("chi2_term"),
+        )
+    )

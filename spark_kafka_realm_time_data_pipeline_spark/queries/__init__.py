@@ -78,6 +78,7 @@ def registry() -> dict[str, QuerySpec]:
             "hll_registers",
             "dedup_editdistance",
             "streaming_dedup_incremental",
+            "length_drift_report",
             # gram keys switched md5 -> polynomial in r6 — old greens stale
             "ngram_decontaminate",
             "contamination_overlap",

@@ -414,6 +414,33 @@ WHERE levenshtein(a.text, b.text) <= 4
 """
 
 
+def q_length_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-distribution drift vs the corpus-wide distribution
+    (chi-square cell table) — see operators/text.length_drift_report."""
+    return T.length_drift_report(load_table(spark, sf_dir, "documents"))
+
+
+_DRIFT_EXPECTED = (
+    "CAST(bt.bucket_n AS DOUBLE) * CAST(st.source_n AS DOUBLE) / CAST(g.grand_n AS DOUBLE)"
+)
+ORA_LENGTH_DRIFT = f"""
+WITH cells AS (
+  SELECT source, CAST(floor(n_chars / {T.DRIFT_BUCKET_WIDTH}) * {T.DRIFT_BUCKET_WIDTH} AS BIGINT) AS bucket
+  FROM documents
+),
+obs AS (SELECT source, bucket, COUNT(*) AS n FROM cells GROUP BY source, bucket),
+bt AS (SELECT bucket, COUNT(*) AS bucket_n FROM cells GROUP BY bucket),
+st AS (SELECT source, COUNT(*) AS source_n FROM cells GROUP BY source),
+g AS (SELECT COUNT(*) AS grand_n FROM cells)
+SELECT o.source, o.bucket, o.n,
+       {_DRIFT_EXPECTED} AS expected,
+       (CAST(o.n AS DOUBLE) - {_DRIFT_EXPECTED})
+         * (CAST(o.n AS DOUBLE) - {_DRIFT_EXPECTED})
+         / ({_DRIFT_EXPECTED}) AS chi2_term
+FROM obs o JOIN bt USING (bucket) JOIN st USING (source) CROSS JOIN g
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_fingerprints(D.planted_corpus(spark, sf_dir))
 
@@ -934,6 +961,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_hll_registers,
         ORA_HLL_REGISTERS,
         "HyperLogLog register table, register-exact (portable approx-distinct)",
+    ),
+    "length_drift_report": QuerySpec(
+        q_length_drift_report,
+        ORA_LENGTH_DRIFT,
+        "per-source length-distribution drift (chi-square cell table)",
     ),
     "text_tokens": QuerySpec(q_text_tokens, ORA_TEXT_TOKENS, "token counting"),
     "text_langid": QuerySpec(q_text_langid, _ora_langid(), "language-ID heuristic"),
