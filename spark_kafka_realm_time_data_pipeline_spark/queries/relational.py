@@ -709,8 +709,13 @@ def salted_join(
     split across n_salt sub-keys (deterministically, by ``salt_source`` so
     the oracle replays it) and the dim side is replicated n_salt times, so
     one hot key's rows land on n_salt reducers instead of one.  Result is
-    row-identical to the plain equi-join."""
-    f = fact.withColumn("salt", (F.col(salt_source) % n_salt).cast("int"))
+    row-identical to the plain equi-join.
+
+    pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    ``salt_source`` would salt into [-(n_salt-1), -1], match no replicated
+    dim salt, and silently drop rows — breaking the row-identity invariant
+    for general inputs."""
+    f = fact.withColumn("salt", F.pmod(F.col(salt_source), F.lit(n_salt)).cast("int"))
     d = dim.withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)])))
     return f.join(d, (f[fact_key] == d[dim_key]) & (f["salt"] == d["salt"]))
 

@@ -18,6 +18,8 @@ StreamingSymmetricHashJoinExec with state-eviction predicates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -403,6 +405,21 @@ GROUP BY 1, 2, 3
 """
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Scratch dir for foreachBatch parquet sinks.  Defaults to a local
+    tempdir (correct in local[] mode where executors share the driver's
+    filesystem); set ``SPARK_GRAFT_SCRATCH`` to a shared-FS path (S3A/HDFS/
+    NFS) on a real cluster so executor writes and the driver read-back see
+    the same storage — the same rule checkpoint locations follow."""
+    import tempfile
+    import uuid
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if root:
+        return os.path.join(root, f"{prefix}{uuid.uuid4().hex[:12]}")
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 _INTERVAL_S = 1800  # attribution lookback: click within 30 min before purchase
 
 
@@ -467,7 +484,6 @@ def q_streaming_foreachbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     the final replay leaves exactly the top event type per hour on disk.
     Everything inside the hook is a distributed plan — no driver collect."""
     import shutil
-    import tempfile
 
     from pyspark.sql import Window as W
 
@@ -477,7 +493,7 @@ def q_streaming_foreachbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    out_dir = tempfile.mkdtemp(prefix="feb_topk_")
+    out_dir = _scratch_dir("feb_topk_")
 
     def write_topk(batch_df: DataFrame, batch_id: int) -> None:
         rank_w = W.partitionBy("w").orderBy(F.desc("n_events"), "event_type")
@@ -592,9 +608,15 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     per-row interpreted-lambda MinHash on the stream.  availableNow
     drains the bounded source in one deterministic micro-batch, which
     makes the result value-identical to the batch twin — and the oracle
-    IS the batch twin's SQL."""
+    IS the batch twin's SQL.
+
+    Sink-path caveat: the parquet sink uses a driver-local tempdir, which
+    is correct ONLY in local[] mode (executors share the driver's
+    filesystem).  On a real cluster route it to a shared filesystem via
+    ``SPARK_GRAFT_SCRATCH`` (S3/HDFS/NFS path), exactly like checkpoint
+    dirs — otherwise each executor writes to its own local disk and the
+    driver-side read-back sees partial data."""
     import shutil
-    import tempfile
 
     from ..operators import dedup as D
     from ..sources.files import load_table
@@ -622,7 +644,7 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("x.doc_id", "x.text")
     )
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out_dir = tempfile.mkdtemp(prefix="stream_incdedup_")
+    out_dir = _scratch_dir("stream_incdedup_")
 
     def match_batch(batch_df: DataFrame, batch_id: int) -> None:
         matches = D.incremental_near_dup(base, batch_df, threshold=0.8)

@@ -59,7 +59,15 @@ def generate(src: str, dst: str, k: int = 10) -> None:
             ("embeddings", "vec_id"),
         ]
     }
-    uid_off = con.execute("SELECT max(user_id) + 1 FROM events").fetchone()[0]
+    # events.user_id is an FK into customer.c_custkey, so replicas must
+    # shift it by the CUSTOMER offset — a per-replica max(user_id)+1 shift
+    # would point replicas 1..k-1's events at replica 0's customers (it
+    # happened to alias cleanly at k=10 only because 10 * 1500 == 15000).
+    max_uid = con.execute("SELECT max(user_id) FROM events").fetchone()[0]
+    assert max_uid < offs["customer"], (
+        f"user_id domain ({max_uid}) exceeds the customer key space "
+        f"({offs['customer']}) — offsetting by the customer offset would collide"
+    )
 
     def emit(name: str, replica_select: str) -> None:
         union = " UNION ALL ".join(replica_select.format(r=r) for r in range(k))
@@ -105,7 +113,7 @@ def generate(src: str, dst: str, k: int = 10) -> None:
     emit(
         "events",
         f"SELECT event_id + {{r}} * {offs['events']} AS event_id, ts, "
-        f"user_id + {{r}} * {uid_off} AS user_id, event_type, value, props FROM events",
+        f"user_id + {{r}} * {offs['customer']} AS user_id, event_type, value, props FROM events",
     )
     # replica 0 keeps the original text byte-for-byte; replicas >0 apply a
     # shift-r letter cipher (translate) — length-preserving, so n_chars
