@@ -598,22 +598,35 @@ def editdistance_near_dup(
     max_distance: int = 4,
     max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
-    """Edit-distance near-dup: block on the exact text prefix, verify
-    candidates with Levenshtein — the fuzzy-dedup tier that catches
-    short-edit duplicates (suffix stamps, trailing boilerplate) whose
-    Jaccard over tokens is near 1 but whose byte identity breaks.
+    """Edit-distance near-dup: block on the exact text PREFIX and the exact
+    text SUFFIX, verify candidates with Levenshtein — the fuzzy-dedup tier
+    that catches short-edit duplicates (leading/trailing stamps,
+    boilerplate) whose Jaccard over tokens is near 1 but whose byte
+    identity breaks.
 
-    Blocking is an equi-join on the prefix key (never all-pairs): docs
-    sharing their first ``prefix_len`` chars meet in a bucket, buckets are
-    deterministically capped, and only in-bucket pairs pay the O(len^2)
-    Levenshtein — which both engines implement identically over exact
-    integers, so the verification is value-oracled.  Suffix-edit dups by
-    construction share the prefix; at production scale a second pass with
-    a suffix or mid-block key catches prefix edits the same way."""
+    Blocking is an equi-join on the block key (never all-pairs): docs
+    sharing their first ``prefix_len`` chars meet in a 'p:' bucket, docs
+    sharing their LAST ``prefix_len`` chars (as a reversed-text prefix —
+    engine-portable, unlike negative-index substrings) meet in an 's:'
+    bucket; a suffix-edited dup shares the prefix key, a prefix-edited dup
+    shares the suffix key, so an edit confined to either end is caught.
+    Buckets are deterministically capped, candidate pairs from both passes
+    are deduped BEFORE verification, and only in-bucket pairs pay the
+    Levenshtein — computed with the threshold-bounded variant, which
+    abandons the DP once ``max_distance`` is exceeded (O(len*k), not
+    O(len^2)); both engines produce identical exact distances for kept
+    rows, so the verification is value-oracled."""
     from pyspark.sql import Window
 
     keyed = corpus.select(
-        "doc_id", "text", F.substring("text", 1, prefix_len).alias("blk")
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(
+                F.concat(F.lit("p:"), F.substring("text", 1, prefix_len)),
+                F.concat(F.lit("s:"), F.substring(F.reverse("text"), 1, prefix_len)),
+            )
+        ).alias("blk"),
     )
     w = Window.partitionBy("blk").orderBy("doc_id")
     capped = (
@@ -630,11 +643,17 @@ def editdistance_near_dup(
     return (
         a.join(b, "blk")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # a pair can surface in BOTH block passes (edit in the middle);
+        # dedupe on the pair key before paying the Levenshtein.  text_a/b
+        # are functionally determined by the ids, so first-row-wins is
+        # deterministic in value.
+        .select("doc_a", "doc_b", "text_a", "text_b")
+        .dropDuplicates(["doc_a", "doc_b"])
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("text_a", "text_b").alias("edit_distance"),
+            F.levenshtein("text_a", "text_b", max_distance).alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= max_distance)
-        .distinct()
+        # the thresholded variant returns -1 once the bound is exceeded
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_distance))
     )

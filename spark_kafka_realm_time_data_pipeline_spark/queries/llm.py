@@ -394,23 +394,32 @@ FROM bw GROUP BY bucket
 
 
 def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup tier: prefix-blocked candidates verified with
-    Levenshtein (integer metric, built into both engines) — catches
-    short-edit duplicates (trailing stamps/boilerplate) without all-pairs."""
+    """Edit-distance near-dup tier: prefix- AND suffix-blocked candidates
+    verified with threshold-bounded Levenshtein (integer metric, built into
+    both engines) — catches short-edit duplicates at either end of the text
+    (leading/trailing stamps, boilerplate) without all-pairs."""
     return D.editdistance_near_dup(D.planted_corpus(spark, sf_dir))
 
 
 ORA_DEDUP_EDITDISTANCE = f"""
 WITH {D.ORA_CORPUS},
-keyed AS (SELECT doc_id, text, substring(text, 1, 32) AS blk FROM corpus),
+keyed AS (
+  SELECT doc_id, text, 'p:' || substring(text, 1, 32) AS blk FROM corpus
+  UNION ALL
+  SELECT doc_id, text, 's:' || substring(reverse(text), 1, 32) AS blk FROM corpus
+),
 capped AS (
   SELECT doc_id, text, blk FROM keyed
   QUALIFY row_number() OVER (PARTITION BY blk ORDER BY doc_id) <= {D.MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.text AS text_a, b.text AS text_b
+  FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       levenshtein(a.text, b.text) AS edit_distance
-FROM capped a JOIN capped b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE levenshtein(a.text, b.text) <= 4
+SELECT doc_a, doc_b, levenshtein(text_a, text_b) AS edit_distance
+FROM cand
+WHERE levenshtein(text_a, text_b) <= 4
 """
 
 

@@ -206,6 +206,35 @@ def test_salted_join_splits_planted_hot_key(spark):
     assert salted_share <= hot_share / N_SALT + 0.05, (plain_share, salted_share)
 
 
+def test_editdistance_suffix_pass_catches_prefix_edits(spark):
+    """Planted prefix-edit fixture: a dup whose edit sits at the HEAD of the
+    text shares no 32-char prefix with its original, so the prefix block
+    alone misses it — the suffix (reversed-prefix) pass must catch it.  A
+    tail-edited dup checks the prefix pass still works, and both passes
+    finding the same mid-identical pair must not double-report it."""
+    from pyspark.sql import functions as SF
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.dedup import (
+        editdistance_near_dup,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, body),
+        (2, "zz " + body),          # prefix edit (distance 3): suffix pass only
+        (3, body + " zz"),          # suffix edit (distance 3): prefix pass only
+        (4, "totally unrelated text that matches nothing else here at all"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = editdistance_near_dup(corpus).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["edit_distance"] for r in out}
+    assert pairs.get((1, 2)) == 3, pairs  # caught by the suffix pass
+    assert pairs.get((1, 3)) == 3, pairs  # caught by the prefix pass
+    assert all(4 not in p for p in pairs), pairs
+    # no duplicate pair rows when both passes generate the same candidate
+    assert len(out) == len(pairs)
+
+
 def test_tfidf_rank_is_group_limited(spark):
     """tfidf_top_terms must rank per-doc groups with WindowGroupLimit
     pushdown (top-k within partitions before the final window) and never
