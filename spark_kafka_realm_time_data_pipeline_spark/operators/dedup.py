@@ -205,36 +205,25 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def signature_bands(
     sigs: DataFrame,
     n_hashes: int = N_MINHASH,
     band_rows: int = BAND_ROWS,
-    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band become
-    candidates.  The join key is (band_id, band_key) — equi-shuffle, no
-    cross product.
+    """(doc_id, band_id, band_key) from a MinHash signature frame.
 
-    Shape notes for 100 TB:
-    - bands come from ONE explode over the signature row (a union of
-      per-band selects would re-run the whole signature aggregation once
-      per band — Catalyst does not dedupe common subplans across union
-      branches);
-    - buckets are capped at ``max_bucket`` docs (deterministically: lowest
-      doc_ids win) so a degenerate bucket costs at most cap^2 pairs instead
-      of going quadratic in corpus size.
-    """
-    from pyspark.sql import Window
-
+    Bands come from ONE explode over the signature row (a union of
+    per-band selects would re-run the whole signature aggregation once per
+    band — Catalyst does not dedupe common subplans across union
+    branches).  Each band's ``band_rows`` signature mins fold into one
+    integer key with the shared polynomial — an 8-byte shuffle/join key
+    instead of the ~50-byte '|'-concat string of round 4.  acc < P (2^42),
+    *B (2^20) + s (< 2^28) stays under 2^63 in both engines.  A fold
+    collision merely merges two buckets, whose contents the exact-Jaccard
+    verify still filters — and the oracle replays the same fold."""
     n_bands = n_hashes // band_rows
 
     def band_key(b: int):
-        # fold the band's 8 signature mins into one integer key with the
-        # shared polynomial — an 8-byte shuffle/join key instead of the
-        # ~50-byte '|'-concat string of round 4.  acc < P (2^42), *B (2^20)
-        # + s (< 2^28) stays under 2^63 in both engines.  A fold collision
-        # merely merges two buckets, whose contents the exact-Jaccard
-        # verify still filters — and the oracle replays the same fold.
         acc = F.lit(0).cast("long")
         for r in range(band_rows):
             acc = (acc * SHINGLE_B + F.col(f"s{b * band_rows + r}")) % SHINGLE_P
@@ -247,15 +236,36 @@ def lsh_candidate_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bd")
     ).select("doc_id", "bd.band_id", "bd.band_key")
+
+
+def capped_buckets(bands: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Deterministic per-bucket cap (lowest doc_ids win): bounds any
+    degenerate (band_id, band_key) bucket at cap^2 candidate pairs instead
+    of going quadratic in corpus size.  Replayed exactly by the oracles."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
-    capped = (
+    return (
         bands.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= max_bucket)
         .drop("rn")
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    band_rows: int = BAND_ROWS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band become
+    candidates.  The join key is (band_id, band_key) — equi-shuffle, no
+    cross product; see signature_bands / capped_buckets for the shape
+    notes."""
+    capped = capped_buckets(signature_bands(sigs, n_hashes, band_rows), max_bucket)
     a = capped.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b_ = capped.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     return (
@@ -522,7 +532,6 @@ def incremental_near_dup(
     Jaccard over the union token frame.  Output: (delta_id, base_id,
     jaccard) for verified pairs."""
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
     both = base.select("doc_id", "text").unionByName(delta.select("doc_id", "text"))
     target = both.sparkSession.sparkContext.defaultParallelism
@@ -534,42 +543,15 @@ def incremental_near_dup(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
-        n_bands = N_MINHASH // BAND_ROWS
-
-        def band_key(b: int):
-            acc = F.lit(0).cast("long")
-            for r in range(BAND_ROWS):
-                acc = (acc * SHINGLE_B + F.col(f"s{b * BAND_ROWS + r}")) % SHINGLE_P
-            return acc
-
-        bands = sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"), band_key(b).alias("band_key")
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bd"),
-        ).select("doc_id", "bd.band_id", "bd.band_key")
+        bands = signature_bands(sigs)
         # membership via semi/anti join against delta_ids (never isin over a
         # collected list — delta can be arbitrarily large)
-        w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
-        base_bands = (
-            bands.join(delta_ids, "doc_id", "left_anti")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= max_bucket)
-            .select(F.col("doc_id").alias("base_id"), "band_id", "band_key")
-        )
-        delta_bands = (
-            bands.join(delta_ids, "doc_id", "left_semi")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= max_bucket)
-            .select(F.col("doc_id").alias("delta_id"), "band_id", "band_key")
-        )
+        base_bands = capped_buckets(
+            bands.join(delta_ids, "doc_id", "left_anti"), max_bucket
+        ).select(F.col("doc_id").alias("base_id"), "band_id", "band_key")
+        delta_bands = capped_buckets(
+            bands.join(delta_ids, "doc_id", "left_semi"), max_bucket
+        ).select(F.col("doc_id").alias("delta_id"), "band_id", "band_key")
         cands = (
             delta_bands.join(base_bands, ["band_id", "band_key"])
             .select("delta_id", "base_id")
@@ -590,6 +572,106 @@ def incremental_near_dup(
     finally:
         sigs.unpersist()
         toks.unpersist()
+
+
+def stage_base_index(base: DataFrame, path: str, max_bucket: int = MAX_BUCKET) -> None:
+    """Materialize the incremental-dedup BASE INDEX as parquet tables —
+    the maintenance job a daily-ingest pipeline runs once (and extends
+    per-batch), so that every delta batch pays only delta-side work:
+
+    - ``{path}/bands``: the bucket-capped (doc_id, band_id, band_key) LSH
+      band index the delta bands equi-join against;
+    - ``{path}/toks``: the (doc_id, tok) shingle sets the exact-Jaccard
+      verify intersects (precomputed — the delta path never re-tokenizes
+      base text);
+    - ``{path}/sizes``: (doc_id, n_toks) for the Jaccard union term.
+
+    The cap is applied at build time among base docs only (lowest doc_ids
+    win), matching the non-indexed operator's base-side cap.  On a cluster
+    ``path`` is a shared-FS table location; extending the index for a new
+    day's accepted docs is an append of the same three frames."""
+    from pyspark import StorageLevel
+
+    b = base.select("doc_id", "text")
+    target = b.sparkSession.sparkContext.defaultParallelism
+    if b.rdd.getNumPartitions() < target:
+        b = b.repartition(target)
+    toks = doc_shingles(b).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(toks, tok_hashed=True, with_size=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        capped_buckets(signature_bands(sigs), max_bucket).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/bands")
+        sigs.select("doc_id", "n_toks").write.mode("overwrite").parquet(
+            f"{path}/sizes"
+        )
+        toks.write.mode("overwrite").parquet(f"{path}/toks")
+    finally:
+        sigs.unpersist()
+        toks.unpersist()
+
+
+def incremental_near_dup_indexed(
+    spark: SparkSession,
+    index_path: str,
+    delta: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Delta-vs-base near-dup against a STAGED base index (see
+    stage_base_index): the production shape of incremental_near_dup, which
+    recomputes the base bands per run because its bounded corpus makes
+    that cheap.  Here the delta path tokenizes and signs ONLY delta docs;
+    the base side enters as three parquet scans (bands / toks / sizes) —
+    no base text is read, let alone re-shingled.  Candidates are the
+    delta-band x base-band equi-join; verification intersects delta
+    shingles with the PRECOMPUTED base shingle table.
+
+    Result is value-identical to incremental_near_dup on (base, delta):
+    both sides cap buckets within their own population and verify with the
+    same exact-Jaccard formula — so the two share one oracle."""
+    from pyspark import StorageLevel
+
+    base_bands = spark.read.parquet(f"{index_path}/bands").select(
+        F.col("doc_id").alias("base_id"), "band_id", "band_key"
+    )
+    base_toks = spark.read.parquet(f"{index_path}/toks")
+    base_sizes = spark.read.parquet(f"{index_path}/sizes")
+
+    d = delta.select("doc_id", "text")
+    target = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    dtoks = doc_shingles(d).persist(StorageLevel.MEMORY_AND_DISK)
+    dsigs = minhash_signatures(dtoks, tok_hashed=True, with_size=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        delta_bands = capped_buckets(signature_bands(dsigs), max_bucket).select(
+            F.col("doc_id").alias("delta_id"), "band_id", "band_key"
+        )
+        cands = (
+            delta_bands.join(base_bands, ["band_id", "band_key"])
+            .select("delta_id", "base_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        pairs = cands.select(
+            F.col("base_id").alias("doc_a"), F.col("delta_id").alias("doc_b")
+        )
+        toks = base_toks.unionByName(dtoks)
+        sizes = base_sizes.unionByName(dsigs.select("doc_id", "n_toks"))
+        verified = jaccard_verify(pairs, toks, threshold, sizes=sizes)
+        return verified.select(
+            F.col("doc_b").alias("delta_id"),
+            F.col("doc_a").alias("base_id"),
+            "jaccard",
+        ).localCheckpoint(eager=True)
+    finally:
+        dsigs.unpersist()
+        dtoks.unpersist()
 
 
 def editdistance_near_dup(

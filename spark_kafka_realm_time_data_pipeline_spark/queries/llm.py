@@ -296,6 +296,29 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_near_dup(base, delta, threshold=0.8)
 
 
+def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup against a MATERIALIZED base index: the staging
+    job writes the base band/shingle/size tables to parquet once, then the
+    delta batch runs with no base tokenize at all (three index scans
+    replace it) — proving the 'precomputed base index' claim the in-memory
+    twin only documents.  Value-identical to dedup_incremental, so the two
+    share one oracle."""
+    import shutil
+    import tempfile
+
+    corpus = D.planted_corpus(spark, sf_dir)
+    base = corpus.filter(F.col("doc_id") < 1000000)
+    delta = corpus.filter(F.col("doc_id") >= 1000000)
+    idx = tempfile.mkdtemp(prefix="dedup_base_idx_")
+    try:
+        D.stage_base_index(base, idx)
+        # localCheckpoint inside the operator materializes the result, so
+        # dropping the index dir afterwards is safe
+        return D.incremental_near_dup_indexed(spark, idx, delta, threshold=0.8)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 ORA_DEDUP_INCREMENTAL = f"""
 WITH {D.ORA_CORPUS},
 {ORA_SHINGLES},
@@ -929,10 +952,15 @@ QUERIES: dict[str, QuerySpec] = {
         ORA_DEDUP_INCREMENTAL,
         "incremental delta-vs-base near-dup (daily-ingest shape)",
     ),
+    "dedup_incremental_indexed": QuerySpec(
+        q_dedup_incremental_indexed,
+        ORA_DEDUP_INCREMENTAL,
+        "incremental near-dup vs a materialized parquet base index",
+    ),
     "dedup_editdistance": QuerySpec(
         q_dedup_editdistance,
         ORA_DEDUP_EDITDISTANCE,
-        "prefix-blocked Levenshtein near-dup (fuzzy tier)",
+        "prefix+suffix-blocked Levenshtein near-dup (fuzzy tier)",
     ),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _ora_simhash(), "SimHash fingerprints"),
     "dedup_simhash_hamming": QuerySpec(

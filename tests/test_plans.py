@@ -206,6 +206,46 @@ def test_salted_join_splits_planted_hot_key(spark):
     assert salted_share <= hot_share / N_SALT + 0.05, (plain_share, salted_share)
 
 
+def test_incremental_indexed_delta_runs_without_base_text(spark, tmp_path):
+    """The staged-index delta path must touch ONLY the materialized index,
+    never base text.  Proof is behavioral, not plan-string-matching: stage
+    the index, then DELETE the base parquet — if any branch of the delta
+    plan re-read (let alone re-tokenized) base text it would fail on the
+    missing files.  The surviving run must also be value-identical to the
+    non-indexed operator computed while base still existed."""
+    import shutil
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators import dedup as D
+
+    docs = [
+        (i, f"doc {i} " + " ".join(f"tok{i}x{j}" for j in range(40)))
+        for i in range(30)
+    ]
+    base_path = str(tmp_path / "base_docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+    delta = spark.createDataFrame(
+        [
+            (1000001, docs[3][1] + " zz"),  # near-dup of base doc 3
+            (1000002, "entirely unrelated payload with nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    expected = {
+        (r.delta_id, r.base_id)
+        for r in D.incremental_near_dup(base, delta).collect()
+    }
+    idx = str(tmp_path / "idx")
+    D.stage_base_index(base, idx)
+    shutil.rmtree(base_path)  # base text is now gone; only the index remains
+    got = {
+        (r.delta_id, r.base_id)
+        for r in D.incremental_near_dup_indexed(spark, idx, delta).collect()
+    }
+    assert got == expected, (got, expected)
+    assert (1000001, 3) in got, got
+
+
 def test_editdistance_suffix_pass_catches_prefix_edits(spark):
     """Planted prefix-edit fixture: a dup whose edit sits at the HEAD of the
     text shares no 32-char prefix with its original, so the prefix block
