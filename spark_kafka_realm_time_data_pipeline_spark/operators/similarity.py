@@ -156,6 +156,7 @@ def ivf_topk(
     k: int = 5,
     n_probe: int = 3,
     cluster_col: str = "label",
+    portable_centroids: bool = True,
 ) -> DataFrame:
     """IVF-style ANN: cluster centroids (here: mean per pre-assigned
     ``label``; at scale, k-means), rank clusters per query, probe the top
@@ -163,12 +164,41 @@ def ivf_topk(
 
     The candidate join is an equi-join on cluster id — the 100 TB shape:
     |Q| x n_probe x (N / n_clusters) comparisons instead of |Q| x N.
+
+    ``portable_centroids=True`` (default) computes each centroid mean as a
+    vec_id-ordered sequential double fold — bit-identical in Spark and
+    DuckDB, which upgrades IVF from a rows-only check to a full value
+    oracle.  The fold buffers one cluster's values per (cluster, dim)
+    aggregation group; at billions of vectors per cluster flip to
+    ``False`` for Spark's streaming ``avg`` (identical math, engine-
+    specific accumulation order — fine in production, unverifiable
+    against a replaying oracle).
     """
+    pe = embeddings.select(
+        cluster_col, "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    if portable_centroids:
+        per_dim = (
+            pe.groupBy(cluster_col, "pos")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))).alias("vals"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                cluster_col,
+                "pos",
+                (
+                    fold_sum(
+                        F.transform("vals", lambda p: p.getField("val").cast("double"))
+                    )
+                    / F.col("n")
+                ).alias("cval"),
+            )
+        )
+    else:
+        per_dim = pe.groupBy(cluster_col, "pos").agg(F.avg("val").alias("cval"))
     cent = (
-        embeddings.select(cluster_col, F.posexplode("embedding").alias("pos", "val"))
-        .groupBy(cluster_col, "pos")
-        .agg(F.avg("val").alias("cval"))
-        .groupBy(cluster_col)
+        per_dim.groupBy(cluster_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
         .select(
             F.col(cluster_col).alias("cluster"),

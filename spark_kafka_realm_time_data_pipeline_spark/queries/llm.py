@@ -621,11 +621,118 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (rows-only: centroid means use float averaging whose
-    order is engine-specific; recall vs brute force is pytest-checked)."""
+    """IVF-bucketed ANN — centroid means are vec_id-ordered deterministic
+    folds (see operators/similarity.ivf_topk), so the probe ranking and the
+    in-cluster cosine top-k now have a FULL value oracle (rows-only until
+    round 7, when engine-specific float-avg accumulation order was the
+    blocker)."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return S.ivf_topk(e, queries, k=5, n_probe=3)
+
+
+def _ora_sim_ivf(dim: int = 64, k: int = 5, n_probe: int = 3) -> str:
+    """IVF oracle: the same deterministic centroid fold (list ordered by
+    vec_id, sequential double sum, divide by count), probe ranking, and
+    in-probe cosine top-k — generated from the same constants as the plan."""
+    return f"""
+WITH cent AS (
+  SELECT label AS cluster, i AS pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id)),
+           (acc, x) -> acc + x) / COUNT(*) AS cval
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) dims
+  GROUP BY label, i
+),
+centroids AS (SELECT cluster, list(cval ORDER BY pos) AS centroid FROM cent GROUP BY cluster),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+qc AS (
+  SELECT q.query_id, q.q_vec, c.cluster,
+         {_ora_cosine('q.q_vec', 'c.centroid')} AS c_cos
+  FROM q CROSS JOIN centroids c
+),
+probes AS (
+  SELECT query_id, q_vec, cluster FROM (
+    SELECT query_id, q_vec, cluster,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cluster) AS crank
+    FROM qc
+  ) t WHERE crank <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_ora_cosine('p.q_vec', 'e.embedding')} AS cosine
+  FROM embeddings e JOIN probes p ON e.label = p.cluster
+  WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {k}
+"""
+
+
+def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a CHECKED metric: recall@k of the LSH and IVF
+    approximate paths against the exact brute-force top-k, as exact integer
+    counts (hits / retrieved / total) plus their IEEE-exact ratio — the
+    driver-provable replacement for 'trust the pytest recall floor'.
+    Everything is distributed: the method lists union, left-join the exact
+    list on (query_id, neighbor_id), and aggregate per method; the 1-row
+    total joins back via broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    bf = S.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id")
+    cand = (
+        S.lsh_topk(e, q, k=5, n_planes=6)
+        .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id")
+        .unionByName(
+            S.ivf_topk(e, q, k=5, n_probe=3).select(
+                F.lit("ivf").alias("method"), "query_id", "neighbor_id"
+            )
+        )
+    )
+    marked = bf.withColumn("hit", F.lit(1))
+    total = bf.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        cand.join(marked, ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+            F.count(F.lit(1)).alias("retrieved"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "method",
+            "hits",
+            "retrieved",
+            "total",
+            (F.col("hits").cast("double") / F.col("total").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _ora_sim_recall() -> str:
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({ORA_SIM_BRUTEFORCE}) b),
+cand AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM ({_ora_sim_lsh()}) l
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM ({_ora_sim_ivf()}) v
+)
+SELECT c.method,
+       CAST(SUM(CASE WHEN b.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       COUNT(*) AS retrieved,
+       t.total,
+       CAST(SUM(CASE WHEN b.query_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(t.total AS DOUBLE) AS recall
+FROM cand c
+LEFT JOIN bf b ON c.query_id = b.query_id AND c.neighbor_id = b.neighbor_id
+CROSS JOIN (SELECT COUNT(*) AS total FROM bf) t
+GROUP BY c.method, t.total
+"""
 
 
 # --- text analysis ------------------------------------------------------------
@@ -974,9 +1081,18 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_bruteforce_topk": QuerySpec(
         q_sim_bruteforce, ORA_SIM_BRUTEFORCE, "brute-force cosine top-k"
     ),
-    "sim_ivf_topk": QuerySpec(q_sim_ivf, None, "IVF-bucketed ANN (rows-only)"),
+    "sim_ivf_topk": QuerySpec(
+        q_sim_ivf,
+        _ora_sim_ivf(),
+        "IVF-bucketed ANN (deterministic centroids, full value oracle)",
+    ),
     "sim_lsh_topk": QuerySpec(
         q_sim_lsh, _ora_sim_lsh(), "random-hyperplane LSH ANN (full value oracle)"
+    ),
+    "sim_recall_report": QuerySpec(
+        q_sim_recall_report,
+        _ora_sim_recall(),
+        "recall@k of LSH/IVF vs exact brute-force, integer-exact",
     ),
     "text_quality": QuerySpec(q_text_quality, ORA_TEXT_QUALITY, "quality scoring"),
     "tfidf_top_terms": QuerySpec(
