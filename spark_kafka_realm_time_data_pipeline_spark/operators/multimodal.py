@@ -5,14 +5,19 @@ metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` (the only place Python touches executor data, amortized per
 batch, never per row).
 
-The container has no image/audio libraries, so the real decoder is STUBBED
-(``decode_image`` raises NotImplementedError); ``fake_decode_features`` is a
-deterministic stand-in exercising the exact same Spark plumbing — schema,
-batch iteration, partitioning — that a real decoder would use.
+The container has no imaging LIBRARIES, but BMP needs none: the feature
+path round-trips every payload through a REAL 24-bit BMP container —
+``encode_bmp`` (deterministic: pixel bytes cycle the payload bytes, so the
+oracle can replay the stats analytically) and ``decode_bmp`` (a genuine
+pure-Python parser: file/info headers via struct, bottom-up row order,
+4-byte row stride padding).  Swapping in a JPEG/PNG decoder changes one
+function; the Spark plumbing — schema, batch iteration, partitioning — is
+identical.  Audio/video decoders remain env-blocked stubs.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -22,7 +27,58 @@ from pyspark.sql import functions as F
 if TYPE_CHECKING:
     import pandas as pd
 
-FEATURE_SCHEMA = "doc_id long, n_bytes int, n_frames int, byte_feature long"
+FEATURE_SCHEMA = "doc_id long, width int, height int, n_pixels int, pixel_sum long"
+
+# BMP geometry derived from payload length: varies width/height across docs
+# (so the decoder's stride/padding handling is actually exercised — w*3 is
+# not always a multiple of 4) while staying analytically replayable.
+BMP_W_BASE, BMP_W_MOD = 4, 13
+BMP_H_BASE, BMP_H_MOD = 4, 5
+
+
+def encode_bmp(data: bytes) -> bytes:
+    """Pack ``data`` into a REAL bottom-up 24-bit BMP: pixel byte j (in
+    top-down raster order) is ``data[j % len(data)]`` (0x00 if empty), the
+    geometry derives from the payload length, rows are written bottom-up
+    with 4-byte stride padding — a standards-conforming file any BMP
+    reader opens.  Deterministic, so the DuckDB oracle can compute the
+    decoded pixel stats without parsing BMP at all."""
+    n = len(data)
+    w = BMP_W_BASE + n % BMP_W_MOD
+    h = BMP_H_BASE + n % BMP_H_MOD
+    total = 3 * w * h
+    raster = bytes(data[j % n] for j in range(total)) if n else bytes(total)
+    pad = (-3 * w) % 4
+    row_bytes = []
+    for i in range(h - 1, -1, -1):  # bottom-up row order
+        row_bytes.append(raster[i * 3 * w : (i + 1) * 3 * w] + b"\x00" * pad)
+    pixel_data = b"".join(row_bytes)
+    file_size = 54 + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + pixel_data
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bit uncompressed BMP: validate the magic, read the pixel
+    offset and dimensions from the headers, walk the bottom-up rows with
+    stride padding, and return (width, height, top-down raster bytes)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={compression}")
+    stride = (width * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(height):  # file rows are bottom-up; reassemble top-down
+        start = pixel_off + r * stride
+        rows.append(payload[start : start + width * 3])
+    rows.reverse()
+    return width, height, b"".join(rows)
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -40,26 +96,40 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder stub — no imaging libs in this container."""
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an image payload.  BMP decodes for real (pure Python, no
+    libraries); other formats are env-blocked — no imaging libs in this
+    container."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; use fake_decode_features for the plumbing path"
+        "only BMP decodes without an imaging library; JPEG/PNG/audio/video "
+        "decode requires libs not present in this environment"
     )
 
 
-def _fake_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+def _bmp_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Encode each payload into a real BMP, decode it back with the real
+    parser, and emit decoded pixel statistics.  The encode leg stands in
+    for 'the corpus already stores images'; the decode leg is the actual
+    work a feature-extraction pass does at scale."""
     import pandas as pd
 
-    payloads = pdf["payload"].map(lambda b: b or b"")
-    n_bytes = payloads.map(len)
+    out = {"doc_id": [], "width": [], "height": [], "n_pixels": [], "pixel_sum": []}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        width, height, raster = decode_image(encode_bmp(payload or b""))
+        out["doc_id"].append(doc_id)
+        out["width"].append(width)
+        out["height"].append(height)
+        out["n_pixels"].append(width * height)
+        out["pixel_sum"].append(int(sum(raster)))
     return pd.DataFrame(
         {
-            "doc_id": pdf["doc_id"],
-            "n_bytes": n_bytes.astype("int32"),
-            # stand-ins for decoded properties (frame count, pixel checksum)
-            "n_frames": (n_bytes % 7).astype("int32"),
-            "byte_feature": payloads.map(lambda b: int(sum(b[:8]))).astype("int64"),
+            "doc_id": out["doc_id"],
+            "width": pd.Series(out["width"], dtype="int32"),
+            "height": pd.Series(out["height"], dtype="int32"),
+            "n_pixels": pd.Series(out["n_pixels"], dtype="int32"),
+            "pixel_sum": pd.Series(out["pixel_sum"], dtype="int64"),
         }
     )
 
@@ -141,6 +211,7 @@ def resize_payloads(binary_docs: DataFrame) -> DataFrame:
 
 
 def extract_features(binary_docs: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column; swap
-    ``_fake_feature_batch`` for a real decoder and the plan is unchanged."""
-    return _map_payload_batches(binary_docs, _fake_feature_batch, FEATURE_SCHEMA)
+    """Arrow-batched feature extraction over the binary column: a real BMP
+    container round-trip per payload (see _bmp_feature_batch); swap the
+    decoder for JPEG/PNG and the plan is unchanged."""
+    return _map_payload_batches(binary_docs, _bmp_feature_batch, FEATURE_SCHEMA)

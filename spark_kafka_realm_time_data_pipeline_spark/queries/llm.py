@@ -907,16 +907,48 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (round 7): every payload is packed into a genuine
+    24-bit BMP (deterministic pixel fill) and decoded back with the pure-
+    Python BMP parser — header struct parse, bottom-up rows, stride
+    padding — inside Arrow-batched mapInPandas.  Emits decoded pixel
+    stats; the oracle replays them analytically (pixel bytes cycle the
+    text bytes, so pixel_sum = full_cycles * text_byte_sum + prefix_sum)
+    without parsing BMP — two independent routes to the same numbers."""
     return M.extract_features(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
 
 
-_BYTE_SUM = " + ".join(f"ascii(substring(text, {i}, 1))" for i in range(1, 9))
+# Corpus text is ASCII (guarded by tests/test_corpus_assumptions.py), so
+# ascii(char) == payload byte value and octet_length == length.
+_TEXT_SUM = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, length(text) + 1),"
+    " p -> CAST(ascii(substring(text, CAST(p AS INT), 1)) AS BIGINT))),"
+    " (a, x) -> a + x)"
+)
+_PREFIX_SUM = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, total % n + 1),"
+    " p -> CAST(ascii(substring(text, CAST(p AS INT), 1)) AS BIGINT))),"
+    " (a, x) -> a + x)"
+)
 ORA_MULTIMODAL_FEATURES = f"""
+WITH g AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         {M.BMP_W_BASE} + octet_length(encode(text)) % {M.BMP_W_MOD} AS w,
+         {M.BMP_H_BASE} + octet_length(encode(text)) % {M.BMP_H_MOD} AS h
+  FROM documents
+), t AS (
+  SELECT doc_id, text, n, w, h, 3 * w * h AS total FROM g
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       CAST(octet_length(encode(text)) % 7 AS INT) AS n_frames,
-       CAST({_BYTE_SUM} AS BIGINT) AS byte_feature
-FROM documents
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS INT) AS n_pixels,
+       CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+            ELSE (total // n) * {_TEXT_SUM}
+                 + (CASE WHEN total % n = 0 THEN 0 ELSE {_PREFIX_SUM} END)
+       END AS pixel_sum
+FROM t
 """
 
 
