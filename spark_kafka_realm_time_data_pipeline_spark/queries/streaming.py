@@ -55,7 +55,9 @@ def q_streaming_stedi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
         join_window_seconds=JOIN_WINDOW_SECONDS,
     )
-    return run_to_memory(joined, spark)
+    # inner join: matches emit in the data batch; the trailing no-data
+    # batch would only advance the watermark for state EVICTION
+    return run_to_memory(joined, spark, no_data_batches=False)
 
 
 def q_streaming_stedi_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +71,7 @@ def q_streaming_stedi_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_event_wire_stream(spark, sf_dir),
         watermark=None,
     )
-    return run_to_memory(joined, spark)
+    return run_to_memory(joined, spark, no_data_batches=False)
 
 
 _OUTER_WINDOW_S = 3600  # join window and watermark delay for the outer join
@@ -141,7 +143,7 @@ def q_streaming_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return run_to_memory(agg, spark, output_mode="complete")
+    return run_to_memory(agg, spark, output_mode="complete", no_data_batches=False)
 
 
 ORA_TUMBLING = """
@@ -168,7 +170,7 @@ def q_streaming_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(agg, spark, output_mode="complete")
+    return run_to_memory(agg, spark, output_mode="complete", no_data_batches=False)
 
 
 ORA_SLIDING = """
@@ -351,7 +353,7 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(dim, ev.user_id == dim.c_custkey).select(
         "event_id", "user_id", "c_mktsegment", "value"
     )
-    return run_to_memory(joined, spark)
+    return run_to_memory(joined, spark, no_data_batches=False)
 
 
 ORA_STREAMING_STATIC_JOIN = """
@@ -391,7 +393,7 @@ def q_streaming_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(agg, spark, output_mode="complete")
+    return run_to_memory(agg, spark, output_mode="complete", no_data_batches=False)
 
 
 ORA_STREAMING_UNION = """
@@ -459,7 +461,10 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND c_ts <= p_ts"
         ),
     ).select(F.col("p_uid").alias("user_id"), "purchase_id", "click_id")
-    return run_to_memory(joined, spark)
+    # inner interval join: emission is immediate; the no-data batch only
+    # evicts state - pure fixed cost on a bounded replay (measured ~1 s of
+    # the 2.1 s sf0.1 wall)
+    return run_to_memory(joined, spark, no_data_batches=False)
 
 
 ORA_STREAMING_INTERVAL_JOIN = f"""
@@ -571,7 +576,7 @@ def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rc")
     ).select("rc.row_id", "rc.col")
     agg = cells.groupBy("row_id", "col").agg(F.count(F.lit(1)).alias("cnt"))
-    return run_to_memory(agg, spark, output_mode="complete")
+    return run_to_memory(agg, spark, output_mode="complete", no_data_batches=False)
 
 
 def _ora_streaming_countmin() -> str:

@@ -69,12 +69,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return convert_nano_ts(spark.read.parquet(table_path(sf_dir, name)), name)
 
 
+# Parquet footer schemas, keyed by file path + mtime: stream_table needs a
+# declared schema per call, and a streaming query typically builds 1-4
+# sources — each footer read is a driver-side job (~50 ms) that dominates
+# nothing alone but adds up across the replay suite.  mtime in the key keeps
+# the cache honest if a corpus file is regenerated mid-session.
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _table_schema(spark: SparkSession, path: str):
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:  # directory-style parquet or remote FS: skip caching
+        return spark.read.parquet(path).schema
+    key = (path, mtime)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
+
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming scan of the same corpus table (file source): the bounded
     analog of the reference's Kafka topic scans (sparkpykafkajoin.py:48-54).
     The file source needs a declared schema (no inference on streams) — read
-    it from the parquet footer, which is a metadata-only operation."""
-    schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    it from the parquet footer, which is a metadata-only operation (cached
+    per path+mtime)."""
+    schema = _table_schema(spark, table_path(sf_dir, name))
     # FileStreamSource requires a directory basePath; select the one table's
     # file with a glob filter over the corpus dir.
     df = (

@@ -50,6 +50,17 @@ REPLAY_STATE_PROVIDER = os.environ.get(
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
 )
 
+# Checkpoint root for BOUNDED replays.  A replay's checkpoint is deleted the
+# moment the query finishes (see the rmtree below), so crash-durability buys
+# nothing — put the offset/commit WAL on tmpfs when available and skip the
+# disk fsyncs (~0.1-0.3 s of WAL latency per replay).  Production paths
+# (sinks.py) take a caller-provided durable checkpoint location and never
+# pass through here.
+_REPLAY_CKPT_ROOT = os.environ.get(
+    "SPARK_GRAFT_REPLAY_CKPT_ROOT",
+    "/dev/shm" if os.path.isdir("/dev/shm") else None,
+)
+
 
 def run_to_memory(
     df: DataFrame,
@@ -57,6 +68,7 @@ def run_to_memory(
     name: str | None = None,
     output_mode: str = "append",
     timeout_seconds: int = 300,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Execute a streaming DataFrame with trigger(availableNow) into an
     in-memory table and return the materialized result.
@@ -66,9 +78,19 @@ def run_to_memory(
     and append-mode state (windows/sessions) is flushed, then stops — the
     deterministic replay the reference lacks (its only options were "block
     forever" or ctrl-C).
-    """
+
+    ``no_data_batches=False`` skips the trailing no-data micro-batch.  Each
+    batch pays fixed machinery (re-plan + one state-store open/commit per
+    store per partition + offset/commit WAL writes) — measured ~1 s of the
+    interval join's 2.1 s replay for a batch that reads ZERO rows.  Only
+    operators whose OUTPUT needs the final watermark advance require it:
+    append-mode windows/sessions and outer joins (emit on watermark) and
+    dropDuplicatesWithinWatermark's state eviction.  Inner stream-stream
+    joins, stateless maps, and complete/update-mode aggregations emit
+    everything during the data batches — for those the trailing batch is
+    pure overhead, and callers turn it off."""
     qname = name or f"mem_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{qname}_", dir=_REPLAY_CKPT_ROOT)
     # streaming profile: fewer, fuller state partitions (see
     # STREAM_SHUFFLE_PARTITIONS); restored after the bounded replay ends so
     # batch queries keep the session default.  conf.set and .start() sit
@@ -76,11 +98,16 @@ def run_to_memory(
     # the streaming partition count (or the checkpoint dir) into the session.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     query = None
     try:
         spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", REPLAY_STATE_PROVIDER
+        )
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled",
+            "true" if no_data_batches else "false",
         )
         query = (
             df.writeStream.format("memory")
@@ -101,6 +128,7 @@ def run_to_memory(
             query.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
         shutil.rmtree(ckpt, ignore_errors=True)
     # copy the result out of the memory sink (eager localCheckpoint) and
     # drop the sink table — otherwise every call leaks a fully materialized
