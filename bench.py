@@ -71,6 +71,28 @@ HEADLINE = [
     "curation_pipeline_e2e",
 ]
 
+# The r4-era 34-query headline above is frozen for round-over-round
+# comparability; its subtotal is reported as "value_legacy34".  Rounds 6-7
+# additions below extend the FULL headline ("value").
+HEADLINE_LEGACY = list(HEADLINE)
+HEADLINE += [
+    # round-6 additions (dedup funnel, retrieval kernels, sketches, drift)
+    "dedup_components",
+    "dedup_keep_corpus",
+    "dedup_incremental",
+    "dedup_editdistance",
+    "tfidf_top_terms",
+    "bm25_term_scores",
+    "countmin_sketch",
+    "hll_registers",
+    "length_drift_report",
+    "streaming_countmin",
+    "streaming_dedup_incremental",
+    # round-7 additions
+    "dedup_incremental_indexed",
+    "sim_recall_report",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -152,10 +174,14 @@ def main() -> None:
                 print(f"rows/s {name} failed: {exc!r}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    legacy = round(
+        sum(t for n, t in timings.items() if n in HEADLINE_LEGACY), 3
+    )
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "value_legacy34": legacy,
         "queries": timings,
         "sf": sf,
         "runs": runs,

@@ -21,11 +21,17 @@ from pyspark.sql import functions as F
 
 from ..sources.files import load_table
 
-# 8 bands x 8 rows: LSH candidate threshold ~ (1/b)^(1/r) = 0.77, tuned to
+# 6 bands x 8 rows: LSH candidate threshold ~ (1/b)^(1/r) = 0.80, tuned to
 # the 0.8 Jaccard verify bar. Round-1 ran 4 bands x 2 rows, which admits
 # P(candidate)=0.68 at s=0.5 — near-quadratic buckets on template-heavy
 # corpora (measured 133s / 4.3M pairs at sf0.1). r=8 drops that to ~0.03.
-N_MINHASH = 64
+# Round 7 trimmed 8 bands -> 6 (64 -> 48 hashes): the signature aggregation
+# over the token frame — the widest intermediate in the suite — does 25%
+# less min-work and the band explode emits 25% fewer rows, while the miss
+# probability for a true 0.9-Jaccard pair stays ~(1-0.9^8)^6 = 3%, and ~1e-4
+# at the 0.97+ similarity of planted near-copies.  The oracle replays the
+# same 6x8 family, so verification is unaffected.
+N_MINHASH = 48
 BAND_ROWS = 8
 # Deterministic per-bucket cap (lowest doc_ids win): bounds any residual
 # degenerate bucket at cap^2 pairs. Replayed exactly by the oracle SQL.

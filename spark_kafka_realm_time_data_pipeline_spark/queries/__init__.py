@@ -44,76 +44,45 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Round-6 rotation: the 7 queries broken by the corpus's TIMESTAMP_NTZ
-    # flip (fixed this round via inferTimestampNTZ.enabled=false +
-    # convert_nano_ts NTZ->LTZ normalization) go first so the fix itself is
-    # driver-proven with fresh green rows — their old green rows predate the
-    # corpus regeneration and are stale.  Queries whose plans changed this
-    # round (MinHash trim, flagship broadcast removal) come next.  The rest
-    # of the ~50-entry window re-proves the timestamp-consuming batch
-    # families under the restored LTZ read path.  Previously-proven entries
-    # rotate behind.
+    # Round-7 rotation (the driver checks the first ~50).  Composition:
+    # (a) new queries + every query whose PLAN changed this round — staged
+    #     base-index dedup, the now-oracled IVF + recall report, the 48-hash
+    #     MinHash family, suffix-blocked edit distance, the real BMP decode,
+    #     the pmod salt fix, and the 8 streaming replays that now skip the
+    #     trailing no-data batch;
+    # (b) the 13 r5-era front-tail entries the r6 window never re-proved
+    #     (the r6 front list overflowed the 50-entry window);
+    # (c) 17 of the oldest r2-era greens (scalar families, set ops,
+    #     subqueries, agg shapes, join shapes) — their rows predate two
+    #     corpus regenerations.  The remaining r2/r3-era names rotate in r8.
     front = [
         n
         for n in (
-            # broken by the NTZ corpus flip, fixed in r6 — must re-prove
-            "sessionize",
-            "streaming_stedi_join",
-            "streaming_outer_join",
-            "streaming_late_window",
-            "streaming_session_window",
-            "streaming_dedup_watermark",
-            "streaming_interval_join",
-            # plans changed in r6 — need fresh green rows
+            # (a) new in r7
+            "dedup_incremental_indexed",
+            "sim_recall_report",
+            "sim_ivf_topk",
+            # (a) MinHash family: 64 -> 48 hashes (6x8 banding)
             "dedup_minhash_lsh",
             "dedup_minhash_ngram",
-            # new in r6
             "dedup_components",
             "dedup_keep_corpus",
-            "tfidf_top_terms",
-            "bm25_term_scores",
             "dedup_incremental",
-            "countmin_sketch",
-            "streaming_countmin",
-            "hll_registers",
-            "dedup_editdistance",
             "streaming_dedup_incremental",
-            "length_drift_report",
-            # gram keys switched md5 -> polynomial in r6 — old greens stale
-            "ngram_decontaminate",
-            "contamination_overlap",
-            # runner replay profile changed in r6 — re-prove the one
-            # streaming query not already listed above
-            "streaming_foreachbatch_topk",
-            "stedi_flagship",
+            # (a) plan changes
+            "dedup_editdistance",
+            "multimodal_features",
             "join_skew_salted",
-            # timestamp-consuming families: re-prove hash parity under the
-            # restored LTZ-under-UTC read path
+            # (a) replay profile changed: no-data batch skipped
+            "streaming_stedi_join",
+            "streaming_stedi_unbounded",
+            "streaming_interval_join",
+            "streaming_static_join",
             "streaming_window_tumbling",
             "streaming_window_sliding",
-            "streaming_stedi_unbounded",
-            "streaming_dedup",
-            "streaming_cdc_latest",
-            "streaming_stateful_count",
-            "streaming_static_join",
             "streaming_union",
-            "time_gapfill",
-            "scd2_intervals",
-            "asof_join",
-            "window_range_frame",
-            "pivot_events",
-            "funnel_stages",
-            "orderby_limit",
-            "window_rank",
-            "window_running",
-            "topk_per_group",
-            "pricing_summary",
-            "filtered_revenue",
-            "tpch_q3_shipping",
-            "tpch_q4_order_priority",
-            "tpch_q5_local_supplier",
-            "tpch_q6_forecast",
-            "tpch_q7_volume",
+            "streaming_countmin",
+            # (b) r5-era tail never re-proven in the r6 window
             "tpch_q8_market_share",
             "tpch_q9_profit",
             "tpch_q10_returned",
@@ -127,6 +96,25 @@ def registry() -> dict[str, QuerySpec]:
             "merge_upsert",
             "heavy_hitters",
             "zorder_stats",
+            # (c) oldest r2-era greens: scalar / set-op / subquery / agg /
+            # join families
+            "scalar_string",
+            "scalar_date",
+            "scalar_array",
+            "scalar_math",
+            "set_union",
+            "set_intersect",
+            "set_except",
+            "exists_subquery",
+            "scalar_subquery",
+            "correlated_min_subquery",
+            "agg_rollup",
+            "agg_cube",
+            "agg_grouping_sets",
+            "agg_having",
+            "join_anti",
+            "join_semi",
+            "join_full",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

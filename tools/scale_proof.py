@@ -31,6 +31,14 @@ QUERIES = [
     "sessionize",
     "tpch_q9_profit",
     "stedi_flagship",
+    # round-7 extension: the r6 additions the verdict flagged as
+    # perf-unmeasured at scale
+    "dedup_components",
+    "dedup_incremental",
+    "countmin_sketch",
+    "hll_registers",
+    "bm25_term_scores",
+    "tfidf_top_terms",
 ]
 
 
