@@ -91,6 +91,10 @@ HEADLINE += [
     # round-7 additions
     "dedup_incremental_indexed",
     "sim_recall_report",
+    "kmeans_embeddings",
+    "bloom_prune_join",
+    "hll_window_merge",
+    "lm_bigram_coverage",
 ]
 
 

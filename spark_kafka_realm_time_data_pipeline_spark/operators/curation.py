@@ -1061,3 +1061,201 @@ SELECT lang,
          AS tokens_kept
 FROM staged GROUP BY lang
 """
+
+
+# --- integer-exact k-means (embedding clustering) ----------------------------
+
+# Power-of-two fixed-point scale: floor(x * 2^10) is exact IEEE arithmetic,
+# so the quantized components are plain integers and every distance /
+# centroid computation below is integer math both engines replay exactly.
+# Overflow bound: |qval| <= ~5 * 2^10, so a per-pair squared distance is
+# <= 64 * (2^13)^2 < 2^32 and a corpus-wide inertia sum has ~2^31 rows of
+# headroom in a signed 64-bit accumulator.
+KM_SCALE = 1 << 10
+KM_K = 8
+KM_ITERS = 3
+
+
+def kmeans_embeddings(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """Lloyd's k-means over fixed-point-quantized embeddings — the
+    clustering stage SemDeDup / topic-balancing / IVF-index training all
+    sit on (here ``label`` is NOT used: the clusters are discovered).
+
+    Determinism contract: components are quantized to integers
+    (floor(x * 2^10)), centroids are the exact floor of the per-cluster
+    component mean ((s - pmod(s, n)) div n — integer division after
+    removing the positive remainder, identical in Spark and DuckDB), the
+    argmin tie-breaks on cluster id, and seeds are the k smallest vec_ids.
+    Every iteration is therefore a pure integer fixpoint step the DuckDB
+    oracle unrolls CTE-for-CTE — no float accumulation anywhere.
+
+    Shape per iteration: assignment is a crossJoin against the BROADCAST
+    k-row centroid frame with a whole-array zip_with distance (no ×dim
+    row explosion), so its cost is one narrow pass over the vectors; the
+    rebuild posexplodes only for the (cluster, pos) sum — ONE shuffle of
+    k × dim groups after map-side combine.  The quantized vector frame is
+    persisted once and reused by all iterations; the k-row centroid frame
+    is eagerly localCheckpoint'ed so the plan does not deepen with the
+    iteration count.  At 100 TB nothing here is corpus-bounded except the
+    two narrow passes per iteration — the textbook scalable k-means shape.
+
+    Output per discovered cluster: member count, centroid L1 mass, and
+    the exact quantized inertia of the final assignment — all BIGINT."""
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * KM_SCALE).cast("long")
+    )
+    q = emb.select("vec_id", qv.alias("qv")).persist()
+    cent = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    assigned = None
+    for _ in range(iters):
+        scored = q.crossJoin(F.broadcast(cent)).withColumn("d2", d2)
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "d2", "qv")
+        )
+        percomp = (
+            assigned.select("cluster", F.posexplode("qv").alias("pos", "qval"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("qval").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cent = (
+            percomp.withColumn("cval", F.expr("(s - pmod(s, n)) div n"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda st: st["cval"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.sum("d2").alias("inertia_q")
+    )
+    l1 = cent.select(
+        "cluster",
+        F.aggregate(
+            F.transform("cv", lambda c: F.abs(c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("centroid_l1"),
+    )
+    return stats.join(l1, "cluster").select(
+        "cluster", "n_vectors", "centroid_l1", "inertia_q"
+    )
+
+
+def _km_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration as oracle CTEs (assignment a{i} against
+    centroids c{i-1}, rebuild c{i} from the winners m{i})."""
+    prev = f"c{i - 1}" if i > 1 else "cent0"
+    return f"""
+a{i} AS (
+  SELECT e.vec_id, c.cluster,
+         SUM((e.qval - c.cval) * (e.qval - c.cval)) AS d2
+  FROM expl e JOIN {prev} c USING (pos) GROUP BY e.vec_id, c.cluster
+), m{i} AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM a{i}
+  ) WHERE rn = 1
+), c{i} AS (
+  SELECT m.cluster, e.pos,
+         CAST((SUM(e.qval) - ((SUM(e.qval) % COUNT(*)) + COUNT(*)) % COUNT(*))
+              / COUNT(*) AS BIGINT) AS cval
+  FROM m{i} m JOIN expl e USING (vec_id) GROUP BY m.cluster, e.pos
+)"""
+
+
+ORA_KMEANS_EMBEDDINGS = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), expl AS (
+  SELECT vec_id, unnest(range(0, len(qv))) AS pos, unnest(qv) AS qval FROM q
+), cent0 AS (
+  SELECT vec_id AS cluster, pos, qval AS cval FROM expl WHERE vec_id < {KM_K}
+),{",".join(_km_iter_sql(i) for i in range(1, KM_ITERS + 1))},
+fin AS (
+  SELECT cluster, COUNT(*) AS n_vectors, CAST(SUM(d2) AS BIGINT) AS inertia_q
+  FROM m{KM_ITERS} GROUP BY cluster
+), cl1 AS (
+  SELECT cluster, CAST(SUM(abs(cval)) AS BIGINT) AS centroid_l1
+  FROM c{KM_ITERS} GROUP BY cluster
+)
+SELECT f.cluster, f.n_vectors, cl1.centroid_l1, f.inertia_q
+FROM fin f JOIN cl1 USING (cluster)
+"""
+
+
+# --- bigram coverage (perplexity-proxy quality score) ------------------------
+
+
+def lm_bigram_coverage(docs: DataFrame) -> DataFrame:
+    """Per-document bigram coverage against the corpus bigram LM — the
+    integer-exact stand-in for perplexity-based quality filtering
+    (CCNet-style): a document most of whose bigrams are rare corpus-wide
+    is the same document a small LM would assign high perplexity.
+
+    Emits (doc_id, n_bigrams, n_covered, coverage_pct) where a bigram
+    occurrence is covered when its corpus count >= LM_MIN_COUNT; the only
+    float is the final single division.  Shape: the count table is
+    vocab²-bounded (not corpus-bounded) after one map-side-combined
+    groupBy; the coverage join shuffles on the bigram key — uniformly
+    distributed text keys, no skew — and the per-doc rollup is the second
+    and last shuffle.  Docs shorter than two words have no bigrams and are
+    absent from the report by construction (same in the oracle)."""
+    big = docs.select("doc_id", F.explode(_word_ngrams(n=2)).alias("bigram"))
+    counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    per = (
+        big.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("n") >= LM_MIN_COUNT, 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "n_covered",
+        (F.col("n_covered").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "coverage_pct"
+        ),
+    )
+
+
+ORA_LM_BIGRAM_COVERAGE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), big AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 1), ' ')
+           AS bigram
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+), counts AS (
+  SELECT bigram, COUNT(*) AS n FROM big GROUP BY bigram
+), per AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(CASE WHEN c.n >= {LM_MIN_COUNT} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM big b JOIN counts c USING (bigram) GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, n_covered,
+       CAST(n_covered AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS coverage_pct
+FROM per
+"""

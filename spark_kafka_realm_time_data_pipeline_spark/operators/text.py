@@ -433,3 +433,66 @@ def length_drift_report(docs: DataFrame) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+# --- sliding-window HLL merge -------------------------------------------------
+
+HLL_WIN_DAYS = 7
+HLL_USER_MULT = 2654435761  # Knuth multiplicative hash constant
+
+
+def hll_window_merge(events: DataFrame) -> DataFrame:
+    """Daily HyperLogLog register tables over ``user_id`` merged across a
+    7-day sliding window — the trailing-week-uniques dashboard query, and
+    the demonstration of WHY sketches win at 100 TB: a day's users compress
+    to 2^p registers, and the week-over-day merge is a max over those
+    registers instead of a re-scan of seven days of raw events.
+
+    Register-exact like ``hll_registers``: the 42-bit key is one modular
+    multiply, the rank comes from length(bin(w)), and the merge is an
+    idempotent MAX — so the DuckDB oracle replays every register.  Shape:
+    ONE corpus-bounded shuffle (day × bucket groupBy with map-side max
+    combine, <= 2^p rows per day after it); the dense day-grid crossJoin,
+    the RANGE window, and the final per-day rollup all run on that
+    sketch-sized table.  Missing calendar days contribute nothing and the
+    RANGE (not ROWS) frame keeps the window honest across gaps."""
+    from .dedup import SHINGLE_P
+
+    n_buckets = 1 << HLL_P
+    wk = F.pmod(F.col("user_id").cast("long") * HLL_USER_MULT, F.lit(SHINGLE_P))
+    keyed = events.select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+        wk.alias("wk"),
+    ).select(
+        "day_num",
+        (F.col("wk") % n_buckets).alias("bucket"),
+        F.expr(f"wk div {n_buckets}").alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(HLL_SUFFIX_BITS + 1)).otherwise(
+        HLL_SUFFIX_BITS + 1 - F.length(F.bin("w"))
+    )
+    daily = (
+        keyed.select("day_num", "bucket", rank.alias("rank"))
+        .groupBy("day_num", "bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+    days = daily.select("day_num").distinct()
+    grid = days.select(
+        "day_num", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket")
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("day_num")
+        .rangeBetween(-(HLL_WIN_DAYS - 1), 0)
+    )
+    merged = (
+        grid.join(daily, ["day_num", "bucket"], "left")
+        .withColumn("merged_register", F.max("register").over(win))
+        .filter(F.col("merged_register").isNotNull())
+    )
+    return merged.groupBy("day_num").agg(
+        F.count(F.lit(1)).alias("n_active_buckets"),
+        F.sum("merged_register").alias("register_sum"),
+    )

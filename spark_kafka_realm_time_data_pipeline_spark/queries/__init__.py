@@ -59,6 +59,10 @@ def registry() -> dict[str, QuerySpec]:
         n
         for n in (
             # (a) new in r7
+            "kmeans_embeddings",
+            "bloom_prune_join",
+            "hll_window_merge",
+            "lm_bigram_coverage",
             "dedup_incremental_indexed",
             "sim_recall_report",
             "sim_ivf_topk",

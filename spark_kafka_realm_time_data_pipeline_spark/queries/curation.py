@@ -100,6 +100,14 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.curation_pipeline(with_lang)
 
 
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.kmeans_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_lm_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.lm_bigram_coverage(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_normalize": QuerySpec(
         q_text_normalize, C.ORA_NORMALIZE_TEXT, "canonical text form + md5 content key"
@@ -186,5 +194,15 @@ QUERIES: dict[str, QuerySpec] = {
             stop_list="[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]",
         ),
         "composed funnel: normalize -> dedup -> quality gate -> per-lang report",
+    ),
+    "kmeans_embeddings": QuerySpec(
+        q_kmeans_embeddings,
+        C.ORA_KMEANS_EMBEDDINGS,
+        "integer-exact Lloyd's k-means over quantized embeddings",
+    ),
+    "lm_bigram_coverage": QuerySpec(
+        q_lm_bigram_coverage,
+        C.ORA_LM_BIGRAM_COVERAGE,
+        "per-doc bigram coverage vs corpus LM (perplexity proxy)",
     ),
 }

@@ -416,6 +416,43 @@ FROM bw GROUP BY bucket
 """
 
 
+def q_hll_window_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day unique-users via daily HLL registers merged with a
+    RANGE window MAX — the sketch-merge pattern that replaces seven days of
+    raw-event re-scans at 100 TB (see operators/text.hll_window_merge)."""
+    return T.hll_window_merge(load_table(spark, sf_dir, "events"))
+
+
+ORA_HLL_WINDOW_MERGE = f"""
+WITH keyed AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+         (user_id * {T.HLL_USER_MULT}) % {D.SHINGLE_P} AS wk
+  FROM events
+), bw AS (
+  SELECT day_num, wk % {1 << T.HLL_P} AS bucket, wk // {1 << T.HLL_P} AS w
+  FROM keyed
+), daily AS (
+  SELECT day_num, bucket,
+         MAX(CASE WHEN w = 0 THEN {T.HLL_SUFFIX_BITS + 1}
+                  ELSE {T.HLL_SUFFIX_BITS + 1} - length(bin(w)) END) AS register
+  FROM bw GROUP BY day_num, bucket
+), days AS (SELECT DISTINCT day_num FROM daily),
+grid AS (
+  SELECT day_num, unnest(range(0, {1 << T.HLL_P})) AS bucket FROM days
+), merged AS (
+  SELECT g.day_num,
+         MAX(d.register) OVER (
+           PARTITION BY g.bucket ORDER BY g.day_num
+           RANGE BETWEEN {T.HLL_WIN_DAYS - 1} PRECEDING AND CURRENT ROW
+         ) AS merged_register
+  FROM grid g LEFT JOIN daily d ON g.day_num = d.day_num AND g.bucket = d.bucket
+)
+SELECT day_num, COUNT(*) AS n_active_buckets,
+       CAST(SUM(merged_register) AS BIGINT) AS register_sum
+FROM merged WHERE merged_register IS NOT NULL GROUP BY day_num
+"""
+
+
 def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup tier: prefix- AND suffix-blocked candidates
     verified with threshold-bounded Levenshtein (integer metric, built into
@@ -1146,6 +1183,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_hll_registers,
         ORA_HLL_REGISTERS,
         "HyperLogLog register table, register-exact (portable approx-distinct)",
+    ),
+    "hll_window_merge": QuerySpec(
+        q_hll_window_merge,
+        ORA_HLL_WINDOW_MERGE,
+        "trailing-7-day uniques via RANGE-window HLL register merge",
     ),
     "length_drift_report": QuerySpec(
         q_length_drift_report,

@@ -1601,7 +1601,147 @@ FROM customer FULL OUTER JOIN src ON c_custkey = user_id
 """
 
 
+# --- Bloom-filter join pruning ------------------------------------------------
+
+# Filter geometry is FIXED (not sized per SF) so the oracle replays the
+# arithmetic bit-for-bit at every scale; production sizing is ~10 bits/key.
+# At sf0.1 (~30k urgent build keys x 4 hashes into 2^18 bits) the filter
+# runs at ~0.9% false-positive rate — a measurable, exactly-replayable fpp
+# instead of a degenerate all-zeros column.
+BLOOM_BITS = 1 << 18
+BLOOM_K = 4
+BLOOM_P31 = (1 << 31) - 1
+BLOOM_H1_MULT = 2654435761  # Knuth multiplicative constant
+BLOOM_H2_MULT = 40503
+BLOOM_H2_ADD = 97
+
+
+def _bloom_positions(keyed: DataFrame) -> DataFrame:
+    """(key, word, bit) triples for the BLOOM_K double-hash probe positions
+    pos_j = (h1 + j*h2) mod m.  Pure 64-bit-safe integer arithmetic (key
+    <= ~6e7 even at sf1 keeps key*mult < 2^58), identical in DuckDB."""
+    return (
+        keyed.withColumn("h1", F.pmod(F.col("key") * BLOOM_H1_MULT, F.lit(BLOOM_P31)))
+        .withColumn(
+            "h2", F.pmod(F.col("key") * BLOOM_H2_MULT + BLOOM_H2_ADD, F.lit(BLOOM_P31))
+        )
+        .select(
+            "key",
+            "h1",
+            "h2",
+            F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j"),
+        )
+        .select(
+            "key",
+            F.pmod(F.col("h1") + F.col("j") * F.col("h2"), F.lit(BLOOM_BITS)).alias(
+                "pos"
+            ),
+        )
+        .select(
+            "key",
+            F.expr("pos div 32").alias("word"),
+            (F.col("pos") % 32).cast("int").alias("bit"),
+        )
+    )
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning, made explicit: build a bit-exact
+    Bloom filter over the selective side's join keys (urgent orders), probe
+    every lineitem orderkey against it, and report the pruning quality —
+    probe keys, candidates passed, true matches, false positives, bits set.
+
+    This is the manual form of Spark's runtime filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled): at 100 TB the point
+    is that a ~32 KB filter broadcast to the scan prunes the probe side
+    BEFORE the join shuffle, so the shuffle carries ~|matches| rows instead
+    of |fact|.  Kept as a first-class operator because the built-in filter
+    is adaptive and engine-internal (not oracle-replayable), while this one
+    is exact: word values come from a bit_or aggregate (idempotent —
+    map-side combine safe), the filter table is m/32 rows (broadcast), and
+    every hash is modular integer arithmetic both engines replay."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("key")
+    )
+    words = (
+        _bloom_positions(build)
+        .select("word", "bit")
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("wv"))
+    )
+    probe = li.select(F.col("l_orderkey").alias("key")).distinct()
+    cand = (
+        _bloom_positions(probe)
+        .join(F.broadcast(words), "word")
+        .filter(F.expr("(shiftright(wv, bit) & 1L) = 1L"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") == BLOOM_K)
+        .select("key")
+    )
+    flags = cand.join(build.withColumn("is_t", F.lit(1)), "key", "left")
+    summary = flags.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.coalesce(F.col("is_t"), F.lit(0))).cast("long").alias("n_true_matches"),
+    )
+    bits = words.agg(F.sum(F.bit_count("wv")).cast("long").alias("n_bits_set"))
+    nprobe = probe.agg(F.count(F.lit(1)).alias("n_probe_keys"))
+    return (
+        nprobe.crossJoin(summary)
+        .crossJoin(bits)
+        .select(
+            "n_probe_keys",
+            "n_candidates",
+            "n_true_matches",
+            (F.col("n_candidates") - F.col("n_true_matches")).alias("n_false_pos"),
+            "n_bits_set",
+        )
+    )
+
+
+ORA_BLOOM_PRUNE_JOIN = f"""
+WITH build AS (
+  SELECT o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+), bpos AS (
+  SELECT key,
+         ((key * {BLOOM_H1_MULT}) % {BLOOM_P31}
+          + j * ((key * {BLOOM_H2_MULT} + {BLOOM_H2_ADD}) % {BLOOM_P31}))
+         % {BLOOM_BITS} AS pos
+  FROM build CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j)
+), words AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS wv
+  FROM bpos GROUP BY pos // 32
+), probe AS (
+  SELECT DISTINCT l_orderkey AS key FROM lineitem
+), ppos AS (
+  SELECT key,
+         ((key * {BLOOM_H1_MULT}) % {BLOOM_P31}
+          + j * ((key * {BLOOM_H2_MULT} + {BLOOM_H2_ADD}) % {BLOOM_P31}))
+         % {BLOOM_BITS} AS pos
+  FROM probe CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j)
+), cand AS (
+  SELECT p.key FROM ppos p JOIN words w ON p.pos // 32 = w.word
+  WHERE ((w.wv >> CAST(p.pos % 32 AS INT)) & 1) = 1
+  GROUP BY p.key HAVING COUNT(*) = {BLOOM_K}
+)
+SELECT (SELECT COUNT(*) FROM probe) AS n_probe_keys,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM cand JOIN build USING (key)) AS n_true_matches,
+       (SELECT COUNT(*) FROM cand) -
+         (SELECT COUNT(*) FROM cand JOIN build USING (key)) AS n_false_pos,
+       (SELECT CAST(SUM(bit_count(wv)) AS BIGINT) FROM words) AS n_bits_set
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bloom_prune_join": QuerySpec(
+        q_bloom_prune_join,
+        ORA_BLOOM_PRUNE_JOIN,
+        "bit-exact Bloom-filter join pruning report",
+    ),
     "tpch_q7_volume": QuerySpec(
         q_tpch_q7_volume, ORA_TPCH_Q7, "TPC-H Q7 two-nation volume (OR across dims)"
     ),

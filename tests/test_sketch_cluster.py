@@ -1,0 +1,119 @@
+"""Semantic properties for the round-7 operators — k-means clustering,
+Bloom-filter join pruning, sliding-window HLL merge, bigram coverage.
+
+The oracle hash (tools/check.py / driver) is the primary gate; these assert
+what the hash can't see: cluster recovery on a planted mixture, the Bloom
+filter's no-false-negative guarantee, the window merge's equality with a
+brute-force register max, and coverage bounds."""
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from spark_kafka_realm_time_data_pipeline_spark.operators import curation as C
+from spark_kafka_realm_time_data_pipeline_spark.operators import text as T
+from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+from spark_kafka_realm_time_data_pipeline_spark.sources.files import load_table
+
+
+def test_kmeans_recovers_planted_separated_clusters(spark):
+    """Two planted clusters at opposite corners of the space: after the
+    fixed iteration count every vector must sit with its planted side and
+    the two centroid L1 masses must be far apart."""
+    rows = []
+    for i in range(40):
+        base = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, [base + 0.01 * i for _ in range(4)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = C.kmeans_embeddings(emb, k=2, iters=3).collect()
+    assert len(out) == 2
+    sizes = sorted(r.n_vectors for r in out)
+    assert sizes == [20, 20], out
+    l1s = sorted(r.centroid_l1 for r in out)
+    # both centroids near |10| * scale * dim, far from zero
+    assert l1s[0] > 4 * 9 * C.KM_SCALE, out
+
+
+def test_kmeans_partition_is_total(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = C.kmeans_embeddings(emb).collect()
+    assert sum(r.n_vectors for r in out) == emb.count()
+    assert all(r.inertia_q >= 0 for r in out)
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """Every urgent orderkey that appears in lineitem MUST be a candidate:
+    n_true_matches == |urgent ∩ probe| exactly (Bloom filters only err on
+    the positive side)."""
+    row = registry()["bloom_prune_join"].fn(spark, SF_DIR).collect()[0]
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("key")
+    )
+    expected_true = (
+        li.select(F.col("l_orderkey").alias("key")).distinct().join(urgent, "key").count()
+    )
+    assert row.n_true_matches == expected_true
+    assert row.n_candidates >= row.n_true_matches
+    assert row.n_false_pos == row.n_candidates - row.n_true_matches
+    assert 0 < row.n_bits_set <= 4 * urgent.count()
+
+
+def test_hll_window_merge_matches_bruteforce_daily_max(spark):
+    """register_sum for each day must equal the brute-force max-merge of
+    the trailing 7 days' daily registers, recomputed in plain Python from
+    the (tiny) daily register table."""
+    ev = load_table(spark, SF_DIR, "events")
+    out = {r.day_num: r for r in T.hll_window_merge(ev).collect()}
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.dedup import SHINGLE_P
+
+    n_buckets = 1 << T.HLL_P
+    daily_rows = (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day_num"),
+            F.pmod(F.col("user_id").cast("long") * T.HLL_USER_MULT, F.lit(SHINGLE_P)).alias("wk"),
+        )
+        .select(
+            "day_num",
+            (F.col("wk") % n_buckets).alias("bucket"),
+            F.expr(f"wk div {n_buckets}").alias("w"),
+        )
+        .collect()
+    )
+    daily: dict[tuple[int, int], int] = {}
+    for r in daily_rows:
+        rank = (T.HLL_SUFFIX_BITS + 1) if r.w == 0 else (
+            T.HLL_SUFFIX_BITS + 1 - len(bin(r.w)) + 2  # bin() has '0b' prefix
+        )
+        k = (r.day_num, r.bucket)
+        daily[k] = max(daily.get(k, 0), rank)
+    days = sorted({d for d, _ in daily})
+    for day in days:
+        regs: dict[int, int] = {}
+        for (d, b), rank in daily.items():
+            if day - (T.HLL_WIN_DAYS - 1) <= d <= day:
+                regs[b] = max(regs.get(b, 0), rank)
+        assert out[day].n_active_buckets == len(regs), day
+        assert out[day].register_sum == sum(regs.values()), day
+
+
+def test_bigram_coverage_bounds_and_totals(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = C.lm_bigram_coverage(docs)
+    bad = out.filter(
+        (F.col("n_covered") > F.col("n_bigrams"))
+        | (F.col("coverage_pct") < 0)
+        | (F.col("coverage_pct") > 1)
+    )
+    assert bad.count() == 0
+    # total bigram occurrences = sum over docs of max(words-1, 0)
+    expected = (
+        docs.select(
+            F.greatest(F.size(F.split("text", " ")) - 1, F.lit(0)).alias("nb")
+        )
+        .agg(F.sum("nb"))
+        .collect()[0][0]
+    )
+    got = out.agg(F.sum("n_bigrams")).collect()[0][0]
+    assert got == expected
