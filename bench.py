@@ -95,6 +95,7 @@ HEADLINE += [
     "bloom_prune_join",
     "hll_window_merge",
     "lm_bigram_coverage",
+    "streaming_hll",
 ]
 
 

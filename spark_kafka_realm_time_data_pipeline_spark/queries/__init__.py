@@ -63,6 +63,7 @@ def registry() -> dict[str, QuerySpec]:
             "bloom_prune_join",
             "hll_window_merge",
             "lm_bigram_coverage",
+            "streaming_hll",
             "dedup_incremental_indexed",
             "sim_recall_report",
             "sim_ivf_topk",

@@ -599,6 +599,61 @@ FROM cells GROUP BY row_id, col
 ORA_STREAMING_COUNTMIN = _ora_streaming_countmin()
 
 
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table maintained AS A STREAM: distinct-user
+    tracking over an unbounded event source via a complete-mode streaming
+    groupBy(bucket).max(rank) — the other half of the mergeable-sketch
+    pair next to ``streaming_countmin``.  MAX is idempotent AND monotone,
+    so per-micro-batch partials fold into the running state without
+    retraction, state is bounded at 2^p rows regardless of stream length,
+    and a restart from checkpoint resumes exact.  Registers are exact
+    integers (same modular hash as the batch ``hll_window_merge``), so the
+    bounded availableNow replay has a full batch-SQL value oracle."""
+    from ..operators.dedup import SHINGLE_P
+    from ..operators.text import HLL_P, HLL_SUFFIX_BITS, HLL_USER_MULT
+    from ..sources.files import stream_table
+
+    n_buckets = 1 << HLL_P
+    ev = stream_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.pmod(F.col("user_id").cast("long") * HLL_USER_MULT, F.lit(SHINGLE_P)).alias(
+            "wk"
+        )
+    ).select(
+        (F.col("wk") % n_buckets).alias("bucket"),
+        F.expr(f"wk div {n_buckets}").alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(HLL_SUFFIX_BITS + 1)).otherwise(
+        HLL_SUFFIX_BITS + 1 - F.length(F.bin("w"))
+    )
+    agg = (
+        keyed.select("bucket", rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+    return run_to_memory(agg, spark, output_mode="complete", no_data_batches=False)
+
+
+def _ora_streaming_hll() -> str:
+    from ..operators.dedup import SHINGLE_P
+    from ..operators.text import HLL_P, HLL_SUFFIX_BITS, HLL_USER_MULT
+
+    return f"""
+WITH keyed AS (
+  SELECT (user_id * {HLL_USER_MULT}) % {SHINGLE_P} AS wk FROM events
+), bw AS (
+  SELECT wk % {1 << HLL_P} AS bucket, wk // {1 << HLL_P} AS w FROM keyed
+)
+SELECT bucket,
+       MAX(CASE WHEN w = 0 THEN {HLL_SUFFIX_BITS + 1}
+                ELSE {HLL_SUFFIX_BITS + 1} - length(bin(w)) END) AS register
+FROM bw GROUP BY bucket
+"""
+
+
+ORA_STREAMING_HLL = _ora_streaming_hll()
+
+
 
 
 def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,6 +738,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_countmin,
         ORA_STREAMING_COUNTMIN,
         "Count-Min sketch as a complete-mode streaming aggregation",
+    ),
+    "streaming_hll": QuerySpec(
+        q_streaming_hll,
+        ORA_STREAMING_HLL,
+        "HyperLogLog registers as a complete-mode streaming aggregation",
     ),
     "streaming_foreachbatch_topk": QuerySpec(
         q_streaming_foreachbatch_topk,

@@ -39,6 +39,15 @@ QUERIES = [
     "hll_registers",
     "bm25_term_scores",
     "tfidf_top_terms",
+    # round-7 additions: clustering, runtime-filter pruning, window sketch
+    # merge, perplexity-proxy coverage, suffix-blocked edit distance, and
+    # the staged-base-index incremental dedup
+    "kmeans_embeddings",
+    "bloom_prune_join",
+    "hll_window_merge",
+    "lm_bigram_coverage",
+    "dedup_editdistance",
+    "dedup_incremental_indexed",
 ]
 
 
