@@ -96,6 +96,7 @@ HEADLINE += [
     "hll_window_merge",
     "lm_bigram_coverage",
     "streaming_hll",
+    "substring_dup_spans",
 ]
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.files import load_table
 
@@ -745,3 +746,132 @@ def editdistance_near_dup(
         # the thresholded variant returns -1 once the bound is exceeded
         .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_distance))
     )
+
+
+# --- exact substring-duplication spans ---------------------------------------
+
+SPAN_WIN = 64  # window length (chars): repeats shorter than this are invisible
+SPAN_STRIDE = 16  # stride; a repeat of length >= WIN + STRIDE - 1 is guaranteed hit
+
+
+def substring_dup_spans(corpus: DataFrame) -> DataFrame:
+    """Exact substring-duplication spans — the suffix-array-style "repeated
+    passage" detector from corpus-dedup practice (boilerplate headers,
+    license blocks, templated paragraphs REPEATED ACROSS documents that
+    whole-doc MinHash cannot see), approximated scalably: hash every
+    WIN-char window at STRIDE offsets with the shared Rabin-Karp polynomial,
+    keep windows whose hash occurs more than once corpus-wide, and merge a
+    doc's surviving windows into maximal disjoint spans.
+
+    Per doc: flagged window count, merged span count, duplicated chars, and
+    the duplicated fraction of the doc.  Everything up to the single final
+    division is integer arithmetic on the same 42-bit polynomial both
+    engines replay, so the oracle is value-exact (hash collisions are part
+    of the operator's defined semantics, identical on both sides, P ~ 2^42
+    makes them ~never).
+
+    Shape at 100 TB: the window fan-out is a narrow ~(len/STRIDE)x flatMap
+    (never quadratic); the only corpus-bounded shuffles are the hash
+    groupBy (uniform keys, map-side combine) and the join back — probe-side
+    semi-filtered by the >1-occurrence hash set, which is tiny relative to
+    the corpus because repeated passages are the exception.  The island
+    merge is a per-doc window function over flagged windows only.  A true
+    suffix-array pass would find repeats at every offset; stride-16 trades
+    sub-(WIN+STRIDE)-repeat recall for a 16x smaller fan-out — the
+    documented practical compromise."""
+    doc = corpus.select("doc_id", "text", F.length("text").alias("n_chars"))
+    offs = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.expr(f"((length(text) - {SPAN_WIN}) div {SPAN_STRIDE})").cast("int"),
+        ),
+        lambda i: i * SPAN_STRIDE,
+    )
+    offs = F.when(F.col("n_chars") >= SPAN_WIN, offs).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = doc.select("doc_id", "n_chars", "text", F.explode(offs).alias("off"))
+    codes = F.transform(
+        F.split(F.expr(f"substring(text, off + 1, {SPAN_WIN})"), ""),
+        lambda c: F.ascii(c),
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * SHINGLE_B + c) % SHINGLE_P,
+    )
+    wins = wins.select("doc_id", "n_chars", "off", h.alias("h"))
+    repeated = (
+        wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ")).filter(F.col("n_occ") > 1)
+    )
+    rep = wins.join(repeated.select("h"), "h")
+    w = Window.partitionBy("doc_id").orderBy("off")
+    isl = (
+        rep.withColumn("prev", F.lag("off").over(w))
+        .withColumn(
+            "new_isl",
+            (
+                F.col("prev").isNull() | ((F.col("off") - F.col("prev")) > SPAN_WIN)
+            ).cast("int"),
+        )
+        .withColumn(
+            "isl_id",
+            F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    spans = isl.groupBy("doc_id", "isl_id").agg(
+        F.max("n_chars").alias("n_chars"),
+        (F.max("off") - F.min("off") + SPAN_WIN).cast("long").alias("span_len"),
+        F.count(F.lit(1)).alias("n_w"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.sum("n_w").alias("n_dup_windows"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_chars"),
+        (
+            F.sum("span_len").cast("double") / F.max("n_chars").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+ORA_SUBSTRING_DUP_SPANS = f"""
+WITH {{corpus_cte}}
+doc AS (
+  SELECT doc_id, text, length(text) AS n_chars FROM corpus
+), wins AS (
+  SELECT doc_id, n_chars, CAST(i * {SPAN_STRIDE} AS INT) AS off,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(
+               string_split(substr(text, CAST(i * {SPAN_STRIDE} + 1 AS INT),
+                                   {SPAN_WIN}), ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * {{shingle_b}} + c) % {{shingle_p}}) AS h
+  FROM (
+    SELECT doc_id, text, n_chars,
+           unnest(range(0, (n_chars - {SPAN_WIN}) // {SPAN_STRIDE} + 1)) AS i
+    FROM doc WHERE n_chars >= {SPAN_WIN}
+  )
+), counts AS (
+  SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1
+), rep AS (
+  SELECT w.doc_id, w.n_chars, w.off FROM wins w JOIN counts USING (h)
+), isl AS (
+  SELECT doc_id, n_chars, off,
+         SUM(CASE WHEN prev IS NULL OR off - prev > {SPAN_WIN} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY off) AS isl_id
+  FROM (
+    SELECT doc_id, n_chars, off,
+           lag(off) OVER (PARTITION BY doc_id ORDER BY off) AS prev
+    FROM rep
+  )
+), spans AS (
+  SELECT doc_id, isl_id, MAX(n_chars) AS n_chars,
+         CAST(MAX(off) - MIN(off) + {SPAN_WIN} AS BIGINT) AS span_len,
+         COUNT(*) AS n_w
+  FROM isl GROUP BY doc_id, isl_id
+)
+SELECT doc_id, CAST(SUM(n_w) AS BIGINT) AS n_dup_windows, COUNT(*) AS n_spans,
+       CAST(SUM(span_len) AS BIGINT) AS dup_chars,
+       CAST(SUM(span_len) AS DOUBLE) / CAST(MAX(n_chars) AS DOUBLE) AS dup_frac
+FROM spans GROUP BY doc_id
+"""

@@ -64,6 +64,7 @@ def registry() -> dict[str, QuerySpec]:
             "hll_window_merge",
             "lm_bigram_coverage",
             "streaming_hll",
+            "substring_dup_spans",
             "dedup_incremental_indexed",
             "sim_recall_report",
             "sim_ivf_topk",

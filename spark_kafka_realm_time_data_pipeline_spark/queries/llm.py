@@ -453,6 +453,14 @@ FROM merged WHERE merged_register IS NOT NULL GROUP BY day_num
 """
 
 
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage detector: hashed 64-char windows at stride 16,
+    corpus-wide repeat filter, per-doc merged duplication spans (see
+    operators/dedup.substring_dup_spans).  Runs over the planted corpus so
+    exact copies guarantee real cross-doc repeated windows at any SF."""
+    return D.substring_dup_spans(D.planted_corpus(spark, sf_dir))
+
+
 def q_dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup tier: prefix- AND suffix-blocked candidates
     verified with threshold-bounded Levenshtein (integer metric, built into
@@ -1137,6 +1145,15 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_editdistance,
         ORA_DEDUP_EDITDISTANCE,
         "prefix+suffix-blocked Levenshtein near-dup (fuzzy tier)",
+    ),
+    "substring_dup_spans": QuerySpec(
+        q_substring_dup_spans,
+        D.ORA_SUBSTRING_DUP_SPANS.format(
+            corpus_cte=D.ORA_CORPUS + ",",
+            shingle_b=D.SHINGLE_B,
+            shingle_p=D.SHINGLE_P,
+        ),
+        "repeated-passage spans via strided window hashing (suffix-array style)",
     ),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _ora_simhash(), "SimHash fingerprints"),
     "dedup_simhash_hamming": QuerySpec(

@@ -117,3 +117,29 @@ def test_bigram_coverage_bounds_and_totals(spark):
     )
     got = out.agg(F.sum("n_bigrams")).collect()[0][0]
     assert got == expected
+
+
+def test_substring_spans_cover_planted_exact_copies(spark):
+    """An exact doc copy repeats EVERY window, so both the copy and its
+    original must be reported with near-total duplicated fraction (the
+    stride can only miss the final <16 chars)."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators import dedup as D
+
+    corpus = D.planted_corpus(spark, SF_DIR)
+    out = {r.doc_id: r for r in D.substring_dup_spans(corpus).collect()}
+    copies = (
+        corpus.filter(
+            (F.col("doc_id") >= 1000000)
+            & (F.col("doc_id") < 2000000)
+            & (F.length("text") >= D.SPAN_WIN)
+        )
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    )
+    assert copies, "fixture must plant exact copies"
+    for r in copies:
+        rep = out.get(r.doc_id)
+        assert rep is not None, r.doc_id
+        assert rep.dup_chars >= r.n - (D.SPAN_STRIDE - 1) - (D.SPAN_WIN - 1), r
+        orig = out.get(r.doc_id - 1000000)
+        assert orig is not None and orig.dup_frac > 0.5, r.doc_id
