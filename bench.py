@@ -97,6 +97,7 @@ HEADLINE += [
     "lm_bigram_coverage",
     "streaming_hll",
     "substring_dup_spans",
+    "multimodal_audio",
 ]
 
 

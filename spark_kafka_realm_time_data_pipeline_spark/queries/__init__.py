@@ -65,6 +65,7 @@ def registry() -> dict[str, QuerySpec]:
             "lm_bigram_coverage",
             "streaming_hll",
             "substring_dup_spans",
+            "multimodal_audio",
             "dedup_incremental_indexed",
             "sim_recall_report",
             "sim_ivf_topk",

@@ -1026,6 +1026,38 @@ FROM frames
 """
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (round 7): every payload is packed into a genuine
+    mono 16-bit PCM WAV and decoded back with the pure-Python RIFF parser
+    — magic check, word-aligned chunk walk, fmt validation, sample unpack
+    — inside Arrow-batched mapInPandas.  Emits decoded waveform stats; the
+    oracle replays them analytically (sample i is (byte_i - 128) * 256, so
+    amp_sum = 256 * sum|ascii - 128|) without parsing RIFF."""
+    return M.extract_audio_features(
+        M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# Corpus text is ASCII (tests/test_corpus_assumptions.py), so ascii(char)
+# == payload byte value; sample amplitudes are 256 * |ascii - 128|.
+_AMP_LIST = (
+    "list_transform(range(1, length(text) + 1),"
+    " p -> CAST(abs(ascii(substring(text, CAST(p AS INT), 1)) - 128) AS BIGINT))"
+)
+ORA_MULTIMODAL_AUDIO = f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_samples,
+       CAST({M.WAV_RATE_BASE} + (length(text) % {M.WAV_RATE_MOD}) * 1000 AS INT)
+         AS sample_rate,
+       256 * list_reduce(list_prepend(CAST(0 AS BIGINT), {_AMP_LIST}),
+                         (a, x) -> a + x) AS amp_sum,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE CAST(256 * list_aggregate({_AMP_LIST}, 'max') AS INT)
+       END AS peak
+FROM documents
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size payload normalization (resize stand-in), mapInPandas."""
     return M.resize_payloads(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
@@ -1242,6 +1274,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_multimodal_resize,
         ORA_MULTIMODAL_RESIZE,
         "fixed-size payload normalization (resize stand-in)",
+    ),
+    "multimodal_audio": QuerySpec(
+        q_multimodal_audio,
+        ORA_MULTIMODAL_AUDIO,
+        "real WAV/PCM round-trip decode stats (mapInPandas)",
     ),
     "embedding_stats": QuerySpec(q_embedding_stats, ORA_EMBEDDING_STATS, "per-cluster norms"),
 }

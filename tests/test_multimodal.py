@@ -50,3 +50,54 @@ def test_empty_payload_encodes_zero_pixels():
     assert (w, h) == (BMP_W_BASE, BMP_H_BASE)
     assert raster == bytes(3 * w * h)
     assert sum(raster) == 0
+
+
+def test_wav_roundtrip_maps_bytes_to_samples():
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        WAV_RATE_BASE,
+        WAV_RATE_MOD,
+        decode_wav,
+        encode_wav,
+    )
+
+    data = b"audio payload bytes!"
+    rate, samples = decode_wav(encode_wav(data))
+    assert rate == WAV_RATE_BASE + (len(data) % WAV_RATE_MOD) * 1000
+    assert list(samples) == [(b - 128) * 256 for b in data]
+
+
+def test_wav_decode_rejects_stereo():
+    import pytest
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    stereo = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="unsupported WAV variant"):
+        decode_wav(stereo)
+
+
+def test_wav_decode_skips_unknown_chunks():
+    """A writer may insert LIST/INFO chunks between fmt and data; the
+    word-aligned chunk walk must skip them."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    wav = encode_wav(b"xy")
+    fmt_chunk = wav[12:36]
+    data_chunk = wav[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded to even
+    rebuilt = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt_chunk) + len(extra) + len(data_chunk))
+        + b"WAVE" + fmt_chunk + extra + data_chunk
+    )
+    rate, samples = decode_wav(rebuilt)
+    assert list(samples) == [(ord("x") - 128) * 256, (ord("y") - 128) * 256]
