@@ -52,9 +52,12 @@ def registry() -> dict[str, QuerySpec]:
     #     trailing no-data batch;
     # (b) the 13 r5-era front-tail entries the r6 window never re-proved
     #     (the r6 front list overflowed the 50-entry window);
-    # (c) 17 of the oldest r2-era greens (scalar families, set ops,
-    #     subqueries, agg shapes, join shapes) — their rows predate two
-    #     corpus regenerations.  The remaining r2/r3-era names rotate in r8.
+    # (c) the oldest r2-era greens (scalar families, set ops, subqueries,
+    #     agg shapes, join shapes) — their rows predate two corpus
+    #     regenerations.  The late-session r7 additions (kmeans, bloom,
+    #     hll-window, bigram coverage, streaming HLL, substring spans,
+    #     audio) push the agg/join tail past the ~50 cut; those plus the
+    #     remaining r2/r3-era names rotate in r8.
     front = [
         n
         for n in (
