@@ -98,6 +98,7 @@ HEADLINE += [
     "streaming_hll",
     "substring_dup_spans",
     "multimodal_audio",
+    "ann_pq_codes",
 ]
 
 

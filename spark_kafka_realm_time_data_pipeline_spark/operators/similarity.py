@@ -232,3 +232,100 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# --- product quantization -----------------------------------------------------
+
+PQ_SUBS = 8  # subspaces; PQ_SUBS * PQ_SUBDIM = embedding dim
+PQ_SUBDIM = 8
+PQ_CODES = 16  # codewords per subspace -> 4 bits per subspace, 32-bit pq_key
+PQ_SCALE = 1 << 10  # power-of-two fixed point: floor(x * 2^10) is exact IEEE
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """Product-quantization encoder — the memory-side half of large-scale
+    ANN (IVF-PQ): each vector splits into PQ_SUBS subvectors, each
+    subvector snaps to its nearest codeword, and the vector compresses to
+    a 4-bit-per-subspace code key (64 floats -> 32 bits here).
+
+    Codebook: the PQ_CODES lowest-vec_id vectors' subvectors — at
+    production scale the codebook comes from per-subspace k-means
+    (``kmeans_embeddings`` restricted to the subspace); seeded codewords
+    keep this op single-pass so the oracle is closed-form rather than an
+    unrolled fixpoint.  Determinism contract as everywhere in the integer
+    family: fixed-point quantization, integer squared distances, argmin
+    tie-break on code id — the oracle replays every code assignment.
+
+    Shape: the codebook is PQ_SUBS x PQ_CODES rows (BROADCAST); the probe
+    side is a narrow xPQ_SUBS explode; ONE shuffle for the per-vector
+    regroup.  Emits (vec_id, pq_key, recon_err_q) — the reconstruction
+    error is the exact quantized distortion, the quality metric a PQ
+    index is tuned on."""
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * PQ_SCALE).cast("long")
+    )
+    q = emb.select("vec_id", qv.alias("qv"))
+    sub = q.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("j"),
+        "qv",
+    ).select(
+        "vec_id",
+        "j",
+        F.expr(f"slice(qv, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("code"), "j", F.col("sv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id", "j").orderBy("d2", "code")
+    best = (
+        sub.join(F.broadcast(cb), "j")
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(cast(code as bigint), cast(4 * j as int))")).alias(
+            "pq_key"
+        ),
+        F.sum("d2").alias("recon_err_q"),
+    )
+
+
+ORA_PQ_CODES = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, j, list_slice(qv, j * {PQ_SUBDIM} + 1, j * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+  FROM q CROSS JOIN (SELECT unnest(range(0, {PQ_SUBS})) AS j)
+), cb AS (
+  SELECT vec_id AS code, j, sv AS cv FROM sub WHERE vec_id < {PQ_CODES}
+), scored AS (
+  SELECT s.vec_id, s.j, c.code,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(list_zip(s.sv, c.cv),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, x) -> a + x) AS d2
+  FROM sub s JOIN cb c USING (j)
+), best AS (
+  SELECT vec_id, j, code, d2 FROM (
+    SELECT vec_id, j, code, d2,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(SUM(code << CAST(4 * j AS INT)) AS BIGINT) AS pq_key,
+       CAST(SUM(d2) AS BIGINT) AS recon_err_q
+FROM best GROUP BY vec_id
+"""

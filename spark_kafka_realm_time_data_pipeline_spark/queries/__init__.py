@@ -69,6 +69,7 @@ def registry() -> dict[str, QuerySpec]:
             "streaming_hll",
             "substring_dup_spans",
             "multimodal_audio",
+            "ann_pq_codes",
             "dedup_incremental_indexed",
             "sim_recall_report",
             "sim_ivf_topk",

@@ -717,6 +717,13 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode of the embedding table: 4-bit code per
+    subspace + exact quantized distortion (see operators/similarity
+    .pq_codes) — the compression half of an IVF-PQ ANN index."""
+    return S.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as a CHECKED metric: recall@k of the LSH and IVF
     approximate paths against the exact brute-force top-k, as exact integer
@@ -1211,6 +1218,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_sim_recall_report,
         _ora_sim_recall(),
         "recall@k of LSH/IVF vs exact brute-force, integer-exact",
+    ),
+    "ann_pq_codes": QuerySpec(
+        q_ann_pq_codes,
+        S.ORA_PQ_CODES,
+        "product-quantization encoder (4-bit codes + exact distortion)",
     ),
     "text_quality": QuerySpec(q_text_quality, ORA_TEXT_QUALITY, "quality scoring"),
     "tfidf_top_terms": QuerySpec(

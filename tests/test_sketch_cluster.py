@@ -143,3 +143,18 @@ def test_substring_spans_cover_planted_exact_copies(spark):
         assert rep.dup_chars >= r.n - (D.SPAN_STRIDE - 1) - (D.SPAN_WIN - 1), r
         orig = out.get(r.doc_id - 1000000)
         assert orig is not None and orig.dup_frac > 0.5, r.doc_id
+
+
+def test_pq_codebook_members_have_zero_distortion(spark):
+    """Vectors that ARE codewords must encode to themselves: zero
+    reconstruction error and pq_key == sum(own_id << 4j)."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = {r.vec_id: r for r in S.pq_codes(emb).collect()}
+    assert len(out) == emb.count()
+    expected_self_key = sum(1 << (4 * j) for j in range(S.PQ_SUBS))
+    for vid in range(S.PQ_CODES):
+        assert out[vid].recon_err_q == 0, vid
+        assert out[vid].pq_key == vid * expected_self_key, vid
+    assert all(r.recon_err_q >= 0 for r in out.values())
