@@ -1217,6 +1217,11 @@ def lm_bigram_coverage(docs: DataFrame) -> DataFrame:
     distributed text keys, no skew — and the per-doc rollup is the second
     and last shuffle.  Docs shorter than two words have no bigrams and are
     absent from the report by construction (same in the oracle)."""
+    # file-split trap (see minhash_lsh_dedup): fan the compact doc rows out
+    # to session parallelism before the ~|words|x explode
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     big = docs.select("doc_id", F.explode(_word_ngrams(n=2)).alias("bigram"))
     counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     per = (

@@ -779,6 +779,13 @@ def substring_dup_spans(corpus: DataFrame) -> DataFrame:
     suffix-array pass would find repeats at every offset; stride-16 trades
     sub-(WIN+STRIDE)-repeat recall for a 16x smaller fan-out — the
     documented practical compromise."""
+    # same file-split trap as minhash_lsh_dedup: a few hundred MB of docs
+    # arrive as a handful of splits, and the whole window fan-out + hash
+    # would run that narrow regardless of cores — fan out the compact rows
+    # BEFORE the explode (a no-op on a real cluster with thousands of splits)
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(target)
     doc = corpus.select("doc_id", "text", F.length("text").alias("n_chars"))
     offs = F.transform(
         F.sequence(
