@@ -299,7 +299,9 @@ def ngram_lm_counts(docs: DataFrame) -> DataFrame:
     keys after map-side combine; the context aggregate and join run over
     the already-collapsed count table (vocab-bounded, not corpus-bounded).
     The count floor keeps the emitted model head-only."""
-    big = docs.select(F.explode(_word_ngrams(n=2)).alias("bigram"))
+    from .dedup import fan_out
+
+    big = fan_out(docs).select(F.explode(_word_ngrams(n=2)).alias("bigram"))
     counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     with_ctx = counts.withColumn("w1", F.split("bigram", " ")[0])
     ctx = with_ctx.groupBy("w1").agg(F.sum("n").alias("ctx_n"))
@@ -1217,12 +1219,11 @@ def lm_bigram_coverage(docs: DataFrame) -> DataFrame:
     distributed text keys, no skew — and the per-doc rollup is the second
     and last shuffle.  Docs shorter than two words have no bigrams and are
     absent from the report by construction (same in the oracle)."""
-    # file-split trap (see minhash_lsh_dedup): fan the compact doc rows out
-    # to session parallelism before the ~|words|x explode
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
-    big = docs.select("doc_id", F.explode(_word_ngrams(n=2)).alias("bigram"))
+    from .dedup import fan_out
+
+    # file-split trap (see dedup.fan_out): fan the compact doc rows out
+    # before the ~|words|x explode
+    big = fan_out(docs).select("doc_id", F.explode(_word_ngrams(n=2)).alias("bigram"))
     counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     per = (
         big.join(counts, "bigram")

@@ -76,6 +76,21 @@ def exact_dedup_groups(corpus: DataFrame) -> DataFrame:
     )
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a compact row frame to the session's parallelism before
+    a wide explode / per-row hash pass.  A few hundred MB of parquet arrive
+    as a handful of file splits (maxPartitionBytes), and any narrow map
+    chain after the scan then runs that narrow regardless of cores; the
+    shuffle of COMPACT rows is far cheaper than running the exploded frame
+    under-parallel.  A no-op on a real cluster where scans arrive with
+    thousands of splits — and a no-op whenever the frame already has
+    enough partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def doc_tokens(corpus: DataFrame) -> DataFrame:
     """Distinct (doc_id, token) pairs — the set representation used by
     SimHash (which hashes the token STRINGS with md5 downstream)."""

@@ -161,8 +161,10 @@ def heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
     vocabulary before the shuffle, so shuffle volume is bounded by |vocab|,
     not corpus size; the final top-k sorts only the aggregated vocabulary
     (TakeOrderedAndProject — no global sort of raw tokens)."""
+    from .dedup import fan_out
+
     return (
-        docs.select(F.explode(_toks()).alias("word"))
+        fan_out(docs).select(F.explode(_toks()).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -204,6 +206,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     by WindowGroupLimit pushdown, never a global sort of the corpus."""
     from pyspark.sql import Window
 
+    from .dedup import fan_out
+
+    docs = fan_out(docs)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -251,6 +256,9 @@ def bm25_term_scores(docs: DataFrame, query_doc_id: int = 17) -> DataFrame:
     Scale shape: one tf groupBy (map-side combine), df over the aggregated
     frame, doc lengths from the same pass, query terms broadcast (a query
     is a handful of terms), ranking bounded per doc."""
+    from .dedup import fan_out
+
+    docs = fan_out(docs)
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -302,7 +310,7 @@ def countmin_sketch(docs: DataFrame) -> DataFrame:
     is exact integer arithmetic, so the DuckDB oracle reproduces the sketch
     cell-for-cell — the estimate's correctness (min over rows >= true
     count) is then a mathematical consequence, not a sampled claim."""
-    from .dedup import MINHASH_PRIME, MINHASH_PRIME_B, SHINGLE_B, SHINGLE_P
+    from .dedup import MINHASH_PRIME, MINHASH_PRIME_B, SHINGLE_B, SHINGLE_P, fan_out
 
     word_key = F.aggregate(
         F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c)),
@@ -310,7 +318,7 @@ def countmin_sketch(docs: DataFrame) -> DataFrame:
         lambda acc, c: (acc * SHINGLE_B + c) % SHINGLE_P,
     )
     toks = (
-        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        fan_out(docs).select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .withColumn("wk", word_key)
         .select(
@@ -359,7 +367,7 @@ def hll_registers(docs: DataFrame) -> DataFrame:
     map-side, and the shuffle carries at most 2^p rows per task.  The
     cardinality estimate is the standard harmonic mean over these
     registers — derivable from this table in either engine."""
-    from .dedup import SHINGLE_B, SHINGLE_P
+    from .dedup import SHINGLE_B, SHINGLE_P, fan_out
 
     word_key = F.aggregate(
         F.transform(F.split(F.col("tok"), ""), lambda c: F.ascii(c)),
@@ -368,7 +376,7 @@ def hll_registers(docs: DataFrame) -> DataFrame:
     )
     n_buckets = 1 << HLL_P
     keyed = (
-        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        fan_out(docs).select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .select(word_key.alias("wk"))
         .select(

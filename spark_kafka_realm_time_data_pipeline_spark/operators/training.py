@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import SHINGLE_B, SHINGLE_P
+from .dedup import SHINGLE_B, SHINGLE_P, fan_out
 
 # --- decontamination ---------------------------------------------------------
 
@@ -63,6 +63,7 @@ def gram_key_pairs(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     O(words^2) folds per doc (measured 2.2s -> 15.6s at sf0.1 before this
     split).  Materializing the array as a named column pins one evaluation
     per row; CollapseProject keeps multi-referenced non-cheap aliases."""
+    docs = fan_out(docs)
     wk = F.transform(
         F.split("text", " "),
         lambda w: F.aggregate(
