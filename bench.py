@@ -99,6 +99,7 @@ HEADLINE += [
     "substring_dup_spans",
     "multimodal_audio",
     "ann_pq_codes",
+    "streaming_bloom",
 ]
 
 

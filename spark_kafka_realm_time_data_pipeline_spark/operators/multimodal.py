@@ -197,13 +197,17 @@ def _fake_resize_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
 
 def _map_payload_batches(binary_docs: DataFrame, batch_fn, schema: str) -> DataFrame:
     """Shared mapInPandas wrapper for the multimodal operators: narrow map
-    over (doc_id, payload), keeps scan partitioning, Arrow both ways."""
+    over (doc_id, payload), Arrow both ways.  Python-worker parallelism is
+    partition-bound, so the compact rows are fanned out to the session's
+    parallelism first (see dedup.fan_out) — a handful of parquet splits
+    would otherwise cap the decode at a handful of Python workers."""
+    from .dedup import fan_out
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             yield batch_fn(pdf)
 
-    return binary_docs.select("doc_id", "payload").mapInPandas(run, schema)
+    return fan_out(binary_docs.select("doc_id", "payload")).mapInPandas(run, schema)
 
 
 def resize_payloads(binary_docs: DataFrame) -> DataFrame:

@@ -70,6 +70,7 @@ def registry() -> dict[str, QuerySpec]:
             "substring_dup_spans",
             "multimodal_audio",
             "ann_pq_codes",
+            "streaming_bloom",
             "dedup_incremental_indexed",
             "sim_recall_report",
             "sim_ivf_topk",

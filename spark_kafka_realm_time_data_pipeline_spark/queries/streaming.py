@@ -654,6 +654,57 @@ FROM bw GROUP BY bucket
 ORA_STREAMING_HLL = _ora_streaming_hll()
 
 
+def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter word table maintained AS A STREAM: the runtime-filter
+    build side (`bloom_prune_join` is the batch probe half) kept current by
+    a complete-mode streaming groupBy(word).bit_or — the third mergeable
+    sketch in the streaming trio (SUM: countmin, MAX: hll, OR: bloom).
+    bit_or is idempotent and monotone, so micro-batch partials fold into
+    the running state without retraction and state is bounded at m/32 rows
+    for an unbounded stream; this is how a continuously-ingesting pipeline
+    keeps a membership filter warm for downstream dedup probes.  Bit-exact
+    (same modular double hashing as the batch op) — full value oracle over
+    the bounded replay."""
+    from ..sources.files import stream_table
+    from .relational import _bloom_positions
+
+    ev = stream_table(spark, sf_dir, "events")
+    keyed = ev.select(F.col("user_id").cast("long").alias("key"))
+    agg = (
+        _bloom_positions(keyed)
+        .select("word", "bit")
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("wv"))
+    )
+    return run_to_memory(agg, spark, output_mode="complete", no_data_batches=False)
+
+
+def _ora_streaming_bloom() -> str:
+    from .relational import (
+        BLOOM_BITS,
+        BLOOM_H1_MULT,
+        BLOOM_H2_ADD,
+        BLOOM_H2_MULT,
+        BLOOM_K,
+        BLOOM_P31,
+    )
+
+    return f"""
+WITH bpos AS (
+  SELECT ((user_id * {BLOOM_H1_MULT}) % {BLOOM_P31}
+          + j * ((user_id * {BLOOM_H2_MULT} + {BLOOM_H2_ADD}) % {BLOOM_P31}))
+         % {BLOOM_BITS} AS pos
+  FROM events CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j)
+)
+SELECT pos // 32 AS word,
+       bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS wv
+FROM bpos GROUP BY pos // 32
+"""
+
+
+ORA_STREAMING_BLOOM = _ora_streaming_bloom()
+
+
 
 
 def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +794,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_hll,
         ORA_STREAMING_HLL,
         "HyperLogLog registers as a complete-mode streaming aggregation",
+    ),
+    "streaming_bloom": QuerySpec(
+        q_streaming_bloom,
+        ORA_STREAMING_BLOOM,
+        "Bloom-filter words as a complete-mode streaming aggregation",
     ),
     "streaming_foreachbatch_topk": QuerySpec(
         q_streaming_foreachbatch_topk,
