@@ -100,6 +100,7 @@ HEADLINE += [
     "multimodal_audio",
     "ann_pq_codes",
     "streaming_bloom",
+    "dedup_pagerank",
 ]
 
 

@@ -897,3 +897,99 @@ SELECT doc_id, CAST(SUM(n_w) AS BIGINT) AS n_dup_windows, COUNT(*) AS n_spans,
        CAST(SUM(span_len) AS DOUBLE) / CAST(MAX(n_chars) AS DOUBLE) AS dup_frac
 FROM spans GROUP BY doc_id
 """
+
+
+# --- PageRank over the near-dup graph ----------------------------------------
+
+PR_SCALE = 1 << 20  # fixed-point rank scale (power of two: exact arithmetic)
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 17, 20  # damping 0.85 as an exact rational
+
+
+def dup_pagerank(pairs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """PageRank over the (symmetrized) near-dup pair graph — boilerplate
+    HUB scoring: a doc that near-duplicates many other docs (license
+    blocks, templated pages, mirrored boilerplate) accumulates rank from
+    all of them, so the top-rank_q docs are the template hubs a curation
+    pass reviews first.  The iterative-graph-algorithm complement to
+    ``dup_components``' fixpoint.
+
+    Integer fixed-point throughout: ranks carry a 2^20 scale, the
+    per-neighbor contribution is exact floor division rank_q div deg, and
+    the damping is the rational 17/20 applied as (17 * in_sum) div 20 —
+    every iteration is pure integer arithmetic both engines replay, so the
+    DuckDB oracle unrolls the loop CTE-for-CTE (same discipline as
+    ``kmeans_embeddings``).  Every node of the symmetric graph has
+    deg >= 1 and >= 1 in-edge, so no dangling-mass term is needed.
+
+    Shape per iteration: one equi-join (edges x compact rank frame) + one
+    groupBy(dst) with map-side combine — the canonical Pregel-style
+    message pass expressed as DataFrame ops; the rank frame is eagerly
+    checkpointed so plan depth stays constant.  Edge count is bounded by
+    the SimHash probe join (never O(n^2))."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(
+        F.col("src").alias("doc"), "deg", F.lit(PR_SCALE).cast("long").alias("rank_q")
+    )
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // PR_DAMP_DEN
+    for _ in range(iters):
+        contrib = ranks.select("doc", F.expr("rank_q div deg").alias("c"))
+        insum = (
+            sym.join(contrib, sym.src == contrib.doc)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            ranks.join(insum, ranks.doc == insum.dst, "left")
+            .select(
+                ranks.doc,
+                ranks.deg,
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(in_sum, 0L)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("doc").alias("doc_id"), F.col("deg").alias("out_deg"), "rank_q"
+    )
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled PageRank iteration as oracle CTEs."""
+    prev = f"r{i - 1}"
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // PR_DAMP_DEN
+    return f"""
+c{i} AS (
+  SELECT doc, rank_q // deg AS c FROM {prev}
+), s{i} AS (
+  SELECT e.dst, CAST(SUM(c.c) AS BIGINT) AS in_sum
+  FROM sym e JOIN c{i} c ON e.src = c.doc GROUP BY e.dst
+), r{i} AS (
+  SELECT r.doc, r.deg,
+         CAST({base} + ({PR_DAMP_NUM} * COALESCE(s.in_sum, 0)) // {PR_DAMP_DEN}
+              AS BIGINT) AS rank_q
+  FROM {prev} r LEFT JOIN s{i} s ON r.doc = s.dst
+)"""
+
+
+ORA_DUP_PAGERANK_TAIL = f"""
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM prs
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM sym GROUP BY src
+), r0 AS (
+  SELECT src AS doc, deg, CAST({PR_SCALE} AS BIGINT) AS rank_q FROM deg
+),{",".join(_pr_iter_sql(i) for i in range(1, PR_ITERS + 1))}
+SELECT doc AS doc_id, CAST(deg AS BIGINT) AS out_deg, rank_q
+FROM r{PR_ITERS}
+"""

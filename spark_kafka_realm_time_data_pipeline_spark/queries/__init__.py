@@ -71,6 +71,7 @@ def registry() -> dict[str, QuerySpec]:
             "multimodal_audio",
             "ann_pq_codes",
             "streaming_bloom",
+            "dedup_pagerank",
             "dedup_incremental_indexed",
             "sim_recall_report",
             "sim_ivf_topk",

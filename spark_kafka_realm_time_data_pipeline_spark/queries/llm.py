@@ -577,6 +577,30 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-hub scoring: integer fixed-point PageRank over the
+    symmetrized SimHash hamming<=1 near-dup graph (see
+    operators/dedup.dup_pagerank) — template/mirror hubs surface as the
+    top-rank docs."""
+    return D.dup_pagerank(D.simhash_near_dup_pairs(D.planted_corpus(spark, sf_dir)))
+
+
+ORA_DEDUP_PAGERANK = f"""
+WITH {_ora_simhash_ctes()},
+probes AS (
+  SELECT doc_id, simhash AS probe FROM fp
+  UNION ALL
+  SELECT doc_id, xor(simhash, CAST(1 << j AS BIGINT)) AS probe
+  FROM fp, LATERAL unnest(range(0, 16)) AS t(j)
+), prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM probes a JOIN fp b ON a.probe = b.simhash
+  WHERE a.doc_id < b.doc_id
+),
+{D.ORA_DUP_PAGERANK_TAIL}
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: plant exact vector copies, block on the
     cluster label (equi-join — no cross product), verify cosine."""
@@ -1204,6 +1228,11 @@ QUERIES: dict[str, QuerySpec] = {
             shingle_p=D.SHINGLE_P,
         ),
         "repeated-passage spans via strided window hashing (suffix-array style)",
+    ),
+    "dedup_pagerank": QuerySpec(
+        q_dedup_pagerank,
+        ORA_DEDUP_PAGERANK,
+        "fixed-point PageRank over the near-dup graph (boilerplate hubs)",
     ),
     "dedup_simhash": QuerySpec(q_dedup_simhash, _ora_simhash(), "SimHash fingerprints"),
     "dedup_simhash_hamming": QuerySpec(

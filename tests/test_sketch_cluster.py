@@ -158,3 +158,21 @@ def test_pq_codebook_members_have_zero_distortion(spark):
         assert out[vid].recon_err_q == 0, vid
         assert out[vid].pq_key == vid * expected_self_key, vid
     assert all(r.recon_err_q >= 0 for r in out.values())
+
+
+def test_pagerank_ranks_hub_above_leaves(spark):
+    """On a star graph the hub receives mass from every leaf and must
+    out-rank all of them; total rank stays near n * SCALE (no mass
+    creation)."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in D.dup_pagerank(pairs).collect()}
+    hub, leaves = out[0], [out[i] for i in range(1, 9)]
+    assert hub.out_deg == 8 and all(l.out_deg == 1 for l in leaves)
+    assert all(hub.rank_q > l.rank_q for l in leaves)
+    total = sum(r.rank_q for r in out.values())
+    assert total <= 9 * D.PR_SCALE  # floor divisions only ever lose mass
+    assert total > 8 * D.PR_SCALE
