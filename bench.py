@@ -101,6 +101,7 @@ HEADLINE += [
     "ann_pq_codes",
     "streaming_bloom",
     "dedup_pagerank",
+    "bpe_merge_steps",
 ]
 
 

@@ -1265,3 +1265,117 @@ SELECT doc_id, n_bigrams, n_covered,
        CAST(n_covered AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS coverage_pct
 FROM per
 """
+
+
+# --- unrolled BPE merge training steps ---------------------------------------
+
+BPE_MERGE_STEPS = 3
+
+
+def bpe_merge_steps(docs: DataFrame, steps: int = BPE_MERGE_STEPS) -> DataFrame:
+    """The BPE tokenizer-training loop itself, first ``steps`` merges:
+    count adjacent symbol pairs over the frequency-weighted vocabulary,
+    pick the argmax pair (count desc, then lexicographic — fully
+    deterministic), apply the merge to every word's symbol sequence, and
+    repeat.  Emits one row per learned merge: (step, lhs, rhs,
+    pair_count) — the head of the merges.txt a real tokenizer ships.
+
+    Merge application is a delimiter-padded string replace: sequences are
+    ' s y m s ' (single-space separators, padded ends), the pair (a, b)
+    rewrites ' a b ' -> ' ab '.  Spark's replace and DuckDB's replace share
+    leftmost non-overlapping scan semantics, so the operator's DEFINED
+    merge semantics (an overlapping chain 'e e e e' merges once per scan
+    window, not twice) are bit-identical in both engines — the oracle
+    unrolls the whole train loop CTE-for-CTE, argmax included.
+
+    Shape: one corpus-bounded shuffle collapses tokens to (word, freq);
+    every iteration after that runs on the |vocab|-row frame — pair
+    explode (narrow), one |pairs|-bounded groupBy with map-side combine,
+    and a 1-row argmax that the driver reads to build the next literal
+    replace (the k-scalars-per-round pattern shared with dup_components /
+    kmeans).  The vocab frame is eagerly checkpointed per round so the
+    replace chain does not deepen the plan."""
+    from .dedup import fan_out
+
+    words = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq0 = F.concat(
+        F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+    )
+    cur = words.select("freq", seq0.alias("seq")).localCheckpoint(eager=True)
+    merges = []
+    for step in range(1, steps + 1):
+        syms = F.split(F.trim("seq"), " ")
+        pair_structs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.get(syms, i - 1).alias("lhs"), F.get(syms, i).alias("rhs")
+            ),
+        )
+        guarded = F.when(F.size(syms) >= 2, pair_structs).otherwise(
+            F.array().cast("array<struct<lhs:string,rhs:string>>")
+        )
+        top = (
+            cur.select(F.explode(guarded).alias("p"), "freq")
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .first()
+        )
+        merges.append((step, top.lhs, top.rhs, top.pair_count))
+        cur = cur.select(
+            "freq",
+            F.replace(
+                "seq",
+                F.lit(f" {top.lhs} {top.rhs} "),
+                F.lit(f" {top.lhs}{top.rhs} "),
+            ).alias("seq"),
+        ).localCheckpoint(eager=True)
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled BPE training iteration: pair counts p{i} over w{i-1},
+    argmax t{i}, merged vocabulary w{i}."""
+    prev = f"w{i - 1}"
+    return f"""
+p{i} AS (
+  SELECT syms[CAST(k AS INT)] AS lhs, syms[CAST(k AS INT) + 1] AS rhs,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (
+    SELECT freq, string_split(trim(seq), ' ') AS syms FROM {prev}
+  ), LATERAL unnest(range(1, len(syms))) AS t(k)
+  GROUP BY 1, 2
+), t{i} AS (
+  SELECT lhs, rhs, pair_count FROM p{i}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+), w{i} AS (
+  SELECT freq,
+         replace(seq, ' ' || lhs || ' ' || rhs || ' ', ' ' || lhs || rhs || ' ')
+           AS seq
+  FROM {prev} CROSS JOIN t{i}
+)"""
+
+
+ORA_BPE_MERGE_STEPS = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+), w0 AS (
+  SELECT freq,
+         ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq
+  FROM words
+),{",".join(_bpe_iter_sql(i) for i in range(1, BPE_MERGE_STEPS + 1))}
+{" UNION ALL ".join(
+    f"SELECT {i} AS step, lhs, rhs, pair_count FROM t{i}"
+    for i in range(1, BPE_MERGE_STEPS + 1)
+)}
+"""

@@ -72,6 +72,7 @@ def registry() -> dict[str, QuerySpec]:
             "ann_pq_codes",
             "streaming_bloom",
             "dedup_pagerank",
+            "bpe_merge_steps",
             "dedup_incremental_indexed",
             "sim_recall_report",
             "sim_ivf_topk",

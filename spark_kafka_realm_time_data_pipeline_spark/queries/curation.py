@@ -108,6 +108,10 @@ def q_lm_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.lm_bigram_coverage(_docs(spark, sf_dir))
 
 
+def q_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.bpe_merge_steps(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_normalize": QuerySpec(
         q_text_normalize, C.ORA_NORMALIZE_TEXT, "canonical text form + md5 content key"
@@ -204,5 +208,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_lm_bigram_coverage,
         C.ORA_LM_BIGRAM_COVERAGE,
         "per-doc bigram coverage vs corpus LM (perplexity proxy)",
+    ),
+    "bpe_merge_steps": QuerySpec(
+        q_bpe_merge_steps,
+        C.ORA_BPE_MERGE_STEPS,
+        "BPE training loop, first 3 merges (argmax + replace, unrolled)",
     ),
 }

@@ -176,3 +176,13 @@ def test_pagerank_ranks_hub_above_leaves(spark):
     total = sum(r.rank_q for r in out.values())
     assert total <= 9 * D.PR_SCALE  # floor divisions only ever lose mass
     assert total > 8 * D.PR_SCALE
+
+
+def test_bpe_merge_steps_learns_predictable_merges(spark):
+    """Hand corpus 'aaab' x3: merge 1 must be (a,a) weight 6, merge 2 the
+    lexicographic tie-winner (a,b) weight 3, merge 3 (aa,ab) weight 3."""
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab"), (1, "aaab")], "doc_id long, text string"
+    )
+    out = [(r.step, r.lhs, r.rhs, r.pair_count) for r in C.bpe_merge_steps(docs).collect()]
+    assert sorted(out) == [(1, "a", "a", 6), (2, "a", "b", 3), (3, "aa", "ab", 3)], out
