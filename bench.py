@@ -102,6 +102,7 @@ HEADLINE += [
     "streaming_bloom",
     "dedup_pagerank",
     "bpe_merge_steps",
+    "dedup_jaccard_prefix",
 ]
 
 

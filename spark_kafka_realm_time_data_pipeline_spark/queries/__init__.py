@@ -62,6 +62,7 @@ def registry() -> dict[str, QuerySpec]:
         n
         for n in (
             # (a) new in r7
+            "dedup_jaccard_prefix",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

@@ -179,6 +179,68 @@ def q_dedup_minhash_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked EXACT-Jaccard self-join via a prefix-filtered inverted
+    index (AllPairs/PPJoin family) at t=0.8 over the same char-5-gram
+    shingle sets as dedup_minhash_ngram — the signature-free tier: no
+    MinHash aggregation, candidates from the df-rarest prefix index with
+    size + positional + posting-cap prunes, exact-Jaccard verify on the
+    survivors.  See operators/dedup.prefix_filter_pairs for the three
+    prune rules and the low-entropy-corpus rationale for the cap."""
+    return D.prefix_filter_pairs(D.planted_corpus(spark, sf_dir))
+
+
+# Replays the blocked exact-Jaccard join exactly: df-ascending shingle
+# order, integer prefix length n - ceil(4n/5) + 1 via (4n+4)//5, the
+# per-token posting cap, the 5*min >= 4*max size filter, the PPJoin
+# positional filter 1 + min(n_a-fa, n_b-fb) >= ceil(4(na+nb)/9), and the
+# shared exact-Jaccard verify.  QUALIFY windows compute over WHERE
+# survivors in DuckDB exactly as the chained .filter().withColumn() does
+# in Spark.
+ORA_DEDUP_JACCARD_PREFIX = f"""
+WITH {D.ORA_CORPUS},
+{ORA_SHINGLES},
+df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+sizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+ranked AS (
+  SELECT t.doc_id, t.tok, s.n_toks,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS p
+  FROM toks t JOIN df d USING (tok) JOIN sizes s USING (doc_id)
+),
+pref AS (
+  SELECT doc_id, tok, p, n_toks FROM ranked
+  WHERE p <= n_toks - (4 * n_toks + 4) // 5 + 1
+  QUALIFY row_number() OVER (PARTITION BY tok ORDER BY doc_id) <= {D.PREFIX_CAP}
+),
+g AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         MIN(a.p) AS fa, MIN(b.p) AS fb,
+         ANY_VALUE(a.n_toks) AS n_a, ANY_VALUE(b.n_toks) AS n_b
+  FROM pref a JOIN pref b ON a.tok = b.tok
+  WHERE a.doc_id < b.doc_id
+    AND 5 * least(a.n_toks, b.n_toks) >= 4 * greatest(a.n_toks, b.n_toks)
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT doc_a, doc_b FROM g
+  WHERE 1 + least(n_a - fa, n_b - fb) >= (4 * (n_a + n_b) + 8) // 9
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) >= 0.8
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the n-gram near-dup pairs: turns pairwise
     matches into canonical duplicate groups (doc_id -> min-doc component
@@ -1194,6 +1256,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_minhash_ngram,
         ORA_DEDUP_MINHASH_NGRAM,
         "n-gram (char-shingle) Jaccard near-dup via MinHash-LSH",
+    ),
+    "dedup_jaccard_prefix": QuerySpec(
+        q_dedup_jaccard_prefix,
+        ORA_DEDUP_JACCARD_PREFIX,
+        "exact Jaccard self-join via prefix filtering (full recall, no MinHash)",
     ),
     "dedup_components": QuerySpec(
         q_dedup_components,

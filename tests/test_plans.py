@@ -306,3 +306,28 @@ def test_serialize_json_golden(spark):
         assert doc["email"] == r.key
         assert doc["customer"] == doc["email"]
         int(doc["birthYear"])  # 4-digit year string
+
+
+def test_prefix_filter_exact_jaccard_planted(spark):
+    """Planted fixture for the prefix-filter exact-Jaccard tier: an exact
+    copy verifies at jaccard 1.0, a light tail edit stays >= 0.8, and an
+    unrelated doc never pairs.  Also checks the prune stack (size,
+    positional, posting cap) keeps full recall on a corpus where the cap
+    does not bind."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, body),
+        (2, body),                  # exact copy: jaccard 1.0
+        (3, body + " zz"),          # tail edit: shingle jaccard ~0.97
+        (4, "completely different payload that shares nothing with the fox"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in prefix_filter_pairs(corpus).collect()}
+    assert out.get((1, 2)) == 1.0, out
+    assert out.get((1, 3), 0.0) >= 0.8, out
+    assert out.get((2, 3), 0.0) >= 0.8, out
+    assert all(4 not in p for p in out), out
