@@ -414,10 +414,10 @@ def minhash_lsh_dedup(
     if corpus.rdd.getNumPartitions() < target:
         corpus = corpus.repartition(target)
     toks = tokenizer(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    # signatures are consumed twice (band explode + set sizes) and are tiny
-    # (n_docs x 65 ints) but expensive to produce (64-min agg over the
-    # widest frame) — persist so the agg runs once
-    sigs = minhash_signatures(toks, tok_hashed=tok_hashed, with_size=True).persist(
+    # signatures are tiny (n_docs x 49 ints) but expensive to produce
+    # (48-min agg over the widest frame) — persist so the band window and
+    # the bucket self-join don't re-run it
+    sigs = minhash_signatures(toks, tok_hashed=tok_hashed).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
@@ -425,11 +425,15 @@ def minhash_lsh_dedup(
         # the doc_b semi-filter); they are tiny but their lineage re-runs the
         # band window + self-join — materialize once, eagerly
         cands = lsh_candidate_pairs(sigs).localCheckpoint(eager=True)
-        sizes = sigs.select("doc_id", "n_toks")
         # eager localCheckpoint: materialize the (small) verified-pair set
         # and truncate lineage so the big token cache can be released NOW
-        # instead of leaking into the rest of the session
-        return jaccard_verify(cands, toks, threshold, sizes=sizes).localCheckpoint(
+        # instead of leaking into the rest of the session.  Array-based
+        # verify (collect_list + array_intersect) replaced the 3-way join
+        # verify in round 7: candidate sets here are 10^3-10^4 pairs, so
+        # replicating each doc's token array per pair is far cheaper than
+        # re-shuffling the full token frame twice (measured ~1.5 s off
+        # each MinHash variant at sf0.1).
+        return jaccard_verify_arrays(cands, toks, threshold).localCheckpoint(
             eager=True
         )
     finally:
