@@ -103,6 +103,9 @@ HEADLINE += [
     "dedup_pagerank",
     "bpe_merge_steps",
     "dedup_jaccard_prefix",
+    "bpe_encode",
+    "quality_logit_score",
+    "quantile_sketch_merge",
 ]
 
 

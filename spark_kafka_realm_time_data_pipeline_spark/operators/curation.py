@@ -1341,6 +1341,93 @@ def bpe_merge_steps(docs: DataFrame, steps: int = BPE_MERGE_STEPS) -> DataFrame:
     )
 
 
+def bpe_encode(docs: DataFrame, steps: int = BPE_MERGE_STEPS) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with the merges the
+    bpe_merge_steps training loop just learned — the deploy half of the
+    BPE story (train emits merges.txt; encode is what the 100 TB
+    tokenization job actually runs per shard).
+
+    Each word becomes its delimiter-padded symbol sequence and the learned
+    merges replay IN TRAINING ORDER as literal string replaces (leftmost
+    non-overlapping scan — identical semantics in Spark and DuckDB, see
+    bpe_merge_steps); the encoded length is the post-merge symbol count.
+    Emits per doc: base symbol count (chars sans spaces), encoded BPE
+    token count, word count — the compression the learned merges buy.
+
+    Scale shape: training runs once on the |vocab|-row frame (driver reads
+    ``steps`` argmax scalars — the k-scalars-per-round pattern); encoding
+    itself is embarrassingly parallel Catalyst — a per-row transform +
+    aggregate over the words array with ZERO extra shuffles, exactly how a
+    real tokenize pass maps over shards.  In production the merges would
+    be a broadcast literal list, which is precisely what the driver-built
+    replace chain is."""
+    from .dedup import fan_out
+
+    words_vocab = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq0 = F.concat(
+        F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+    )
+    cur = words_vocab.select("freq", seq0.alias("seq")).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _step in range(1, steps + 1):
+        syms = F.split(F.trim("seq"), " ")
+        pair_structs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.get(syms, i - 1).alias("lhs"), F.get(syms, i).alias("rhs")
+            ),
+        )
+        guarded = F.when(F.size(syms) >= 2, pair_structs).otherwise(
+            F.array().cast("array<struct<lhs:string,rhs:string>>")
+        )
+        top = (
+            cur.select(F.explode(guarded).alias("p"), "freq")
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .first()
+        )
+        merges.append((top.lhs, top.rhs))
+        cur = cur.select(
+            "freq",
+            F.replace(
+                "seq",
+                F.lit(f" {top.lhs} {top.rhs} "),
+                F.lit(f" {top.lhs}{top.rhs} "),
+            ).alias("seq"),
+        ).localCheckpoint(eager=True)
+
+    def encode_word(word):
+        seq = F.concat(
+            F.lit(" "), F.array_join(F.split(word, ""), " "), F.lit(" ")
+        )
+        for lhs, rhs in merges:
+            seq = F.replace(
+                seq, F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")
+            )
+        return F.size(F.split(F.trim(seq), " "))
+
+    doc_words = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    n_bpe = F.aggregate(
+        F.transform(doc_words, encode_word),
+        F.lit(0),
+        lambda acc, n: acc + n,
+    )
+    n_base = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        n_base.cast("bigint").alias("n_base_syms"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.size(doc_words).cast("bigint").alias("n_words"),
+    )
+
+
 def _bpe_iter_sql(i: int) -> str:
     """One unrolled BPE training iteration: pair counts p{i} over w{i-1},
     argmax t{i}, merged vocabulary w{i}."""
@@ -1379,3 +1466,39 @@ WITH words AS (
     for i in range(1, BPE_MERGE_STEPS + 1)
 )}
 """
+
+
+def _ora_bpe_encode() -> str:
+    seq = "' ' || array_to_string(string_split(word, ''), ' ') || ' '"
+    for i in range(1, BPE_MERGE_STEPS + 1):
+        seq = (
+            f"replace({seq}, ' ' || (SELECT lhs FROM t{i}) || ' ' || "
+            f"(SELECT rhs FROM t{i}) || ' ', ' ' || (SELECT lhs || rhs FROM t{i}) || ' ')"
+        )
+    iters = ",".join(_bpe_iter_sql(i) for i in range(1, BPE_MERGE_STEPS + 1))
+    return f'''
+WITH words AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+), w0 AS (
+  SELECT freq,
+         ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq
+  FROM words
+),{iters},
+encw AS (
+  SELECT doc_id, CAST(len(string_split(trim({seq}), ' ')) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+)
+SELECT d.doc_id,
+       CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS n_base_syms,
+       COALESCE(SUM(e.n), 0) AS n_bpe_tokens,
+       CAST(len(list_filter(string_split(d.text, ' '), w -> w <> '')) AS BIGINT)
+         AS n_words
+FROM documents d LEFT JOIN encw e ON d.doc_id = e.doc_id
+GROUP BY d.doc_id, d.text
+'''
+
+
+ORA_BPE_ENCODE = _ora_bpe_encode()

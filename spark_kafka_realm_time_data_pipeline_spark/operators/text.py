@@ -504,3 +504,102 @@ def hll_window_merge(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_active_buckets"),
         F.sum("merged_register").alias("register_sum"),
     )
+
+
+def quality_logit_score(docs: DataFrame) -> DataFrame:
+    """Linear quality CLASSIFIER over the handcrafted feature vector — the
+    model-scoring stage a fastText-style quality filter runs at 100 TB,
+    with fixed public weights instead of learned ones.  Every feature is
+    an exact integer in milli-units (scaled integer division, never IEEE):
+    stopword ratio, average word length, digit ratio, punctuation ratio.
+    The logit is their fixed-weight integer combination and ``keep`` is
+    the sign — so the whole score is hash-exact across engines, unlike a
+    float sigmoid (libm exp differs across platforms).
+
+    Scale shape: a narrow map over the documents scan — zero shuffles,
+    whole-stage codegen end to end; weights would arrive as a broadcast
+    literal exactly as they are inlined here."""
+    toks = _toks()
+    n_words = F.size(toks)
+    stop_list = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+    n_chars = F.length("text")
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    compact = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_digits = F.regexp_count("text", F.lit("[0-9]"))
+    n_punct = F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]"))
+    feats = docs.select(
+        "doc_id",
+        (1000 * n_stop.cast("bigint")).alias("_stop"),
+        (1000 * compact.cast("bigint")).alias("_wlen"),
+        (1000 * n_digits.cast("bigint")).alias("_dig"),
+        (1000 * n_punct.cast("bigint")).alias("_pun"),
+        n_words.cast("bigint").alias("_nw"),
+        safe_chars.cast("bigint").alias("_nc"),
+    ).select(
+        "doc_id",
+        F.expr("_stop div _nw").alias("stop_ratio_m"),
+        F.expr("_wlen div _nw").alias("wlen_m"),
+        F.expr("_dig div _nc").alias("digit_ratio_m"),
+        F.expr("_pun div _nc").alias("punct_ratio_m"),
+    )
+    logit = (
+        F.lit(-2600)
+        + 6 * F.col("stop_ratio_m")
+        + F.expr("wlen_m div 2")
+        - 3 * F.col("digit_ratio_m")
+        - 4 * F.col("punct_ratio_m")
+    )
+    return feats.select(
+        "doc_id",
+        "stop_ratio_m",
+        "wlen_m",
+        "digit_ratio_m",
+        "punct_ratio_m",
+        logit.cast("bigint").alias("logit_milli"),
+        (logit >= 0).alias("keep"),
+    )
+
+
+def quantile_sketch_merge(docs: DataFrame, bin_width: int = 64) -> DataFrame:
+    """MERGEABLE quantile sketch per source: the (source, bin) histogram
+    cell table IS the sketch — the deterministic equi-width cousin of
+    t-digest/KLL with the same algebraic property (merging shards = adding
+    cells; the cell count is bounded by the value range, not the row
+    count), which is exactly what lets a 1000-executor job compute
+    quantiles with one map-side-combinable aggregation instead of a global
+    sort.  Quantiles read off the merged sketch: the reported p50/p90/p99
+    are the upper edge of the first bin whose cumulative count reaches the
+    rank — exact integers, so the whole result hash-matches the oracle
+    (percentile_approx and exact percentiles both interpolate in ways that
+    differ across engines; bin edges don't).
+
+    Scale shape: one groupBy(source, bin) with map-side combine over the
+    scan, then windows over the tiny cell table.  Nothing downstream of
+    the first aggregation scales with corpus size."""
+    from pyspark.sql import Window
+
+    bin_col = F.expr(f"n_chars div {bin_width}")
+    cells = docs.groupBy(F.col("source"), bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = Window.partitionBy("source").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("source")
+    cum = (
+        cells.withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("total", F.sum("cnt").over(wt))
+    )
+    def edge(pct):
+        hit = F.when(100 * F.col("cum") >= pct * F.col("total"), F.col("bin"))
+        return (bin_width * (F.min(hit) + 1)).cast("bigint")
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.max("total").cast("bigint").alias("n_docs"),
+            edge(50).alias("p50_hi"),
+            edge(90).alias("p90_hi"),
+            edge(99).alias("p99_hi"),
+        )
+    )

@@ -63,6 +63,9 @@ def registry() -> dict[str, QuerySpec]:
         for n in (
             # (a) new in r7
             "dedup_jaccard_prefix",
+            "bpe_encode",
+            "quality_logit_score",
+            "quantile_sketch_merge",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

@@ -112,6 +112,10 @@ def q_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bpe_merge_steps(_docs(spark, sf_dir))
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.bpe_encode(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_normalize": QuerySpec(
         q_text_normalize, C.ORA_NORMALIZE_TEXT, "canonical text form + md5 content key"
@@ -213,5 +217,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_bpe_merge_steps,
         C.ORA_BPE_MERGE_STEPS,
         "BPE training loop, first 3 merges (argmax + replace, unrolled)",
+    ),
+    "bpe_encode": QuerySpec(
+        q_bpe_encode,
+        C.ORA_BPE_ENCODE,
+        "apply learned BPE merges: per-doc encoded token counts",
     ),
 }

@@ -920,6 +920,64 @@ SELECT doc_id, term, score, rank FROM (
 
 
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]"
+
+
+def q_quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier — integer milli-unit
+    features, hash-exact logit, sign-threshold keep flag."""
+    return T.quality_logit_score(load_table(spark, sf_dir, "documents"))
+
+
+# Same integer milli-unit features and weights; Spark `div` and DuckDB `//`
+# agree (floor) because every dividend here is non-negative.
+ORA_QUALITY_LOGIT = f"""
+WITH f AS (
+  SELECT doc_id,
+         (1000 * CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains({_STOP_LIST}, t))) AS BIGINT))
+           // CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio_m,
+         (1000 * CAST(length(replace(text, ' ', '')) AS BIGINT))
+           // CAST(len(string_split(text, ' ')) AS BIGINT) AS wlen_m,
+         (1000 * CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT))
+           // CAST(greatest(length(text), 1) AS BIGINT) AS digit_ratio_m,
+         (1000 * CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT))
+           // CAST(greatest(length(text), 1) AS BIGINT) AS punct_ratio_m
+  FROM documents
+)
+SELECT doc_id, stop_ratio_m, wlen_m, digit_ratio_m, punct_ratio_m,
+       CAST(-2600 + 6 * stop_ratio_m + wlen_m // 2
+            - 3 * digit_ratio_m - 4 * punct_ratio_m AS BIGINT) AS logit_milli,
+       (-2600 + 6 * stop_ratio_m + wlen_m // 2
+            - 3 * digit_ratio_m - 4 * punct_ratio_m) >= 0 AS keep
+FROM f
+"""
+
+
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-source histogram quantile sketch (equi-width cells,
+    exact-integer p50/p90/p99 bin edges)."""
+    return T.quantile_sketch_merge(load_table(spark, sf_dir, "documents"))
+
+
+ORA_QUANTILE_SKETCH = """
+WITH cells AS (
+  SELECT source, n_chars // 64 AS bin, COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT source, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS total
+  FROM cells
+)
+SELECT source,
+       CAST(MAX(total) AS BIGINT) AS n_docs,
+       CAST(64 * (MIN(CASE WHEN 100 * cum >= 50 * total THEN bin END) + 1) AS BIGINT) AS p50_hi,
+       CAST(64 * (MIN(CASE WHEN 100 * cum >= 90 * total THEN bin END) + 1) AS BIGINT) AS p90_hi,
+       CAST(64 * (MIN(CASE WHEN 100 * cum >= 99 * total THEN bin END) + 1) AS BIGINT) AS p99_hi
+FROM cum GROUP BY source
+"""
+
+
 ORA_TEXT_QUALITY = f"""
 SELECT doc_id,
        length(text) AS n_chars,
@@ -1332,6 +1390,16 @@ QUERIES: dict[str, QuerySpec] = {
         "product-quantization encoder (4-bit codes + exact distortion)",
     ),
     "text_quality": QuerySpec(q_text_quality, ORA_TEXT_QUALITY, "quality scoring"),
+    "quality_logit_score": QuerySpec(
+        q_quality_logit_score,
+        ORA_QUALITY_LOGIT,
+        "fixed-weight linear quality classifier (integer-exact logit)",
+    ),
+    "quantile_sketch_merge": QuerySpec(
+        q_quantile_sketch_merge,
+        ORA_QUANTILE_SKETCH,
+        "mergeable per-source histogram quantile sketch (p50/p90/p99 edges)",
+    ),
     "tfidf_top_terms": QuerySpec(
         q_tfidf_top_terms,
         ORA_TFIDF_TOP_TERMS,

@@ -186,3 +186,29 @@ def test_bpe_merge_steps_learns_predictable_merges(spark):
     )
     out = [(r.step, r.lhs, r.rhs, r.pair_count) for r in C.bpe_merge_steps(docs).collect()]
     assert sorted(out) == [(1, "a", "a", 6), (2, "a", "b", 3), (3, "aa", "ab", 3)], out
+
+
+def test_quantile_sketch_is_mergeable(spark):
+    """The defining sketch property: cell tables from disjoint shards,
+    merged by summing counts, give the same quantile edges as one pass
+    over the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.text import (
+        quantile_sketch_merge,
+    )
+
+    rows = [(i, "s%d" % (i % 2), 10 * i) for i in range(1, 201)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    whole = {
+        (r.source, r.n_docs, r.p50_hi, r.p90_hi, r.p99_hi)
+        for r in quantile_sketch_merge(docs).collect()
+    }
+    # shard on doc parity, sketch each shard, merge cells, re-derive edges
+    shard_a = docs.filter(F.col("doc_id") % 2 == 0)
+    shard_b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = {
+        (r.source, r.n_docs, r.p50_hi, r.p90_hi, r.p99_hi)
+        for r in quantile_sketch_merge(shard_a.unionAll(shard_b)).collect()
+    }
+    assert whole == merged
