@@ -134,6 +134,13 @@ def get_spark(
         # plain timestamp[us] corpus columns must read as LTZ-under-UTC, not
         # NTZ (watermarks reject NTZ); see RUNTIME_CONF.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # ContextCleaner's periodic GC defaults to 30 MINUTES: a long-lived
+        # session (the bench drives ~190 query executions through one JVM)
+        # pins every collected localCheckpoint block and shuffle file until
+        # then, and the accumulated pressure taxes every later query.  A
+        # static core conf — settable only at context start, so it lives
+        # here and not in RUNTIME_CONF.
+        .config("spark.cleaner.periodicGC.interval", "90s")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{n}]")
