@@ -106,6 +106,8 @@ HEADLINE += [
     "bpe_encode",
     "quality_logit_score",
     "quantile_sketch_merge",
+    "sim_pq_topk",
+    "streaming_quantile",
 ]
 
 

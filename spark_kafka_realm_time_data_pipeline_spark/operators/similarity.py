@@ -329,3 +329,74 @@ SELECT vec_id,
        CAST(SUM(d2) AS BIGINT) AS recon_err_q
 FROM best GROUP BY vec_id
 """
+
+
+def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Asymmetric-distance ANN over PQ codes (the ADC scan of IVF-PQ):
+    queries stay full-precision, database vectors exist ONLY as their
+    4-bit-per-subspace codes, and each approximate distance is a sum of
+    PQ_SUBS table lookups — the query-side half of `pq_codes`, completing
+    the PQ story (encode -> scan).
+
+    Per query the distance TABLE is PQ_SUBS x PQ_CODES integer cells
+    (||q_j - c_{j,code}||^2 in fixed point); the scan joins the decoded
+    code stream on (j, code) against the broadcast table and sums — no
+    vector arithmetic ever touches a database row.  That is the 100 TB
+    shape: the codebook and tables are driver-size broadcasts, the scan
+    is one narrow join + one groupBy(query, vec) with map-side combine,
+    and the compressed corpus (32 bits/vector) is ~64x smaller than the
+    float rows a brute-force scan reads.  Integer distances, argsort on
+    (adist, vec_id) — the oracle replays every lookup."""
+    from pyspark.sql.window import Window
+
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * PQ_SCALE).cast("long")
+    )
+    sub_all = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("j"),
+        qv.alias("qv"),
+    ).select(
+        "vec_id",
+        "j",
+        F.expr(f"slice(qv, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sv"),
+    )
+    cb = sub_all.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("code"), "j", F.col("sv").alias("cv")
+    )
+    qsub = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("j"),
+        qv.alias("qv"),
+    ).select(
+        "query_id",
+        "j",
+        F.expr(f"slice(qv, j * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("qsv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qsv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dt = qsub.join(F.broadcast(cb), "j").select(
+        "query_id", "j", "code", d2.alias("d2")
+    )
+    codes = pq_codes(emb).select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("j"),
+        F.expr("shiftright(pq_key, cast(4 * j as int)) & 15").alias("code"),
+    )
+    adist = (
+        codes.join(F.broadcast(dt), ["j", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist_q", "vec_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "rank", "adist_q"
+        )
+    )

@@ -66,6 +66,8 @@ def registry() -> dict[str, QuerySpec]:
             "bpe_encode",
             "quality_logit_score",
             "quantile_sketch_merge",
+            "sim_pq_topk",
+            "streaming_quantile",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

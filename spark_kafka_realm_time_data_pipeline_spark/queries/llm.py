@@ -702,6 +702,66 @@ WHERE {_ora_cosine('a.embedding', 'b.embedding')} >= 0.999
 # --- similarity search --------------------------------------------------------
 
 
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC scan: PQ-compressed ANN top-k (asymmetric distance) — queries
+    full-precision, corpus as 32-bit codes, distances as table lookups."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.pq_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+ORA_SIM_PQ_TOPK = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {S.PQ_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, j, list_slice(qv, j * {S.PQ_SUBDIM} + 1, j * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}) AS sv
+  FROM q CROSS JOIN (SELECT unnest(range(0, {S.PQ_SUBS})) AS j)
+), cb AS (
+  SELECT vec_id AS code, j, sv AS cv FROM sub WHERE vec_id < {S.PQ_CODES}
+), scored AS (
+  SELECT s.vec_id, s.j, c.code,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(list_zip(s.sv, c.cv),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, x) -> a + x) AS d2
+  FROM sub s JOIN cb c USING (j)
+), best AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), pq AS (
+  SELECT vec_id, CAST(SUM(code << CAST(4 * j AS INT)) AS BIGINT) AS pq_key
+  FROM best GROUP BY vec_id
+), codes AS (
+  SELECT vec_id, j, (pq_key >> CAST(4 * j AS INT)) & 15 AS code
+  FROM pq CROSS JOIN (SELECT unnest(range(0, {S.PQ_SUBS})) AS j)
+), qsub AS (
+  SELECT vec_id AS query_id, j, sv AS qsv FROM sub WHERE vec_id < 10
+), dt AS (
+  SELECT qs.query_id, qs.j, c.code,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(list_zip(qs.qsv, c.cv),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, x) -> a + x) AS d2
+  FROM qsub qs JOIN cb c USING (j)
+), adist AS (
+  SELECT d.query_id, c.vec_id, CAST(SUM(d.d2) AS BIGINT) AS adist_q
+  FROM codes c JOIN dt d ON d.j = c.j AND d.code = c.code
+  WHERE d.query_id <> c.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, rank, adist_q FROM (
+  SELECT query_id, vec_id, adist_q,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_q, vec_id) AS INT) AS rank
+  FROM adist
+) t WHERE rank <= 5
+"""
+
+
 def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
@@ -1367,6 +1427,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_embedding": QuerySpec(
         q_dedup_embedding, ORA_DEDUP_EMBEDDING, "embedding-cosine near-dup"
+    ),
+    "sim_pq_topk": QuerySpec(
+        q_sim_pq_topk,
+        ORA_SIM_PQ_TOPK,
+        "PQ asymmetric-distance ANN scan (integer table lookups)",
     ),
     "sim_bruteforce_topk": QuerySpec(
         q_sim_bruteforce, ORA_SIM_BRUTEFORCE, "brute-force cosine top-k"

@@ -779,6 +779,52 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 # deterministic availableNow micro-batch), so it shares that oracle verbatim
 from .llm import ORA_DEDUP_INCREMENTAL as _ORA_DEDUP_INCREMENTAL  # noqa: E402
 
+def q_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch maintained AS A STREAM: the
+    (source, bin) cell table of `quantile_sketch_merge` kept by a
+    complete-mode streaming groupBy(source, bin).count — the fourth
+    mergeable sketch next to SUM (countmin), MAX (hll) and OR (bloom);
+    COUNT partials fold into the running state and the state is bounded by
+    the value range, not the stream length.  The p50/p90/p99 edges are
+    read off the DRAINED sketch as a batch epilogue (two windows over the
+    tiny cell table): the sketch is the state, the quantile report is a
+    view of it — exactly how a continuously-ingesting pipeline serves
+    length-distribution monitoring without a global sort.  Exact integers
+    end to end, so the bounded replay has a full batch-SQL value oracle
+    (shared with the batch twin)."""
+    from pyspark.sql import Window
+
+    from ..sources.files import stream_table
+
+    docs = stream_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        F.col("source"), F.expr("n_chars div 64").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    drained = run_to_memory(
+        cells, spark, output_mode="complete", no_data_batches=False
+    )
+    wc = Window.partitionBy("source").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("source")
+    cum = drained.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+
+    def edge(pct):
+        hit = F.when(100 * F.col("cum") >= pct * F.col("total"), F.col("bin"))
+        return (64 * (F.min(hit) + 1)).cast("bigint")
+
+    return cum.groupBy("source").agg(
+        F.max("total").cast("bigint").alias("n_docs"),
+        edge(50).alias("p50_hi"),
+        edge(90).alias("p90_hi"),
+        edge(99).alias("p99_hi"),
+    )
+
+
+from .llm import ORA_QUANTILE_SKETCH as _ORA_STREAMING_QUANTILE
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_dedup_incremental": QuerySpec(
         q_streaming_dedup_incremental,
@@ -799,6 +845,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_bloom,
         ORA_STREAMING_BLOOM,
         "Bloom-filter words as a complete-mode streaming aggregation",
+    ),
+    "streaming_quantile": QuerySpec(
+        q_streaming_quantile,
+        _ORA_STREAMING_QUANTILE,
+        "histogram quantile sketch as complete-mode stream + edge epilogue",
     ),
     "streaming_foreachbatch_topk": QuerySpec(
         q_streaming_foreachbatch_topk,

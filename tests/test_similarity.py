@@ -102,3 +102,30 @@ def test_brute_force_matches_oracle_ranking(spark, emb):
         for r in brute_force_topk(emb, queries, k=K).orderBy("rank").collect()
     ]
     assert got == expected
+
+
+def test_pq_adc_ranks_exact_copy_first(spark, emb):
+    """ADC sanity: a query's exact vector copy encodes to the same PQ code
+    word in every subspace, so its asymmetric distance equals the query's
+    own quantization distortion — the minimum possible — and the copy must
+    rank first.  Also pins the scan's determinism (integer distances,
+    (adist, vec_id) tie-break): two runs give identical rows."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    base = emb.limit(200)
+    copies = base.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = base.unionByName(copies)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    out = pq_topk(corpus, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in (0, 1, 2):
+        top = sorted(by_q[qid])[0]
+        assert top[1] == qid + 100000, (qid, by_q[qid])
+    out2 = pq_topk(corpus, queries, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -48,6 +48,12 @@ QUERIES = [
     "lm_bigram_coverage",
     "dedup_editdistance",
     "dedup_incremental_indexed",
+    # late-round-7 additions: blocked exact-Jaccard join, BPE encode,
+    # linear quality classifier, mergeable quantile sketch
+    "dedup_jaccard_prefix",
+    "bpe_encode",
+    "quality_logit_score",
+    "quantile_sketch_merge",
 ]
 
 
