@@ -108,6 +108,8 @@ HEADLINE += [
     "quantile_sketch_merge",
     "sim_pq_topk",
     "streaming_quantile",
+    "compaction_plan",
+    "cdc_tombstone_merge",
 ]
 
 

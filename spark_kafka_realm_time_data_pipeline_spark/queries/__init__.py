@@ -68,6 +68,8 @@ def registry() -> dict[str, QuerySpec]:
             "quantile_sketch_merge",
             "sim_pq_topk",
             "streaming_quantile",
+            "compaction_plan",
+            "cdc_tombstone_merge",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

@@ -1449,6 +1449,100 @@ FROM m
 """
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction PLANNER: assign each input file to an output
+    bucket by contiguous roll-over packing — order files within a
+    partition, accumulate bytes, and a file belongs to the bucket its
+    START offset falls in (floor(start / target)).  This is the plan a
+    100 TB table-maintenance job (OPTIMIZE / rewriteDataFiles) computes
+    before rewriting: deterministic, integer-exact, one window + one
+    groupBy — and the report (files per bucket, bytes per bucket) is what
+    an operator reviews before committing a rewrite.  The documents table
+    plays the file manifest: doc_id = file id, n_chars = file bytes,
+    source = table partition.  Scale shape: the window partitions by the
+    table partition (bounded), the groupBy is map-side combinable, and
+    nothing downstream scales with file count."""
+    from pyspark.sql import Window
+
+    target = 4096
+    files = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("bytes")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    start = F.sum("bytes").over(w) - F.col("bytes")
+    planned = files.withColumn("start", start).withColumn(
+        "bucket", F.expr(f"start div {target}")
+    )
+    return planned.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("bytes_total"),
+        F.min("doc_id").alias("first_file"),
+        F.max("doc_id").alias("last_file"),
+    )
+
+
+ORA_COMPACTION_PLAN = """
+WITH files AS (
+  SELECT doc_id, source, n_chars AS bytes FROM documents
+), planned AS (
+  SELECT doc_id, source, bytes,
+         (SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id) - bytes) // 4096
+           AS bucket
+  FROM files
+)
+SELECT source, bucket,
+       COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+       MIN(doc_id) AS first_file,
+       MAX(doc_id) AS last_file
+FROM planned GROUP BY source, bucket
+"""
+
+
+def q_cdc_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge WITH DELETES: each event carries a derived op (every
+    event_id % 10 == 0 row is a tombstone); the materialized state keeps a
+    key only when its LATEST row by (ts, event_id) is not a delete — the
+    full upsert/delete semantics of a Debezium-style feed, one step past
+    cdc_upsert_latest's upsert-only world.  Same 100 TB shape: ONE
+    groupBy(key) with map-side-combined max_by (no whole-partition window
+    sort), then a filter on the surviving struct."""
+    ev = load_table(spark, sf_dir, "events")
+    last = F.max_by(
+        F.struct("value", "event_id"), F.struct("ts", "event_id")
+    ).alias("last")
+    agg = ev.groupBy("user_id").agg(
+        last,
+        _ts_max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_changes"),
+        F.sum((F.col("event_id") % 10 == 0).cast("bigint")).alias("n_deletes"),
+    )
+    return agg.filter(F.col("last.event_id") % 10 != 0).select(
+        "user_id",
+        F.col("last.value").alias("last_value"),
+        "last_ts",
+        "n_changes",
+        "n_deletes",
+    )
+
+
+ORA_CDC_TOMBSTONE = f"""
+WITH ranked AS (
+  SELECT user_id, value, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), agg AS (
+  SELECT user_id, strftime(MAX(ts), '{{FMT_DUCK}}') AS last_ts,
+         COUNT(*) AS n_changes,
+         CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+  FROM events GROUP BY user_id
+)
+SELECT r.user_id, r.value AS last_value, a.last_ts, a.n_changes, a.n_deletes
+FROM ranked r JOIN agg a USING (user_id)
+WHERE r.rn = 1 AND r.event_id % 10 <> 0
+""".replace("{FMT_DUCK}", FMT_DUCK)
+
+
 def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout audit: interleave (l_partkey, l_suppkey) bits into a
     Morton value, bucket by its high bits, and report each bucket's
@@ -1756,6 +1850,16 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "funnel_stages": QuerySpec(
         q_funnel_stages, ORA_FUNNEL, "ordered funnel via conditional-aggregate pass"
+    ),
+    "compaction_plan": QuerySpec(
+        q_compaction_plan,
+        ORA_COMPACTION_PLAN,
+        "small-files compaction planner (roll-over packing per partition)",
+    ),
+    "cdc_tombstone_merge": QuerySpec(
+        q_cdc_tombstone_merge,
+        ORA_CDC_TOMBSTONE,
+        "CDC merge with delete tombstones (latest-op liveness)",
     ),
     "zorder_stats": QuerySpec(
         q_zorder_stats, _ora_zorder_stats(), "Z-order Morton bucketing bounding-box audit"
