@@ -110,6 +110,7 @@ HEADLINE += [
     "streaming_quantile",
     "compaction_plan",
     "cdc_tombstone_merge",
+    "anomaly_zscore",
 ]
 
 

@@ -70,6 +70,7 @@ def registry() -> dict[str, QuerySpec]:
             "streaming_quantile",
             "compaction_plan",
             "cdc_tombstone_merge",
+            "anomaly_zscore",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

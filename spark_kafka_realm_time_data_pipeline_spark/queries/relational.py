@@ -1449,6 +1449,68 @@ FROM m
 """
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor: per (event_type, day) event counts scored
+    against the event type's own daily distribution — the data-quality
+    alarm a 100 TB ingest pipeline runs after every load.  Counts are
+    exact integers; mean/variance are computed with one explicit
+    sum/sumsq formula (NOT the engines' var_pop, whose internal update
+    order differs) so the z-score is the same IEEE dag on both sides —
+    +,-,*,/ and sqrt are all correctly-rounded and therefore
+    engine-portable.  Shape: one map-side-combinable groupBy bounded by
+    |types| x |days|, then windows over that tiny frame; nothing
+    downstream scales with event volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    stats = (
+        daily.withColumn("s", F.sum("n").over(w))
+        .withColumn("ss", F.sum(F.col("n") * F.col("n")).over(w))
+        .withColumn("c", F.count(F.lit(1)).over(w))
+    )
+    mean = F.col("s").cast("double") / F.col("c").cast("double")
+    var = (
+        F.col("ss").cast("double") - (F.col("s") * F.col("s")).cast("double") / F.col("c").cast("double")
+    ) / F.col("c").cast("double")
+    z = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    return stats.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        z.alias("z"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"),
+    )
+
+
+ORA_ANOMALY_ZSCORE = """
+WITH daily AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER (PARTITION BY event_type) AS s,
+         SUM(n * n) OVER (PARTITION BY event_type) AS ss,
+         COUNT(*) OVER (PARTITION BY event_type) AS c
+  FROM daily
+), scored AS (
+  SELECT event_type, day, CAST(n AS BIGINT) AS n,
+         CASE WHEN (CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / CAST(c AS DOUBLE)) / CAST(c AS DOUBLE) > 0
+              THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+                   / sqrt((CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / CAST(c AS DOUBLE)) / CAST(c AS DOUBLE))
+              ELSE 0.0 END AS z
+  FROM stats
+)
+SELECT event_type, day, n, z, abs(z) >= 2.0 AS is_anomaly FROM scored
+"""
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction PLANNER: assign each input file to an output
     bucket by contiguous roll-over packing — order files within a
@@ -1850,6 +1912,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "funnel_stages": QuerySpec(
         q_funnel_stages, ORA_FUNNEL, "ordered funnel via conditional-aggregate pass"
+    ),
+    "anomaly_zscore": QuerySpec(
+        q_anomaly_zscore,
+        ORA_ANOMALY_ZSCORE,
+        "daily volume anomaly monitor (portable IEEE z-score)",
     ),
     "compaction_plan": QuerySpec(
         q_compaction_plan,
