@@ -111,6 +111,8 @@ HEADLINE += [
     "compaction_plan",
     "cdc_tombstone_merge",
     "anomaly_zscore",
+    "streaming_quality_gate",
+    "streaming_anomaly",
 ]
 
 

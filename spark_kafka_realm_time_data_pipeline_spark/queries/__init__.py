@@ -71,6 +71,8 @@ def registry() -> dict[str, QuerySpec]:
             "compaction_plan",
             "cdc_tombstone_merge",
             "anomaly_zscore",
+            "streaming_quality_gate",
+            "streaming_anomaly",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

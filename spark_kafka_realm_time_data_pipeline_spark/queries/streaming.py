@@ -823,7 +823,98 @@ def q_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring ON THE STREAM: the fixed-weight linear quality
+    classifier applied to a document stream as a stateless append-mode
+    map+filter — the shape of a production ingest gate (score every
+    arriving doc, pass the keepers downstream).  Stateless means zero
+    state store, per-batch cost is pure codegen, and the plan is identical
+    at any stream length; the bounded replay has a full batch oracle."""
+    from ..operators.text import quality_logit_score
+    from ..sources.files import stream_table
+
+    docs = stream_table(spark, sf_dir, "documents")
+    scored = quality_logit_score(docs)
+    gated = scored.filter(F.col("keep")).select(
+        "doc_id", "logit_milli", "stop_ratio_m", "wlen_m"
+    )
+    return run_to_memory(gated, spark, output_mode="append")
+
+
+def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitoring ON THE STREAM: per (event_type, day)
+    counts as complete-mode state (bounded by |types| x |days|, COUNT
+    partials fold per micro-batch), with the portable IEEE z-score read
+    off the DRAINED cell table as a batch epilogue — the streaming twin of
+    `anomaly_zscore`, same sketch-is-the-state pattern as
+    `streaming_quantile`."""
+    from pyspark.sql import Window
+
+    from ..sources.files import stream_table
+
+    ev = stream_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    drained = run_to_memory(
+        daily, spark, output_mode="complete", no_data_batches=False
+    )
+    w = Window.partitionBy("event_type")
+    stats = (
+        drained.withColumn("s", F.sum("n").over(w))
+        .withColumn("ss", F.sum(F.col("n") * F.col("n")).over(w))
+        .withColumn("c", F.count(F.lit(1)).over(w))
+    )
+    mean = F.col("s").cast("double") / F.col("c").cast("double")
+    var = (
+        F.col("ss").cast("double")
+        - (F.col("s") * F.col("s")).cast("double") / F.col("c").cast("double")
+    ) / F.col("c").cast("double")
+    z = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    return stats.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        z.alias("z"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"),
+    )
+
+
+# Shares the milli-unit feature formulas and weights with ORA_QUALITY_LOGIT
+# (queries/llm.py); the stop list is generated from the one STOPWORDS
+# constant so the two can never drift.
+from ..operators.text import STOPWORDS as _GATE_STOPWORDS
+
+_GATE_STOPS = "[" + ", ".join(f"'{w}'" for w in _GATE_STOPWORDS) + "]"
+ORA_STREAMING_QUALITY_GATE = f"""
+WITH f AS (
+  SELECT doc_id,
+         (1000 * CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains({_GATE_STOPS}, t))) AS BIGINT))
+           // CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio_m,
+         (1000 * CAST(length(replace(text, ' ', '')) AS BIGINT))
+           // CAST(len(string_split(text, ' ')) AS BIGINT) AS wlen_m,
+         (1000 * CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT))
+           // CAST(greatest(length(text), 1) AS BIGINT) AS digit_ratio_m,
+         (1000 * CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT))
+           // CAST(greatest(length(text), 1) AS BIGINT) AS punct_ratio_m
+  FROM documents
+)
+SELECT doc_id,
+       CAST(-2600 + 6 * stop_ratio_m + wlen_m // 2
+            - 3 * digit_ratio_m - 4 * punct_ratio_m AS BIGINT) AS logit_milli,
+       stop_ratio_m, wlen_m
+FROM f
+WHERE (-2600 + 6 * stop_ratio_m + wlen_m // 2
+       - 3 * digit_ratio_m - 4 * punct_ratio_m) >= 0
+"""
+
+
 from .llm import ORA_QUANTILE_SKETCH as _ORA_STREAMING_QUANTILE
+from .relational import ORA_ANOMALY_ZSCORE as _ORA_STREAMING_ANOMALY
 
 QUERIES: dict[str, QuerySpec] = {
     "streaming_dedup_incremental": QuerySpec(
@@ -850,6 +941,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_quantile,
         _ORA_STREAMING_QUANTILE,
         "histogram quantile sketch as complete-mode stream + edge epilogue",
+    ),
+    "streaming_quality_gate": QuerySpec(
+        q_streaming_quality_gate,
+        ORA_STREAMING_QUALITY_GATE,
+        "stateless streaming quality-classifier gate (append mode)",
+    ),
+    "streaming_anomaly": QuerySpec(
+        q_streaming_anomaly,
+        _ORA_STREAMING_ANOMALY,
+        "daily volume anomaly monitor as complete-mode stream + epilogue",
     ),
     "streaming_foreachbatch_topk": QuerySpec(
         q_streaming_foreachbatch_topk,
