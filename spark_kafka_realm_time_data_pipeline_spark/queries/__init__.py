@@ -54,10 +54,13 @@ def registry() -> dict[str, QuerySpec]:
     #     (the r6 front list overflowed the 50-entry window);
     # (c) the oldest r2-era greens (scalar families, set ops, subqueries,
     #     agg shapes, join shapes) — their rows predate two corpus
-    #     regenerations.  The late-session r7 additions (kmeans, bloom,
-    #     hll-window, bigram coverage, streaming HLL, substring spans,
-    #     audio) push the agg/join tail past the ~50 cut; those plus the
-    #     remaining r2/r3-era names rotate in r8.
+    #     regenerations.  The 11 late-session r7 additions (exact-Jaccard
+    #     join, BPE encode, quality classifier + streaming gate, quantile
+    #     sketch + streaming twin, PQ scan, compaction planner, tombstone
+    #     CDC, anomaly monitor + streaming twin) take the window head, so
+    #     the tail from ~tpch_q20 onward (plus the r2/r3-era scalar/set-op/
+    #     subquery/agg/join names) rotates in r8; ALL of them are
+    #     check.py-green at sf0.01 today (full-sweep log, round 7).
     front = [
         n
         for n in (
