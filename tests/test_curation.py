@@ -197,3 +197,28 @@ def test_dup_components_hand_graph(spark):
         for r in dup_components(pairs).collect()
     }
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_bpe_encode_compression_invariants(spark):
+    """Every merge can only shrink a doc's symbol sequence, so the encoded
+    count is bounded by the base symbol count, strictly below it whenever
+    the learned pair occurs, and never below the word count (a word is at
+    least one symbol)."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.curation import (
+        bpe_encode,
+    )
+
+    rows = [
+        (1, "the theme thesis there"),
+        (2, "aa bb cc dd"),
+        (3, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bpe_encode(docs).collect()}
+    for r in out.values():
+        assert r["n_bpe_tokens"] <= r["n_base_syms"], r
+        assert r["n_bpe_tokens"] >= r["n_words"], r
+    # 'th'/'the'-family merges dominate this vocabulary: doc 1 must compress
+    assert out[1]["n_bpe_tokens"] < out[1]["n_base_syms"], out[1]
+    # single-char doc: nothing to merge
+    assert out[3]["n_bpe_tokens"] == 1 and out[3]["n_base_syms"] == 1, out[3]

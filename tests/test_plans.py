@@ -331,3 +331,40 @@ def test_prefix_filter_exact_jaccard_planted(spark):
     assert out.get((1, 3), 0.0) >= 0.8, out
     assert out.get((2, 3), 0.0) >= 0.8, out
     assert all(4 not in p for p in out), out
+
+
+def test_prefix_tier_supersets_minhash_on_high_entropy_corpus(spark):
+    """Cross-tier validation: on a corpus where every posting list is under
+    the cap, the prefix-filter tier is EXACT (full recall), so its pair set
+    must contain every pair the probabilistic MinHash-LSH tier verifies at
+    the same threshold over the same shingle sets — banding can only lose
+    pairs, never invent them (both tiers share the exact-Jaccard verify)."""
+    import random
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.dedup import (
+        doc_shingles,
+        minhash_lsh_dedup,
+        prefix_filter_pairs,
+    )
+
+    rng = random.Random(7)
+    words = ["w%04d" % rng.randrange(5000) for _ in range(40)]
+    rows = []
+    for i in range(30):
+        body = " ".join(rng.choice(words) + "%03d" % rng.randrange(900) for _ in range(30))
+        rows.append((i, body))
+        if i % 5 == 0:  # plant a near copy
+            rows.append((1000 + i, body + " zz"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_pairs(corpus).collect()
+    }
+    minhash = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup(
+            corpus, 0.8, tokenizer=doc_shingles, tok_hashed=True
+        ).collect()
+    }
+    assert minhash <= exact, minhash - exact
+    assert any(b == a + 1000 for a, b in exact), exact  # planted pairs found
