@@ -1327,6 +1327,8 @@ def bpe_merge_steps(docs: DataFrame, steps: int = BPE_MERGE_STEPS) -> DataFrame:
             .orderBy(F.desc("pair_count"), "lhs", "rhs")
             .first()
         )
+        if top is None:  # empty corpus or no adjacent pairs left: done
+            break
         merges.append((step, top.lhs, top.rhs, top.pair_count))
         cur = cur.select(
             "freq",
@@ -1393,6 +1395,8 @@ def bpe_encode(docs: DataFrame, steps: int = BPE_MERGE_STEPS) -> DataFrame:
             .orderBy(F.desc("pair_count"), "lhs", "rhs")
             .first()
         )
+        if top is None:  # empty corpus or no adjacent pairs left: done
+            break
         merges.append((top.lhs, top.rhs))
         cur = cur.select(
             "freq",

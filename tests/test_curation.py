@@ -222,3 +222,22 @@ def test_bpe_encode_compression_invariants(spark):
     assert out[1]["n_bpe_tokens"] < out[1]["n_base_syms"], out[1]
     # single-char doc: nothing to merge
     assert out[3]["n_bpe_tokens"] == 1 and out[3]["n_base_syms"] == 1, out[3]
+
+
+def test_bpe_ops_tolerate_empty_and_degenerate_corpora(spark):
+    """Library robustness: an empty corpus (or one with no adjacent symbol
+    pairs) must end BPE training cleanly instead of crashing on the argmax
+    — and encoding must pass such docs through unchanged."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.curation import (
+        bpe_encode,
+        bpe_merge_steps,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_merge_steps(empty).collect() == []
+    assert bpe_encode(empty).collect() == []
+    # single-char words: no adjacent pairs anywhere -> zero merges learned
+    degenerate = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe_merge_steps(degenerate).collect() == []
+    out = bpe_encode(degenerate).collect()[0]
+    assert out["n_bpe_tokens"] == 3 == out["n_base_syms"], out
