@@ -368,3 +368,32 @@ def test_prefix_tier_supersets_minhash_on_high_entropy_corpus(spark):
     }
     assert minhash <= exact, minhash - exact
     assert any(b == a + 1000 for a, b in exact), exact  # planted pairs found
+
+
+def test_verify_arrays_equals_join_verify(spark):
+    """The round-7 verify swap must be semantics-free: on a random corpus,
+    the array-intersect verify and the 3-way-join verify return identical
+    (doc_a, doc_b, jaccard) rows for the same candidate set."""
+    import random
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.dedup import (
+        doc_token_keys,
+        jaccard_verify,
+        jaccard_verify_arrays,
+    )
+
+    rng = random.Random(11)
+    vocab = ["t%03d" % i for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 25))))
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = doc_token_keys(corpus)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(40) for b in range(a + 1, 40) if (a + b) % 3 == 0],
+        "doc_a long, doc_b long",
+    )
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_verify(pairs, toks, 0.1).collect()}
+    a = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_verify_arrays(pairs, toks, 0.1).collect()}
+    assert j == a, {k: (j.get(k), a.get(k)) for k in set(j) ^ set(a) | {k for k in j if j[k] != a.get(k)}}
