@@ -113,6 +113,7 @@ HEADLINE += [
     "anomaly_zscore",
     "streaming_quality_gate",
     "streaming_anomaly",
+    "multimodal_fusion",
 ]
 
 

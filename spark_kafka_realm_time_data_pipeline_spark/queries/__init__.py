@@ -76,6 +76,7 @@ def registry() -> dict[str, QuerySpec]:
             "anomaly_zscore",
             "streaming_quality_gate",
             "streaming_anomaly",
+            "multimodal_fusion",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

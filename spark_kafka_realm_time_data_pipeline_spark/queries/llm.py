@@ -1280,6 +1280,81 @@ FROM documents
 """
 
 
+def q_multimodal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal feature FUSION: run the real BMP image decoder and the
+    real WAV audio decoder over each doc's payload (two Arrow-batched
+    mapInPandas passes), join their features with the text length, and
+    fold the five integers into one portable fusion fingerprint — the
+    join-modalities step every multimodal training pipeline has between
+    per-modality feature extraction and example assembly.
+
+    Shape: the two decoder passes are embarrassingly parallel; the fusion
+    is two equi-joins on doc_id (AQE-planned) and a narrow fold.  The
+    fingerprint uses the engine-wide Rabin-Karp fold mod the 42-bit prime
+    — every folded term is < 2^42 (sums reduced mod P first), so the
+    accumulator stays inside int64 in BOTH engines (DuckDB errors on
+    BIGINT overflow; Spark would wrap silently)."""
+    from ..operators.dedup import SHINGLE_B, SHINGLE_P
+
+    docs = load_table(spark, sf_dir, "documents")
+    img = M.extract_features(M.with_binary_payload(docs)).select(
+        "doc_id", "width", "height", "pixel_sum"
+    )
+    aud = M.extract_audio_features(M.with_binary_payload(docs)).select(
+        "doc_id", "amp_sum"
+    )
+    text = docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+    feats = F.array(
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+        F.col("pixel_sum") % SHINGLE_P,
+        F.col("amp_sum") % SHINGLE_P,
+        F.col("n_chars"),
+    )
+    fused_key = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * SHINGLE_B + x) % SHINGLE_P,
+    )
+    return (
+        img.join(aud, "doc_id")
+        .join(text, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "pixel_sum",
+            "amp_sum",
+            "n_chars",
+            fused_key.alias("fused_key"),
+        )
+    )
+
+
+def _ora_multimodal_fusion() -> str:
+    from ..operators.dedup import SHINGLE_B, SHINGLE_P
+
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(width AS BIGINT), CAST(height AS BIGINT), pixel_sum % {SHINGLE_P}, "
+        f"amp_sum % {SHINGLE_P}, n_chars]), "
+        f"(acc, x) -> (acc * {SHINGLE_B} + x) % {SHINGLE_P})"
+    )
+    return f"""
+WITH img AS ({ORA_MULTIMODAL_FEATURES}),
+aud AS ({ORA_MULTIMODAL_AUDIO})
+SELECT d.doc_id, i.width, i.height, i.pixel_sum, a.amp_sum,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       {fold} AS fused_key
+FROM documents d
+JOIN img i ON i.doc_id = d.doc_id
+JOIN aud a ON a.doc_id = d.doc_id
+"""
+
+
+ORA_MULTIMODAL_FUSION = _ora_multimodal_fusion()
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size payload normalization (resize stand-in), mapInPandas."""
     return M.resize_payloads(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
@@ -1521,6 +1596,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_multimodal_frames,
         ORA_MULTIMODAL_FRAMES,
         "frame sampling (one-to-many mapInPandas)",
+    ),
+    "multimodal_fusion": QuerySpec(
+        q_multimodal_fusion,
+        ORA_MULTIMODAL_FUSION,
+        "cross-modal feature fusion (image + audio + text -> fingerprint)",
     ),
     "multimodal_resize": QuerySpec(
         q_multimodal_resize,
