@@ -114,6 +114,7 @@ HEADLINE += [
     "streaming_quality_gate",
     "streaming_anomaly",
     "multimodal_fusion",
+    "retrieval_rrf_fusion",
 ]
 
 

@@ -603,3 +603,95 @@ def quantile_sketch_merge(docs: DataFrame, bin_width: int = 64) -> DataFrame:
             edge(99).alias("p99_hi"),
         )
     )
+
+
+RRF_K = 60
+RRF_SCALE = 1_000_000
+RRF_POOL = 100  # per-ranker candidate pool before fusion
+
+
+def retrieval_rrf_fusion(
+    docs: DataFrame, query_doc_id: int = 17, k: int = 20
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal-Rank Fusion: two lexical rankers
+    score the corpus for one query doc's terms, each keeps its top
+    RRF_POOL candidates, and the fused score is the classic
+    sum(1/(K + rank)) — here as the scaled integer RRF_SCALE div
+    (K + rank), so fusion is exact in both engines.
+
+    The two rankers are deliberately INTEGER-exact (the BM25 kernel's own
+    docstring explains why per-doc double sums cannot be hash-compared):
+    - ranker A (idf-weighted): sum of tf * (2N - 2df + 1) * 1000 div
+      (2df + 1) — the rational-idf tf-idf family;
+    - ranker B (length-normalized): sum of tf * 1000000 div dl — a
+      query-likelihood-style ranker that penalizes long docs.
+    Integer sums are shuffle-order-independent, so both rankers, both rank
+    assignments, and the fused ordering replay bit-for-bit in DuckDB.
+
+    Scale shape: tf/df/dl are the shared one-shuffle aggregates; each
+    ranker's pool is a TakeOrderedAndProject top-RRF_POOL (no global
+    sort); the rank window runs over <= RRF_POOL rows; fusion is a
+    full-outer join of two 100-row frames.  This is the fan-in step of a
+    production hybrid search stack (lexical + semantic + fusion)."""
+    from pyspark.sql import Window
+
+    from .dedup import fan_out
+
+    docs = fan_out(docs)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = dl.agg(F.count(F.lit(1)).alias("n_docs"))
+    qterms = (
+        toks.filter(F.col("doc_id") == query_doc_id).select("term").distinct()
+    )
+    matched = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(df_, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_id") != query_doc_id)
+    )
+    score_a = F.sum(
+        F.expr("tf * (2 * n_docs - 2 * df + 1) * 1000 div (2 * df + 1)")
+    ).alias("score")
+    score_b = F.sum(F.expr(f"tf * {RRF_SCALE} div dl")).alias("score")
+
+    def pool(scored):
+        w = Window.orderBy(F.desc("score"), "doc_id")
+        return (
+            scored.orderBy(F.desc("score"), "doc_id")
+            .limit(RRF_POOL)
+            .withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "rank")
+        )
+
+    pa = pool(matched.groupBy("doc_id").agg(score_a))
+    pb = pool(matched.groupBy("doc_id").agg(score_b))
+    fused = (
+        pa.withColumnRenamed("rank", "rank_a")
+        .join(pb.withColumnRenamed("rank", "rank_b"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_a", F.lit(0)).alias("rank_a"),
+            F.coalesce("rank_b", F.lit(0)).alias("rank_b"),
+            (
+                F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_a)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K} + rank_b)"), F.lit(0)
+                )
+            ).cast("bigint").alias("rrf_milli"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_milli"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf_milli"), "doc_id")
+        .limit(k)
+        .withColumn("fused_rank", F.row_number().over(w))
+        .select("doc_id", "rank_a", "rank_b", "rrf_milli", "fused_rank")
+    )

@@ -77,6 +77,7 @@ def registry() -> dict[str, QuerySpec]:
             "streaming_quality_gate",
             "streaming_anomaly",
             "multimodal_fusion",
+            "retrieval_rrf_fusion",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

@@ -979,6 +979,61 @@ SELECT doc_id, term, score, rank FROM (
 """
 
 
+def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: two integer-exact lexical rankers fused with
+    scaled-integer Reciprocal-Rank Fusion (top-100 pools, top-20 out)."""
+    return T.retrieval_rrf_fusion(load_table(spark, sf_dir, "documents"))
+
+
+ORA_RETRIEVAL_RRF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), toks2 AS (
+  SELECT doc_id, term FROM toks WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM dl
+), q AS (
+  SELECT DISTINCT term FROM toks2 WHERE doc_id = 17
+), matched AS (
+  SELECT tf.doc_id, tf.tf, dfq.df, dl.dl, n.n_docs
+  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n
+  WHERE tf.doc_id <> 17
+), sa AS (
+  SELECT doc_id,
+         SUM(tf * (2 * n_docs - 2 * df + 1) * 1000 // (2 * df + 1)) AS score
+  FROM matched GROUP BY doc_id
+), sb AS (
+  SELECT doc_id, SUM(tf * {T.RRF_SCALE} // dl) AS score
+  FROM matched GROUP BY doc_id
+), pa AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+  FROM (SELECT * FROM sa ORDER BY score DESC, doc_id LIMIT {T.RRF_POOL})
+), pb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b
+  FROM (SELECT * FROM sb ORDER BY score DESC, doc_id LIMIT {T.RRF_POOL})
+), fused AS (
+  SELECT COALESCE(pa.doc_id, pb.doc_id) AS doc_id, pa.rank_a, pb.rank_b,
+         CAST(COALESCE({T.RRF_SCALE} // ({T.RRF_K} + pa.rank_a), 0)
+              + COALESCE({T.RRF_SCALE} // ({T.RRF_K} + pb.rank_b), 0) AS BIGINT)
+           AS rrf_milli
+  FROM pa FULL OUTER JOIN pb ON pa.doc_id = pb.doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE(rank_a, 0) AS INT) AS rank_a,
+       CAST(COALESCE(rank_b, 0) AS INT) AS rank_b,
+       rrf_milli,
+       CAST(row_number() OVER (ORDER BY rrf_milli DESC, doc_id) AS INT) AS fused_rank
+FROM (SELECT * FROM fused ORDER BY rrf_milli DESC, doc_id LIMIT 20)
+"""
+
+
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]"
 
 
@@ -1530,6 +1585,11 @@ QUERIES: dict[str, QuerySpec] = {
         "product-quantization encoder (4-bit codes + exact distortion)",
     ),
     "text_quality": QuerySpec(q_text_quality, ORA_TEXT_QUALITY, "quality scoring"),
+    "retrieval_rrf_fusion": QuerySpec(
+        q_retrieval_rrf_fusion,
+        ORA_RETRIEVAL_RRF,
+        "hybrid retrieval: integer RRF fusion of two lexical rankers",
+    ),
     "quality_logit_score": QuerySpec(
         q_quality_logit_score,
         ORA_QUALITY_LOGIT,

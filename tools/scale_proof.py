@@ -54,6 +54,14 @@ QUERIES = [
     "bpe_encode",
     "quality_logit_score",
     "quantile_sketch_merge",
+    "sim_pq_topk",
+    "multimodal_fusion",
+    "cdc_tombstone_merge",
+    "compaction_plan",
+    "anomaly_zscore",
+    "streaming_quality_gate",
+    "streaming_quantile",
+    "streaming_anomaly",
 ]
 
 
