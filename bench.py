@@ -115,6 +115,7 @@ HEADLINE += [
     "streaming_anomaly",
     "multimodal_fusion",
     "retrieval_rrf_fusion",
+    "boilerplate_strip",
 ]
 
 

@@ -695,3 +695,60 @@ def retrieval_rrf_fusion(
         .withColumn("fused_rank", F.row_number().over(w))
         .select("doc_id", "rank_a", "rank_b", "rrf_milli", "fused_rank")
     )
+
+
+BOILER_PREFIX_CHARS = 32
+
+
+def boilerplate_strip(docs: DataFrame) -> DataFrame:
+    """Per-source boilerplate HEADER detection and strip accounting: the
+    majority first-BOILER_PREFIX_CHARS prefix of each source (ties broken
+    on the prefix key) is declared that source's boilerplate; every doc
+    carrying it is flagged and its clean length excludes the header — the
+    header/footer-removal stage crawl pipelines run before dedup, as
+    exact algebra.
+
+    Prefixes are folded to the engine-wide polynomial key before the
+    vote, so the heavy groupBys shuffle 8-byte integers, never text.
+    Shape: one groupBy(source, prefix_key) with map-side combine (bounded
+    by |sources| x |distinct prefixes|), a row_number over that cell
+    table for the majority vote, and a broadcast-sized join back onto the
+    doc stream.  Nothing scales past the first aggregation."""
+    from pyspark.sql import Window
+
+    from .dedup import SHINGLE_B, SHINGLE_P
+
+    prefix_key = F.aggregate(
+        F.transform(
+            F.split(F.substring("text", 1, BOILER_PREFIX_CHARS), ""),
+            lambda c: F.ascii(c),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * SHINGLE_B + c) % SHINGLE_P,
+    )
+    keyed = docs.select(
+        "doc_id", "source", F.length("text").alias("n_chars"), prefix_key.alias("pk")
+    )
+    votes = keyed.groupBy("source", "pk").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "pk")
+    majority = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("pk").alias("boiler_pk"), F.col("n").alias("boiler_n"))
+    )
+    return (
+        keyed.join(F.broadcast(majority), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            (F.col("pk") == F.col("boiler_pk")).alias("has_boilerplate"),
+            F.when(
+                F.col("pk") == F.col("boiler_pk"),
+                F.greatest(F.col("n_chars") - BOILER_PREFIX_CHARS, F.lit(0)),
+            )
+            .otherwise(F.col("n_chars"))
+            .cast("bigint")
+            .alias("clean_chars"),
+        )
+    )

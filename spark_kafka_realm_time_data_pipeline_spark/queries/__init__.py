@@ -78,6 +78,7 @@ def registry() -> dict[str, QuerySpec]:
             "streaming_anomaly",
             "multimodal_fusion",
             "retrieval_rrf_fusion",
+            "boilerplate_strip",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

@@ -979,6 +979,45 @@ SELECT doc_id, term, score, rank FROM (
 """
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source majority-prefix boilerplate detection + strip accounting
+    (integer prefix keys, majority vote, broadcast join back)."""
+    return T.boilerplate_strip(load_table(spark, sf_dir, "documents"))
+
+
+def _ora_boilerplate_strip() -> str:
+    from ..operators.dedup import SHINGLE_B, SHINGLE_P
+    from ..operators.text import BOILER_PREFIX_CHARS as NPREF
+
+    pk = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substring(text, 1, {NPREF}), ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {SHINGLE_B} + c) % {SHINGLE_P})"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, length(text) AS n_chars, {pk} AS pk FROM documents
+), votes AS (
+  SELECT source, pk, COUNT(*) AS n FROM keyed GROUP BY source, pk
+), majority AS (
+  SELECT source, pk AS boiler_pk FROM (
+    SELECT source, pk, row_number() OVER (PARTITION BY source ORDER BY n DESC, pk) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT k.doc_id, k.source, CAST(k.n_chars AS BIGINT) AS n_chars,
+       k.pk = m.boiler_pk AS has_boilerplate,
+       CAST(CASE WHEN k.pk = m.boiler_pk
+                 THEN greatest(k.n_chars - {NPREF}, 0)
+                 ELSE k.n_chars END AS BIGINT) AS clean_chars
+FROM keyed k JOIN majority m USING (source)
+"""
+
+
+ORA_BOILERPLATE_STRIP = _ora_boilerplate_strip()
+
+
 def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: two integer-exact lexical rankers fused with
     scaled-integer Reciprocal-Rank Fusion (top-100 pools, top-20 out)."""
@@ -1585,6 +1624,11 @@ QUERIES: dict[str, QuerySpec] = {
         "product-quantization encoder (4-bit codes + exact distortion)",
     ),
     "text_quality": QuerySpec(q_text_quality, ORA_TEXT_QUALITY, "quality scoring"),
+    "boilerplate_strip": QuerySpec(
+        q_boilerplate_strip,
+        ORA_BOILERPLATE_STRIP,
+        "per-source majority-prefix boilerplate detect + strip accounting",
+    ),
     "retrieval_rrf_fusion": QuerySpec(
         q_retrieval_rrf_fusion,
         ORA_RETRIEVAL_RRF,
