@@ -116,6 +116,7 @@ HEADLINE += [
     "multimodal_fusion",
     "retrieval_rrf_fusion",
     "boilerplate_strip",
+    "streaming_scd2_lookup",
 ]
 
 

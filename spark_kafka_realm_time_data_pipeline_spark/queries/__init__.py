@@ -79,6 +79,7 @@ def registry() -> dict[str, QuerySpec]:
             "multimodal_fusion",
             "retrieval_rrf_fusion",
             "boilerplate_strip",
+            "streaming_scd2_lookup",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

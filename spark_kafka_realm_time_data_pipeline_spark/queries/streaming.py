@@ -823,6 +823,69 @@ def q_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension lookup on the stream (feature-store
+    correctness): each click event joins the SCD2 dimension VERSION that
+    was valid at the event's own timestamp — user_id equality plus the
+    [valid_from, valid_to) interval condition — so a training-data
+    pipeline never leaks a future attribute value into a past example.
+
+    The dimension is stream-STATIC (built batch-side from the signup
+    change history, re-read per micro-batch): the join is therefore
+    STATELESS — no watermark, no state store, any predicate allowed — and
+    scales as an ordinary broadcast/hash join per batch.  This is the
+    standard feature-store serving shape; the stream-stream interval join
+    (`streaming_interval_join`) covers the both-sides-moving case."""
+    from pyspark.sql import Window
+
+    from ..sources.files import load_table, stream_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", "event_id", "value")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.col("value").alias("attr_value"),
+        )
+    )
+    clicks = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    joined = clicks.join(
+        dim,
+        (clicks.user_id == dim.d_user)
+        & (clicks.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (clicks.ts < dim.valid_to)),
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format(clicks.ts, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "attr_value",
+    )
+    return run_to_memory(joined, spark, output_mode="append")
+
+
+ORA_STREAMING_SCD2_LOOKUP = """
+WITH dim AS (
+  SELECT user_id AS d_user, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         value AS attr_value
+  FROM events WHERE event_type = 'signup'
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       d.attr_value
+FROM events e JOIN dim d
+  ON e.user_id = d.d_user AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+WHERE e.event_type = 'click'
+"""
+
+
 def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model scoring ON THE STREAM: the fixed-weight linear quality
     classifier applied to a document stream as a stateless append-mode
@@ -941,6 +1004,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_quantile,
         _ORA_STREAMING_QUANTILE,
         "histogram quantile sketch as complete-mode stream + edge epilogue",
+    ),
+    "streaming_scd2_lookup": QuerySpec(
+        q_streaming_scd2_lookup,
+        ORA_STREAMING_SCD2_LOOKUP,
+        "point-in-time SCD2 dimension lookup on the stream (stateless)",
     ),
     "streaming_quality_gate": QuerySpec(
         q_streaming_quality_gate,
