@@ -117,6 +117,7 @@ HEADLINE += [
     "retrieval_rrf_fusion",
     "boilerplate_strip",
     "streaming_scd2_lookup",
+    "dedup_triangles",
 ]
 
 

@@ -1163,3 +1163,38 @@ def prefix_filter_pairs(
         ).localCheckpoint(eager=True)
     finally:
         toks.unpersist()
+
+
+def dup_triangles(pairs: DataFrame) -> DataFrame:
+    """Triangle counts per node over the near-dup pair graph — the local
+    clustering signal that separates a true duplicate CLUSTER (mutually
+    similar docs → many closed triangles) from a star around one
+    boilerplate hub (high degree, no closure).  With components (global
+    structure) and PageRank (centrality) this completes the graph-analytic
+    trio over the same edge list.
+
+    Canonical distributed shape: orient every edge low→high, join the
+    edge list with itself on the middle vertex to enumerate open wedges
+    (a<b<c), then semi-join the closing edge — two equi-shuffles on
+    vertex ids, never an all-pairs product.  A production run on a
+    power-law graph would pre-order by degree so every wedge pivots at
+    its lowest-degree vertex; the bucket-capped candidate generator
+    already bounds degrees here.  Per-triangle credit goes to all three
+    corners via one explode, then a map-side-combined groupBy."""
+    e = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = ab.join(bc, "y").select("x", "y", "z")
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = wedges.join(closing, ["x", "z"], "left_semi")
+    corners = tris.select(
+        F.explode(F.array("x", "y", "z")).alias("doc_id")
+    )
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -80,6 +80,7 @@ def registry() -> dict[str, QuerySpec]:
             "retrieval_rrf_fusion",
             "boilerplate_strip",
             "streaming_scd2_lookup",
+            "dedup_triangles",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

@@ -663,6 +663,43 @@ probes AS (
 """
 
 
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the VERIFIED n-gram near-dup graph
+    (the same edge list the components funnel consumes) — cluster vs hub
+    discrimination.  The verified graph, not the raw SimHash probe graph:
+    exact-copy families make the probe graph near-clique, and exact
+    triangle counting on a k-clique is Θ(k³) — on the verified pair list
+    the edge set is the real dup structure and the wedge join stays
+    bounded (see operators/dedup.dup_triangles)."""
+    pairs = D.minhash_lsh_dedup(
+        D.planted_corpus(spark, sf_dir),
+        threshold=0.8,
+        tokenizer=D.doc_shingles,
+        tok_hashed=True,
+    ).select("doc_a", "doc_b")
+    return D.dup_triangles(pairs)
+
+
+ORA_DEDUP_TRIANGLES = f"""
+WITH prs AS (
+  SELECT doc_a, doc_b FROM ({ORA_DEDUP_MINHASH_NGRAM}) t
+), tris AS (
+  SELECT ab.doc_a AS x, ab.doc_b AS y, bc.doc_b AS z
+  FROM prs ab
+  JOIN prs bc ON bc.doc_a = ab.doc_b
+  WHERE EXISTS (
+    SELECT 1 FROM prs cl WHERE cl.doc_a = ab.doc_a AND cl.doc_b = bc.doc_b
+  )
+), corners AS (
+  SELECT x AS doc_id FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY doc_id
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: plant exact vector copies, block on the
     cluster label (equi-join — no cross product), verify cosine."""
@@ -1582,6 +1619,11 @@ QUERIES: dict[str, QuerySpec] = {
             shingle_p=D.SHINGLE_P,
         ),
         "repeated-passage spans via strided window hashing (suffix-array style)",
+    ),
+    "dedup_triangles": QuerySpec(
+        q_dedup_triangles,
+        ORA_DEDUP_TRIANGLES,
+        "per-node triangle counts on the near-dup graph (cluster vs hub)",
     ),
     "dedup_pagerank": QuerySpec(
         q_dedup_pagerank,
