@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import signal
 import sys
 import time
 
@@ -174,12 +175,56 @@ def main() -> None:
     errors: dict[str, str] = {}
     rows_per_sec: dict[str, float] = {}
     wall0 = time.time()
+
+    def emit(partial: bool = False) -> None:
+        total = round(sum(timings.values()), 3)
+        legacy = round(
+            sum(t for n, t in timings.items() if n in HEADLINE_LEGACY), 3
+        )
+        out = {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "value_legacy34": legacy,
+            "queries": timings,
+            "sf": sf,
+            "runs": runs,
+            "wall_total": round(time.time() - wall0, 3),
+        }
+        if rows_per_sec:
+            out["streaming_rows_per_sec"] = rows_per_sec
+        if errors:
+            out["errors"] = errors
+        if partial:
+            out["partial"] = True
+        print(json.dumps(out), flush=True)
+
+    # A terminated run (driver timeout, SIGTERM) must still leave an
+    # artifact: round 5 lost its entire bench to one crash, and a killed
+    # process with no JSON line is indistinguishable from that.  SIGKILL
+    # can't be caught, but the common timeout path (SIGTERM/SIGINT) can.
+    def on_term(signum, frame):
+        emit(partial=True)
+        # _exit, not sys.exit: SystemExit raised inside a py4j call can be
+        # swallowed by gateway error wrappers, leaving a zombie loop over a
+        # dead JVM.  The partial line is already flushed.
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    # Soft wall budget: past it, remaining queries run once instead of
+    # ``runs`` times — a complete single-shot tail beats a truncated
+    # median-of-3 artifact.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+
     for name in names:
         fn = qs[name]
         samples = []
         last_df = None
+        n_runs = 1 if time.time() - wall0 > budget else runs
         try:
-            for _ in range(runs):
+            for _ in range(n_runs):
                 t0 = time.time()
                 last_df = fn(spark, sf_dir)
                 materialize(last_df)
@@ -200,25 +245,7 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 print(f"rows/s {name} failed: {exc!r}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    legacy = round(
-        sum(t for n, t in timings.items() if n in HEADLINE_LEGACY), 3
-    )
-    out = {
-        "metric": "headline_total",
-        "value": total,
-        "unit": "sec",
-        "value_legacy34": legacy,
-        "queries": timings,
-        "sf": sf,
-        "runs": runs,
-        "wall_total": round(time.time() - wall0, 3),
-    }
-    if rows_per_sec:
-        out["streaming_rows_per_sec"] = rows_per_sec
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    emit()
 
 
 if __name__ == "__main__":
