@@ -119,6 +119,7 @@ HEADLINE += [
     "boilerplate_strip",
     "streaming_scd2_lookup",
     "dedup_triangles",
+    "epoch_shuffle",
 ]
 
 

@@ -328,3 +328,39 @@ SELECT vec_id, scale,
        END AS q_sum
 FROM q
 """
+
+
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle(docs: DataFrame, epoch: int = 1) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE: assign every doc a reproducible
+    (shard, position) for a given epoch by ordering on
+    md5(epoch || doc_id) — the property a training job needs so any
+    worker, any restart, and any reimplementation sees the identical data
+    order, with a different but equally-uniform order per epoch.
+
+    Shape: a narrow md5 projection, one hash partition by shard, and a
+    row_number window per shard (each window sorts ~N/EPOCH_SHARDS keys
+    — the per-shard file write a real run does anyway).  No global sort:
+    the shard is the high nibble of the key, so position is only defined
+    within a shard, exactly like sharded training data on disk."""
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(F.lit(f"epoch{epoch}:"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    keyed = docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars"), key.alias("k")
+    ).withColumn(
+        "shard", F.expr(f"CAST(conv(substring(k, 1, 8), 16, 10) AS BIGINT) % {EPOCH_SHARDS}")
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "n_chars",
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).alias("position"),
+    )

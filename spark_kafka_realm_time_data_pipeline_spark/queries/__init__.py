@@ -81,6 +81,7 @@ def registry() -> dict[str, QuerySpec]:
             "boilerplate_strip",
             "streaming_scd2_lookup",
             "dedup_triangles",
+            "epoch_shuffle",
             "kmeans_embeddings",
             "bloom_prune_join",
             "hll_window_merge",

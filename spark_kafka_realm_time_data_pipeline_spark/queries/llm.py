@@ -1016,6 +1016,29 @@ SELECT doc_id, term, score, rank FROM (
 """
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch-1 training shuffle: md5-ordered (shard, position)
+    per doc — identical order on any worker/restart/engine."""
+    return TR.epoch_shuffle(load_table(spark, sf_dir, "documents"))
+
+
+ORA_EPOCH_SHUFFLE = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), sharded AS (
+  SELECT doc_id, n_chars, k,
+         CAST(('0x' || substring(k, 1, 8)) AS BIGINT) % {TR.EPOCH_SHARDS} AS shard
+  FROM keyed
+)
+SELECT doc_id, n_chars, CAST(shard AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT)
+         AS position
+FROM sharded
+"""
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source majority-prefix boilerplate detection + strip accounting
     (integer prefix keys, majority vote, broadcast join back)."""
@@ -1666,6 +1689,11 @@ QUERIES: dict[str, QuerySpec] = {
         "product-quantization encoder (4-bit codes + exact distortion)",
     ),
     "text_quality": QuerySpec(q_text_quality, ORA_TEXT_QUALITY, "quality scoring"),
+    "epoch_shuffle": QuerySpec(
+        q_epoch_shuffle,
+        ORA_EPOCH_SHUFFLE,
+        "reproducible epoch shuffle: md5-ordered (shard, position)",
+    ),
     "boilerplate_strip": QuerySpec(
         q_boilerplate_strip,
         ORA_BOILERPLATE_STRIP,
