@@ -80,3 +80,27 @@ def test_quantize_bounds(spark):
     for r in rows:
         assert r.scale >= 0
         assert -TR.Q_LEVELS <= r.q_min <= r.q_max <= TR.Q_LEVELS
+
+
+def test_epoch_shuffle_is_reproducible_and_epoch_sensitive(spark):
+    """The contract: same epoch -> bit-identical assignment on re-run;
+    different epoch -> same doc set, different order; positions are a
+    dense 1..n_shard ranking within every shard."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.training import (
+        epoch_shuffle,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "body %d" % i) for i in range(200)], "doc_id long, text string"
+    )
+    e1a = sorted(map(tuple, epoch_shuffle(docs, epoch=1).collect()))
+    e1b = sorted(map(tuple, epoch_shuffle(docs, epoch=1).collect()))
+    e2 = sorted(map(tuple, epoch_shuffle(docs, epoch=2).collect()))
+    assert e1a == e1b
+    assert {r[0] for r in e1a} == {r[0] for r in e2}
+    assert e1a != e2  # a different epoch reorders
+    by_shard = {}
+    for _doc, _nc, shard, pos in e1a:
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
