@@ -1,9 +1,16 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": <sf>, "runs": 3, "wall_total": <sec>}
+Prints TWO JSON lines: first the full artifact with the per-query map,
+then a compact summary (< 512 bytes, no per-query map).  The driver
+tail-captures stdout into a bounded buffer and parses the LAST line —
+round 7's 75-query single line overflowed that buffer and the whole
+round's bench arrived unparseable, so the last line must stay small
+forever.  Per-query detail also lands in BENCH_DETAIL.json.
+  full:    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+            "queries": {"q": sec, ...}, "sf": <sf>, ...}
+  compact: {"metric": "headline_total", "value": <sec>, "unit": "sec",
+            "value_legacy34": <sec>, "n_queries": N, "sf": <sf>, ...}
 
 Each query is executed through the same driver contract the correctness
 gate uses (__spark_entry__.queries()) and timed to full materialization
@@ -30,6 +37,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from spark_kafka_realm_time_data_pipeline_spark.session import get_spark
+
+
+def compact_line(out: dict) -> str:
+    """Tail-safe final stdout line: the full artifact minus every unbounded
+    field (per-query map, rows/s map, error strings).  The driver parses the
+    LAST line from a bounded tail buffer; round 7 lost its entire bench to a
+    2.5 KB line, so this one is asserted < 512 bytes no matter how many
+    queries the headline grows to."""
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "value_legacy34": out.get("value_legacy34"),
+        "n_queries": len(out.get("queries", {})),
+        "n_errors": len(out.get("errors", {})),
+        "sf": out["sf"],
+        "runs": out["runs"],
+        "wall_total": out["wall_total"],
+    }
+    if out.get("partial"):
+        compact["partial"] = True
+    line = json.dumps(compact)
+    assert len(line) < 512, "compact bench line must stay tail-safe"
+    return line
 
 # Representative slice of the registry: the reference-parity flagship, the
 # relational core (agg/join/window/sort shapes), the LLM-pipeline operators,
@@ -199,6 +230,15 @@ def main() -> None:
         if partial:
             out["partial"] = True
         print(json.dumps(out), flush=True)
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_DETAIL.json"), "w"
+            ) as fh:
+                json.dump(out, fh)
+        except OSError:
+            pass
+        print(compact_line(out), flush=True)
 
     # A terminated run (driver timeout, SIGTERM) must still leave an
     # artifact: round 5 lost its entire bench to one crash, and a killed

@@ -1497,7 +1497,7 @@ encw AS (
 )
 SELECT d.doc_id,
        CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS n_base_syms,
-       COALESCE(SUM(e.n), 0) AS n_bpe_tokens,
+       CAST(COALESCE(SUM(e.n), 0) AS BIGINT) AS n_bpe_tokens,
        CAST(len(list_filter(string_split(d.text, ' '), w -> w <> '')) AS BIGINT)
          AS n_words
 FROM documents d LEFT JOIN encw e ON d.doc_id = e.doc_id

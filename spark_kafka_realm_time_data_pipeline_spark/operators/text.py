@@ -160,11 +160,16 @@ def heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
     Scale shape: map-side combine collapses each partition to its local
     vocabulary before the shuffle, so shuffle volume is bounded by |vocab|,
     not corpus size; the final top-k sorts only the aggregated vocabulary
-    (TakeOrderedAndProject — no global sort of raw tokens)."""
-    from .dedup import fan_out
+    (TakeOrderedAndProject — no global sort of raw tokens).
 
+    Deliberately NOT fan_out'd: the per-row work here is one split+explode
+    feeding a partial aggregate, far too light to repay a repartition
+    shuffle of the compact rows (the blanket fan_out added in r7 cost this
+    query 3.4x at sf0.1).  fan_out stays on the operators whose per-row
+    work is genuinely wide (MinHash signatures, n-gram shingling, codec
+    passes)."""
     return (
-        fan_out(docs).select(F.explode(_toks()).alias("word"))
+        docs.select(F.explode(_toks()).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -698,6 +703,10 @@ def retrieval_rrf_fusion(
 
 
 BOILER_PREFIX_CHARS = 32
+# Minimum docs sharing a prefix before it counts as boilerplate: without
+# this, a source whose prefixes are all unique (every n=1, ties broken by
+# pk) gets one arbitrary doc flagged and 32 chars stripped from it.
+BOILER_MIN_SUPPORT = 2
 
 
 def boilerplate_strip(docs: DataFrame) -> DataFrame:
@@ -734,15 +743,20 @@ def boilerplate_strip(docs: DataFrame) -> DataFrame:
     majority = (
         votes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .filter(F.col("n") >= BOILER_MIN_SUPPORT)
         .select("source", F.col("pk").alias("boiler_pk"), F.col("n").alias("boiler_n"))
     )
+    # left join: a source with no >=MIN_SUPPORT prefix has no boilerplate
+    # row at all — its docs must still flow through, unflagged.
     return (
-        keyed.join(F.broadcast(majority), "source")
+        keyed.join(F.broadcast(majority), "source", "left")
         .select(
             "doc_id",
             "source",
             F.col("n_chars").cast("bigint").alias("n_chars"),
-            (F.col("pk") == F.col("boiler_pk")).alias("has_boilerplate"),
+            F.coalesce(F.col("pk") == F.col("boiler_pk"), F.lit(False)).alias(
+                "has_boilerplate"
+            ),
             F.when(
                 F.col("pk") == F.col("boiler_pk"),
                 F.greatest(F.col("n_chars") - BOILER_PREFIX_CHARS, F.lit(0)),

@@ -241,18 +241,40 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) 
 """
 
 
+_PAIR_GRAPH_DIRS: dict[str, str] = {}
+
+
+def _staged_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified n-gram near-dup pair graph as a MAINTAINED TABLE:
+    staged once per (session, corpus) via operators/dedup.stage_pair_graph,
+    then read by every graph analytics query (components, PageRank,
+    triangles).  One tokenize/sign/band/verify pass total — the trio's
+    plans contain only parquet scans + joins, never a re-derivation from
+    raw text.  Locally the table lives in a scratch dir for the session's
+    lifetime; on a cluster it is the dedup pipeline's published pairs
+    table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = f"{id(spark._jsparkSession)}:{sf_dir}"
+    path = _PAIR_GRAPH_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pair_graph_")
+        D.stage_pair_graph(D.planted_corpus(spark, sf_dir), path, threshold=0.8)
+        _PAIR_GRAPH_DIRS[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the n-gram near-dup pairs: turns pairwise
     matches into canonical duplicate groups (doc_id -> min-doc component
     id) via iterative min-label propagation — the step between "pairs
-    found" and "corpus deduplicated" that per-pair queries stop short of."""
-    pairs = D.minhash_lsh_dedup(
-        D.planted_corpus(spark, sf_dir),
-        threshold=0.8,
-        tokenizer=D.doc_shingles,
-        tok_hashed=True,
-    ).select("doc_a", "doc_b")
-    return D.dup_components(pairs)
+    found" and "corpus deduplicated" that per-pair queries stop short of.
+    Reads the staged pair-graph table (one candidate-generation pass
+    shared by the whole graph trio)."""
+    return D.dup_components(_staged_pair_graph(spark, sf_dir))
 
 
 # The oracle replays the fixpoint as a recursive transitive closure over the
@@ -641,23 +663,19 @@ WHERE a.doc_id < b.doc_id
 
 def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-hub scoring: integer fixed-point PageRank over the
-    symmetrized SimHash hamming<=1 near-dup graph (see
+    symmetrized VERIFIED n-gram near-dup graph (see
     operators/dedup.dup_pagerank) — template/mirror hubs surface as the
-    top-rank docs."""
-    return D.dup_pagerank(D.simhash_near_dup_pairs(D.planted_corpus(spark, sf_dir)))
+    top-rank docs.  Reads the same staged pair-graph table as components
+    and triangles (r8: previously this re-derived a SimHash probe graph of
+    its own, a third full pass over raw text; the verified edge list is
+    both cheaper and the better hub signal — probe-graph edges on
+    exact-copy families are near-clique noise)."""
+    return D.dup_pagerank(_staged_pair_graph(spark, sf_dir))
 
 
 ORA_DEDUP_PAGERANK = f"""
-WITH {_ora_simhash_ctes()},
-probes AS (
-  SELECT doc_id, simhash AS probe FROM fp
-  UNION ALL
-  SELECT doc_id, xor(simhash, CAST(1 << j AS BIGINT)) AS probe
-  FROM fp, LATERAL unnest(range(0, 16)) AS t(j)
-), prs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM probes a JOIN fp b ON a.probe = b.simhash
-  WHERE a.doc_id < b.doc_id
+WITH prs AS (
+  SELECT doc_a, doc_b FROM ({ORA_DEDUP_MINHASH_NGRAM}) t
 ),
 {D.ORA_DUP_PAGERANK_TAIL}
 """
@@ -671,13 +689,7 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle counting on a k-clique is Θ(k³) — on the verified pair list
     the edge set is the real dup structure and the wedge join stays
     bounded (see operators/dedup.dup_triangles)."""
-    pairs = D.minhash_lsh_dedup(
-        D.planted_corpus(spark, sf_dir),
-        threshold=0.8,
-        tokenizer=D.doc_shingles,
-        tok_hashed=True,
-    ).select("doc_a", "doc_b")
-    return D.dup_triangles(pairs)
+    return D.dup_triangles(_staged_pair_graph(spark, sf_dir))
 
 
 ORA_DEDUP_TRIANGLES = f"""
@@ -1047,6 +1059,7 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ora_boilerplate_strip() -> str:
     from ..operators.dedup import SHINGLE_B, SHINGLE_P
+    from ..operators.text import BOILER_MIN_SUPPORT as MINSUP
     from ..operators.text import BOILER_PREFIX_CHARS as NPREF
 
     pk = (
@@ -1062,16 +1075,16 @@ WITH keyed AS (
   SELECT source, pk, COUNT(*) AS n FROM keyed GROUP BY source, pk
 ), majority AS (
   SELECT source, pk AS boiler_pk FROM (
-    SELECT source, pk, row_number() OVER (PARTITION BY source ORDER BY n DESC, pk) AS rn
+    SELECT source, pk, n, row_number() OVER (PARTITION BY source ORDER BY n DESC, pk) AS rn
     FROM votes
-  ) WHERE rn = 1
+  ) WHERE rn = 1 AND n >= {MINSUP}
 )
 SELECT k.doc_id, k.source, CAST(k.n_chars AS BIGINT) AS n_chars,
-       k.pk = m.boiler_pk AS has_boilerplate,
+       COALESCE(k.pk = m.boiler_pk, FALSE) AS has_boilerplate,
        CAST(CASE WHEN k.pk = m.boiler_pk
                  THEN greatest(k.n_chars - {NPREF}, 0)
                  ELSE k.n_chars END AS BIGINT) AS clean_chars
-FROM keyed k JOIN majority m USING (source)
+FROM keyed k LEFT JOIN majority m USING (source)
 """
 
 
@@ -1607,7 +1620,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_jaccard_prefix": QuerySpec(
         q_dedup_jaccard_prefix,
         ORA_DEDUP_JACCARD_PREFIX,
-        "exact Jaccard self-join via prefix filtering (full recall, no MinHash)",
+        "exact-verify Jaccard self-join via capped prefix index (full recall under the posting cap)",
     ),
     "dedup_components": QuerySpec(
         q_dedup_components,

@@ -1467,14 +1467,22 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("event_type")
+    # n*n squared in exact DECIMAL(38,0), not int64: past ~3e9 events per
+    # (event_type, day) an int64 square silently wraps in Spark while
+    # DuckDB raises on BIGINT overflow — silent cross-engine divergence.
+    # Decimal sums stay exact AND summation-order-independent (unlike a
+    # double sum), so the z-score is still the same IEEE dag on both sides.
+    # s*s squares AFTER the cast to double for the same reason.
+    n_dec = F.col("n").cast("decimal(19,0)")
     stats = (
         daily.withColumn("s", F.sum("n").over(w))
-        .withColumn("ss", F.sum(F.col("n") * F.col("n")).over(w))
+        .withColumn("ss", F.sum(n_dec * n_dec).over(w))
         .withColumn("c", F.count(F.lit(1)).over(w))
     )
-    mean = F.col("s").cast("double") / F.col("c").cast("double")
+    s_d = F.col("s").cast("double")
+    mean = s_d / F.col("c").cast("double")
     var = (
-        F.col("ss").cast("double") - (F.col("s") * F.col("s")).cast("double") / F.col("c").cast("double")
+        F.col("ss").cast("double") - s_d * s_d / F.col("c").cast("double")
     ) / F.col("c").cast("double")
     z = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var)).otherwise(
         F.lit(0.0)
@@ -1496,14 +1504,15 @@ WITH daily AS (
 ), stats AS (
   SELECT event_type, day, n,
          SUM(n) OVER (PARTITION BY event_type) AS s,
-         SUM(n * n) OVER (PARTITION BY event_type) AS ss,
+         SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+           OVER (PARTITION BY event_type) AS ss,
          COUNT(*) OVER (PARTITION BY event_type) AS c
   FROM daily
 ), scored AS (
   SELECT event_type, day, CAST(n AS BIGINT) AS n,
-         CASE WHEN (CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / CAST(c AS DOUBLE)) / CAST(c AS DOUBLE) > 0
+         CASE WHEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) / CAST(c AS DOUBLE) > 0
               THEN (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
-                   / sqrt((CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / CAST(c AS DOUBLE)) / CAST(c AS DOUBLE))
+                   / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(c AS DOUBLE)) / CAST(c AS DOUBLE))
               ELSE 0.0 END AS z
   FROM stats
 )
@@ -1548,8 +1557,8 @@ WITH files AS (
   SELECT doc_id, source, n_chars AS bytes FROM documents
 ), planned AS (
   SELECT doc_id, source, bytes,
-         (SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id) - bytes) // 4096
-           AS bucket
+         CAST((SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id) - bytes)
+              // 4096 AS BIGINT) AS bucket
   FROM files
 )
 SELECT source, bucket,

@@ -924,15 +924,19 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, spark, output_mode="complete", no_data_batches=False
     )
     w = Window.partitionBy("event_type")
+    # Same decimal-exact squaring as the batch twin (relational.py
+    # q_anomaly_zscore): int64 n*n wraps past ~3e9 events/cell while
+    # DuckDB raises — decimal(38,0) keeps it exact and order-independent.
+    n_dec = F.col("n").cast("decimal(19,0)")
     stats = (
         drained.withColumn("s", F.sum("n").over(w))
-        .withColumn("ss", F.sum(F.col("n") * F.col("n")).over(w))
+        .withColumn("ss", F.sum(n_dec * n_dec).over(w))
         .withColumn("c", F.count(F.lit(1)).over(w))
     )
-    mean = F.col("s").cast("double") / F.col("c").cast("double")
+    s_d = F.col("s").cast("double")
+    mean = s_d / F.col("c").cast("double")
     var = (
-        F.col("ss").cast("double")
-        - (F.col("s") * F.col("s")).cast("double") / F.col("c").cast("double")
+        F.col("ss").cast("double") - s_d * s_d / F.col("c").cast("double")
     ) / F.col("c").cast("double")
     z = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var)).otherwise(
         F.lit(0.0)

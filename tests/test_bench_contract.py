@@ -1,0 +1,50 @@
+"""Driver-emission contract for bench.py.
+
+The driver tail-captures bench stdout into a bounded buffer and parses the
+LAST line.  Rounds 5 and 7 both lost their entire bench artifact to emission
+details (a crash with no line; a 2.5 KB line overflowing the tail buffer).
+These tests pin the contract: the final line must parse as JSON and stay
+small regardless of how many queries the headline grows to.
+"""
+
+import json
+
+import bench
+
+
+def _fake_out(n_queries: int) -> dict:
+    return {
+        "metric": "headline_total",
+        "value": 123.456,
+        "unit": "sec",
+        "value_legacy34": 35.8,
+        "queries": {f"very_long_query_name_number_{i:04d}": 1.234 for i in range(n_queries)},
+        "streaming_rows_per_sec": {f"streaming_q{i}": 12345.6 for i in range(n_queries // 5)},
+        "errors": {f"q{i}": "SomeError: " + "x" * 400 for i in range(3)},
+        "sf": 0.1,
+        "runs": 3,
+        "wall_total": 400.123,
+    }
+
+
+def test_compact_line_parses_and_is_small():
+    for n in (0, 75, 500):
+        line = bench.compact_line(_fake_out(n))
+        assert len(line) < 512
+        parsed = json.loads(line)
+        assert parsed["metric"] == "headline_total"
+        assert parsed["value"] == 123.456
+        assert parsed["unit"] == "sec"
+        assert parsed["n_queries"] == n
+        assert parsed["sf"] == 0.1
+        # unbounded fields must never leak into the tail line
+        assert "queries" not in parsed
+        assert "streaming_rows_per_sec" not in parsed
+        assert "errors" not in parsed
+
+
+def test_compact_line_partial_flag_preserved():
+    out = _fake_out(10)
+    out["partial"] = True
+    parsed = json.loads(bench.compact_line(out))
+    assert parsed["partial"] is True

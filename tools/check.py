@@ -58,6 +58,22 @@ def _type_tag(v):
     return type(v).__name__
 
 
+def declared_type_problems(ora_cols, decl_types):
+    """Flag oracle output columns whose DuckDB *declared* type the driver's
+    value renderer distinguishes from Spark's (HUGEINT/DECIMAL vs BIGINT).
+
+    ``fetchall()`` converts HUGEINT to a lossless Python int and DECIMAL to
+    Decimal, so the value hash below cannot see them — but the driver CAN,
+    and fails the hash even when every cell is numerically identical.  This
+    is exactly how r7 shipped two driver-fails (bpe_encode, compaction_plan:
+    uncast SUM -> HUGEINT) that were green in this mirror.  Any uncast
+    SUM()/window-SUM in an oracle is a latent driver fail: flag it at the
+    declaration, before values are even compared."""
+    for c, t in zip(ora_cols, decl_types):
+        if "HUGEINT" in t or "DECIMAL" in t:
+            yield f"oracle-decl[{c}]={t} (cast to BIGINT/DOUBLE)"
+
+
 def type_parity_problems(rows, cols, ora_rows, ora_cols):
     """Per-column output-type comparison between the Spark and oracle result
     sets.  The driver's value hash preserves the int/float distinction
@@ -124,14 +140,15 @@ def main():
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ora_cols = [d[0] for d in res.description]
-            ora_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ora_cols = list(rel.columns)
+            decl_types = [str(t).upper() for t in rel.types]
+            ora_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle ERROR {e}")
             n_fail += 1
             continue
-        problems = []
+        problems = list(declared_type_problems(ora_cols, decl_types))
         if len(rows) != len(ora_rows):
             problems.append(f"rowcount {len(rows)} vs {len(ora_rows)}")
         if sorted(cols) != sorted(ora_cols):
