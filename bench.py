@@ -277,12 +277,19 @@ def main() -> None:
             continue
         med = round(sorted(samples)[len(samples) // 2], 3)
         timings[name] = med
-        # Streaming family: also report throughput.  The returned DataFrame
-        # is backed by the drained memory-sink table, so counting it is a
-        # cheap local scan, not a stream re-execution.
+        # Streaming family: also report throughput as rows INGESTED per
+        # second when the runner recorded the engine's numInputRows (an
+        # aggregating stream emits 20 rows from millions processed — the
+        # output count measures the sketch's geometry, not throughput).
+        # Falls back to output-row count for paths without progress
+        # capture (foreachBatch sinks); the drained memory-sink table
+        # makes that count a cheap local scan, not a stream re-execution.
         if name.startswith("streaming_") and last_df is not None and med > 0:
             try:
-                rows_per_sec[name] = round(last_df.count() / med, 1)
+                n_rows = getattr(last_df, "stream_input_rows", None)
+                if not n_rows:
+                    n_rows = last_df.count()
+                rows_per_sec[name] = round(n_rows / med, 1)
             except Exception as exc:  # noqa: BLE001
                 print(f"rows/s {name} failed: {exc!r}", file=sys.stderr)
 

@@ -768,9 +768,16 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
                 raise TimeoutError(
                     "incremental-dedup stream replay did not finish in 300s"
                 )
+            input_rows = sum(
+                int(p["numInputRows"]) for p in (query.recentProgress or []) if p
+            )
         finally:
             query.stop()
-        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        # ingest throughput for bench rows/s (matches found says nothing
+        # about how many delta docs were processed)
+        out.stream_input_rows = input_rows
+        return out
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -815,12 +822,16 @@ def q_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = F.when(100 * F.col("cum") >= pct * F.col("total"), F.col("bin"))
         return (64 * (F.min(hit) + 1)).cast("bigint")
 
-    return cum.groupBy("source").agg(
+    out = cum.groupBy("source").agg(
         F.max("total").cast("bigint").alias("n_docs"),
         edge(50).alias("p50_hi"),
         edge(90).alias("p90_hi"),
         edge(99).alias("p99_hi"),
     )
+    # carry the runner's ingest count onto the derived epilogue frame so
+    # bench's rows/s reflects rows PROCESSED, not the 20-row sketch read-out
+    out.stream_input_rows = getattr(drained, "stream_input_rows", 0)
+    return out
 
 
 def q_streaming_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,13 +952,16 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var)).otherwise(
         F.lit(0.0)
     )
-    return stats.select(
+    out = stats.select(
         "event_type",
         "day",
         F.col("n").cast("bigint").alias("n"),
         z.alias("z"),
         (F.abs(z) >= 2.0).alias("is_anomaly"),
     )
+    # ingest count forwarded from the drained stream (see streaming_quantile)
+    out.stream_input_rows = getattr(drained, "stream_input_rows", 0)
+    return out
 
 
 # Shares the milli-unit feature formulas and weights with ORA_QUALITY_LOGIT

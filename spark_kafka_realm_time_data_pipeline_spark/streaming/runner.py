@@ -123,6 +123,14 @@ def run_to_memory(
                 f"streaming query {qname} did not finish within "
                 f"{timeout_seconds}s — refusing to return a partial result"
             )
+        # Ingest volume from the engine's own progress metrics.  For an
+        # aggregating stream the OUTPUT row count says nothing about
+        # throughput (a quantile sketch emits 20 rows from millions
+        # ingested), so the bench's rows/s must divide by rows PROCESSED —
+        # recorded here while the StreamingQuery object still exists.
+        input_rows = sum(
+            int(p["numInputRows"]) for p in (query.recentProgress or []) if p
+        )
     finally:
         if query is not None:
             query.stop()
@@ -135,4 +143,7 @@ def run_to_memory(
     # result table for the life of the session
     out = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
+    # plain Python attribute on the returned (batch) DataFrame — consumed
+    # by bench.py's rows/s; harmless everywhere else
+    out.stream_input_rows = input_rows
     return out

@@ -62,6 +62,17 @@ QUERIES = [
     "streaming_quality_gate",
     "streaming_quantile",
     "streaming_anomaly",
+    # round-8 extension: the r7 verdict's six scale-unproven lines — the
+    # graph trio heavies (now reading the staged pair graph; the first
+    # trio query pays the staging, so components carries the one-off
+    # candidate-generation cost in its ratio) plus the remaining r7
+    # additions without a 10x ratio
+    "dedup_pagerank",
+    "dedup_triangles",
+    "substring_dup_spans",
+    "retrieval_rrf_fusion",
+    "multimodal_audio",
+    "streaming_scd2_lookup",
 ]
 
 
@@ -74,8 +85,17 @@ def run_bench(sf_dir: str, queries: list[str], runs: int = 3) -> dict:
         text=True,
         timeout=3600,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    # bench.py now prints the full artifact line FOLLOWED by a compact
+    # tail line without the per-query map (driver tail-buffer contract);
+    # scan from the end for the line that still carries "queries".
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            parsed = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "queries" in parsed:
+            return parsed
+    raise RuntimeError(f"no full bench line in output:\n{out.stdout[-2000:]}")
 
 
 def main() -> None:
