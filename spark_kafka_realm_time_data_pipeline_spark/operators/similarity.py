@@ -150,6 +150,50 @@ def lsh_topk(
     )
 
 
+def range_search(
+    embeddings: DataFrame,
+    tau: float = 0.25,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Similarity RANGE search: every pair of vectors with cosine >= tau —
+    the "find all near-semantic-duplicates" complement to top-k ANN (top-k
+    answers "what is closest to q"; range answers "which pairs are closer
+    than tau", the question semantic dedup actually asks).
+
+    Candidates come from the same deterministic random-hyperplane LSH
+    buckets as ``lsh_topk``: a pair can only be emitted if it collides in
+    the signature bucket, which bounds the join at sum over buckets of
+    |bucket|^2 instead of N^2; every candidate is then verified with the
+    exact cosine fold, so there are no false positives — recall is bounded
+    by the bucket collision probability (1 - theta/pi per plane), the
+    standard LSH trade documented to callers.
+
+    Scale shape: one narrow bucket projection on the corpus, a self
+    equi-join on the 6-bit bucket id (shuffle keyed on bucket), the
+    cosine fold on candidates only.  Skew guard: at 2^n_planes buckets a
+    degenerate corpus (all vectors in one bucket) degrades toward N^2 —
+    at 100 TB raise n_planes so |bucket| ~ sqrt(candidate budget), the
+    same geometry tuning IVF's n_probe makes explicit."""
+    planes = lsh_hyperplanes(dim=dim, n_planes=n_planes)
+    keyed = embeddings.select(
+        "vec_id", "embedding", lsh_bucket("embedding", planes).alias("bucket")
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine("va", "vb"))
+        .filter(F.col("cosine") >= tau)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -197,6 +197,82 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < {_ora_strata_case()}
 """
 
 
+# --- budget-capped mixture sampling ------------------------------------------
+
+# Global doc budget as a fraction of the corpus (numerator/denominator so the
+# per-source cap is exact integer arithmetic both engines replay).
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 1, 2
+
+
+def mixture_cap_sample(docs: DataFrame) -> DataFrame:
+    """Budget-capped mixture sampling: flatten the source mixture toward
+    uniform by giving every source the SAME doc budget (global budget B =
+    corpus/2, cap = B div n_sources) and deterministically sampling each
+    source down to its cap — the "no source dominates the mix" rebalance a
+    pretraining data pipeline runs after computing ``domain_mix_weights``.
+    Sources under the cap keep everything (no upsampling here; repetition
+    policy is a separate knob).
+
+    Sampling is EXACT to the budget, not rate-based: docs rank within
+    their source by md5(doc_id) (uniform, engine-portable, reproducible)
+    and the first ``cap`` win — so the output size is exactly
+    sum(min(n_s, cap)), unlike threshold sampling whose size is binomial.
+
+    Shape: one |sources|-row aggregate for the caps (map-side combine), a
+    broadcast join back, and a row_number window partitioned by source.
+    The window sorts each source's keys once — the same cost as writing
+    the source's shard files, and the standard deterministic-reservoir
+    shape.  At 100 TB a single mega-source makes that window the long
+    pole; pre-shard it by the key's high bits and take per-shard
+    sub-budgets (exactly ``epoch_shuffle``'s shard trick) if one source
+    exceeds a worker's sort budget."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    keyed = docs.select("doc_id", "source", key.alias("k"))
+    sizes = keyed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    caps = sizes.select(
+        "source",
+        "n_docs",
+        F.expr(
+            f"(CAST({MIX_BUDGET_NUM} AS BIGINT) * sum(n_docs) OVER ()) "
+            f"div ({MIX_BUDGET_DEN} * count(*) OVER ())"
+        ).alias("cap"),
+    )
+    w = Window.partitionBy("source").orderBy("k", "doc_id")
+    return (
+        keyed.join(F.broadcast(caps), "source")
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= F.col("cap"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("pick").cast("bigint").alias("pick"),
+            F.col("cap").cast("bigint").alias("cap"),
+        )
+    )
+
+
+ORA_MIXTURE_CAP_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents
+), caps AS (
+  SELECT source,
+         CAST(({MIX_BUDGET_NUM} * SUM(COUNT(*)) OVER ())
+              // ({MIX_BUDGET_DEN} * COUNT(*) OVER ()) AS BIGINT) AS cap
+  FROM keyed GROUP BY source
+), picked AS (
+  SELECT k.doc_id, k.source,
+         row_number() OVER (PARTITION BY k.source ORDER BY k.k, k.doc_id) AS pick,
+         c.cap
+  FROM keyed k JOIN caps c USING (source)
+)
+SELECT doc_id, source, CAST(pick AS BIGINT) AS pick, cap
+FROM picked WHERE pick <= cap
+"""
+
+
 # --- sequence packing --------------------------------------------------------
 
 PACK_BUDGET = 512  # tokens per packed training sequence

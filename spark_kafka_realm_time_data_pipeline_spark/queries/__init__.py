@@ -66,6 +66,12 @@ def registry() -> dict[str, QuerySpec]:
             # (a) r7 driver-fails, oracle fixed
             "bpe_encode",
             "compaction_plan",
+            # (a') new in r8 — never driver-checked
+            "sim_range_search",
+            "mixture_cap_sample",
+            "mv_incremental_update",
+            "fk_integrity_audit",
+            "streaming_mv_update",
             # (b) r2-era: reference chain
             "envelope_roundtrip",
             "cast_projection",

@@ -871,6 +871,37 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine range search (pairs with cosine >= tau) over the
+    deterministic LSH buckets — exact verify on candidates, so the full
+    bucket+cosine pipeline has a value oracle."""
+    return S.range_search(load_table(spark, sf_dir, "embeddings"), tau=0.25)
+
+
+def _ora_sim_range(dim: int = 64, n_planes: int = 6, tau: float = 0.25) -> str:
+    planes = S.lsh_hyperplanes(dim=dim, n_planes=n_planes)
+
+    def bucket(vec: str) -> str:
+        terms = []
+        for j, plane in enumerate(planes):
+            arr = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            dot = _DOT.format(a=vec, b=arr)
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH keyed AS (
+  SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_ora_cosine('a.embedding', 'b.embedding')} AS cosine
+  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM cand WHERE cosine >= {tau}
+"""
+
+
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN — centroid means are vec_id-ordered deterministic
     folds (see operators/similarity.ivf_topk), so the probe ranking and the
@@ -1572,6 +1603,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.stratified_sample(load_table(spark, sf_dir, "documents"))
 
 
+def q_mixture_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped mixture rebalance: every source sampled down to the
+    same exact doc budget (B div n_sources), md5-ranked so the sample is
+    reproducible and exactly budget-sized (operators/training.py)."""
+    return TR.mixture_cap_sample(load_table(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.pack_sequences(load_table(spark, sf_dir, "documents"))
 
@@ -1594,6 +1632,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_stratified_sample,
         TR.ORA_STRATIFIED_SAMPLE,
         "deterministic md5-keyed per-language sampling",
+    ),
+    "mixture_cap_sample": QuerySpec(
+        q_mixture_cap_sample,
+        TR.ORA_MIXTURE_CAP_SAMPLE,
+        "budget-capped mixture rebalance (exact per-source doc budget)",
     ),
     "pack_sequences": QuerySpec(
         q_pack_sequences,
@@ -1690,6 +1733,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sim_lsh_topk": QuerySpec(
         q_sim_lsh, _ora_sim_lsh(), "random-hyperplane LSH ANN (full value oracle)"
+    ),
+    "sim_range_search": QuerySpec(
+        q_sim_range_search,
+        _ora_sim_range(),
+        "all-pairs cosine range search (LSH buckets + exact verify)",
     ),
     "sim_recall_report": QuerySpec(
         q_sim_recall_report,

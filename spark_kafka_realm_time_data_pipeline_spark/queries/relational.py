@@ -1614,6 +1614,126 @@ WHERE r.rn = 1 AND r.event_id % 10 <> 0
 """.replace("{FMT_DUCK}", FMT_DUCK)
 
 
+MV_CUTOFF = "1997-01-01"  # base/delta split for incremental maintenance
+
+
+def q_mv_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-customer spend
+    rollup maintained as base aggregate ⊕ delta aggregate instead of a
+    full recompute — the nightly pattern that keeps a 100 TB fact table's
+    summary fresh by touching only the new partition.  SUM/COUNT are
+    self-mergeable, so the merge is a full outer join of two aggregate
+    frames with coalesced addition; the ORACLE is the full recompute over
+    all of orders, making "incremental == from-scratch" the checked
+    property, not an assumption.
+
+    Shape: two map-side-combined groupBys (the base one reads only
+    partitions < cutoff, the delta one only >= cutoff — partition pruning
+    does the real saving on a date-partitioned table) and one equi-join on
+    the aggregate keys.  Nothing here scales with raw fact rows except
+    the two scans, and on the real table only the delta scan runs per
+    refresh (the base aggregate is the stored MV)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
+
+    def rollup(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.sum(dec("o_totalprice")).alias(f"spend_{tag}"),
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+        )
+
+    base = rollup(orders.filter(F.col("o_orderdate") < cutoff), "base")
+    delta = rollup(orders.filter(F.col("o_orderdate") >= cutoff), "delta")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        base.join(delta, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("spend_base"), zero)
+                + F.coalesce(F.col("spend_delta"), zero)
+            )
+            .cast("double")
+            .alias("total_spent"),
+            (
+                F.coalesce(F.col("n_base"), F.lit(0))
+                + F.coalesce(F.col("n_delta"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_orders"),
+        )
+    )
+
+
+# the oracle is deliberately the FULL recompute: the query's claim is that
+# merging the delta into the stored base aggregate equals recomputing from
+# scratch, and the gate checks exactly that equivalence.
+ORA_MV_INCREMENTAL = f"""
+SELECT o_custkey,
+       {ORA_DSUM.format(c='o_totalprice')} AS total_spent,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+_FK_EDGES = [
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the full FK graph: per edge, the
+    child row count, orphan rows (FK value with no parent key, including
+    NULL FKs — an anti-join can't match them, same as the oracle's NOT
+    EXISTS), and distinct orphan key count — the data-quality gate a
+    warehouse load runs before publishing a snapshot.  All-zeros orphans
+    is the expected PASS on consistent data; the query's value is that the
+    counting machinery itself is oracle-checked.
+
+    Shape: one left-anti join per edge; the parent side is keys-only
+    (column-pruned to the PK) and broadcast for the dimension edges, while
+    the two lineitem fact-fact edges shuffle on the join key — at 100 TB
+    those two are plain shuffled hash joins sized by AQE, and the audit
+    runs partition-parallel with no driver-side data movement (the
+    per-edge union is a plan-level union of 7 one-row aggregates)."""
+    audits = []
+    for edge, child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[fk] == p[pk], "left_anti")
+        audits.append(
+            c.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).alias("n_orphans"),
+                    F.count_distinct(F.col(fk)).alias("n_orphan_keys"),
+                )
+            ).select(F.lit(edge).alias("edge"), "n_rows", "n_orphans", "n_orphan_keys")
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+ORA_FK_INTEGRITY = "\nUNION ALL\n".join(
+    f"""SELECT '{edge}' AS edge,
+       (SELECT COUNT(*) FROM {child}) AS n_rows,
+       (SELECT COUNT(*) FROM {child} c
+         WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+         AS n_orphans,
+       (SELECT COUNT(DISTINCT c.{fk}) FROM {child} c
+         WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+         AS n_orphan_keys"""
+    for edge, child, fk, parent, pk in _FK_EDGES
+)
+
+
 def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout audit: interleave (l_partkey, l_suppkey) bits into a
     Morton value, bucket by its high bits, and report each bucket's
@@ -1931,6 +2051,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_compaction_plan,
         ORA_COMPACTION_PLAN,
         "small-files compaction planner (roll-over packing per partition)",
+    ),
+    "mv_incremental_update": QuerySpec(
+        q_mv_incremental_update,
+        ORA_MV_INCREMENTAL,
+        "incremental materialized-view maintenance (base ⊕ delta == full recompute)",
+    ),
+    "fk_integrity_audit": QuerySpec(
+        q_fk_integrity_audit,
+        ORA_FK_INTEGRITY,
+        "referential-integrity audit across the FK graph (orphan counts per edge)",
     ),
     "cdc_tombstone_merge": QuerySpec(
         q_cdc_tombstone_merge,

@@ -834,6 +834,62 @@ def q_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_streaming_mv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance ON THE STREAM: orders arrive as a
+    stream and each micro-batch folds its per-customer SUM/COUNT partials
+    into a maintained aggregate table via foreachBatch — the streaming
+    twin of `mv_incremental_update`, sharing its oracle (the FULL
+    recompute), so "stream-maintained MV == from-scratch batch rollup" is
+    the checked property.
+
+    The batch hook appends mergeable PARTIALS (sum, count per key) and the
+    read-back folds them — the same self-mergeable-aggregate discipline as
+    the complete-mode sketch streams, expressed through the
+    stream->lakehouse foreachBatch path a production MV actually uses
+    (there the append target is a Delta table and the fold is MERGE INTO;
+    parquet-append + final fold is the sandbox analog, and is
+    value-identical under availableNow's deterministic replay).  State is
+    bounded by |customers| per batch partial, never by stream length."""
+    import shutil
+
+    from ..functions.numeric import dec
+    from ..streaming.sinks import foreach_batch_sink
+
+    orders = stream_table(spark, sf_dir, "orders")
+    out_dir = _scratch_dir("stream_mv_")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("o_custkey").agg(
+            F.sum(dec("o_totalprice")).alias("spend_part"),
+            F.count(F.lit(1)).alias("n_part"),
+        )
+        partial.write.mode("append").parquet(out_dir)
+
+    try:
+        query = foreach_batch_sink(orders, fold_batch, output_mode="append")
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("MV-maintenance stream did not finish in 300s")
+            input_rows = sum(
+                int(p["numInputRows"]) for p in (query.recentProgress or []) if p
+            )
+        finally:
+            query.stop()
+        merged = (
+            spark.read.parquet(out_dir)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum("spend_part").cast("double").alias("total_spent"),
+                F.sum("n_part").cast("bigint").alias("n_orders"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged.stream_input_rows = input_rows
+        return merged
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_streaming_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POINT-IN-TIME dimension lookup on the stream (feature-store
     correctness): each click event joins the SCD2 dimension VERSION that
@@ -996,6 +1052,7 @@ WHERE (-2600 + 6 * stop_ratio_m + wlen_m // 2
 
 from .llm import ORA_QUANTILE_SKETCH as _ORA_STREAMING_QUANTILE
 from .relational import ORA_ANOMALY_ZSCORE as _ORA_STREAMING_ANOMALY
+from .relational import ORA_MV_INCREMENTAL as _ORA_STREAMING_MV
 
 QUERIES: dict[str, QuerySpec] = {
     "streaming_dedup_incremental": QuerySpec(
@@ -1027,6 +1084,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_scd2_lookup,
         ORA_STREAMING_SCD2_LOOKUP,
         "point-in-time SCD2 dimension lookup on the stream (stateless)",
+    ),
+    "streaming_mv_update": QuerySpec(
+        q_streaming_mv_update,
+        _ORA_STREAMING_MV,
+        "stream-maintained materialized view (foreachBatch partial fold == full recompute)",
     ),
     "streaming_quality_gate": QuerySpec(
         q_streaming_quality_gate,
