@@ -163,11 +163,12 @@ def heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
     (TakeOrderedAndProject — no global sort of raw tokens).
 
     Deliberately NOT fan_out'd: the per-row work here is one split+explode
-    feeding a partial aggregate, far too light to repay a repartition
-    shuffle of the compact rows (the blanket fan_out added in r7 cost this
-    query 3.4x at sf0.1).  fan_out stays on the operators whose per-row
-    work is genuinely wide (MinHash signatures, n-gram shingling, codec
-    passes)."""
+    feeding a partial aggregate, far too light to repay the fan-out's
+    partition probe + compact-row shuffle (A/B at sf0.1: plain 0.28 s,
+    width-4 fan-out 0.38 s, session-width fan-out 0.59 s — the r7
+    regression).  fan_out stays on the operators whose per-row work is
+    genuinely wide (MinHash signatures, n-gram shingling, codec passes),
+    where seconds of compute amortize its fixed cost."""
     return (
         docs.select(F.explode(_toks()).alias("word"))
         .filter(F.col("word") != "")
