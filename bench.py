@@ -151,6 +151,16 @@ HEADLINE += [
     "streaming_scd2_lookup",
     "dedup_triangles",
     "epoch_shuffle",
+    # round-8 additions
+    "sim_range_search",
+    "mixture_cap_sample",
+    "mv_incremental_update",
+    "fk_integrity_audit",
+    "streaming_mv_update",
+    "recursive_rollup",
+    "window_lag_lead",
+    "variant_json_get",
+    "regex_pretokenize",
 ]
 
 

@@ -703,6 +703,64 @@ def retrieval_rrf_fusion(
     )
 
 
+# GPT-2-style pre-tokenizer class pattern: alpha runs, digit runs, single
+# punctuation — the split a BPE tokenizer applies BEFORE merges.  Plain
+# character classes only, so the Java (Spark) and RE2 (DuckDB) regex
+# dialects agree on every input.
+PRETOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def regex_pretokenize(docs: DataFrame) -> DataFrame:
+    """Regex pre-tokenization counts per doc: total pre-tokens plus the
+    alpha/digit/punct class split — the token-accounting pass run before
+    BPE training to size the corpus in pre-tokens rather than whitespace
+    words (digits and punctuation each become their own tokens, exactly
+    what inflates LLM token counts vs word counts).
+
+    One regexp_extract_all per doc (narrow map, no shuffle); class
+    membership is decided by the FIRST CHARACTER's integer code (the
+    pattern guarantees class-homogeneous tokens), keeping the classifier
+    in pure integer compares instead of a second regex pass."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(PRETOKEN_PATTERN), 0)
+    first = lambda t: F.ascii(F.substring(t, 1, 1))
+    is_alpha = lambda t: ((first(t) >= 65) & (first(t) <= 90)) | (
+        (first(t) >= 97) & (first(t) <= 122)
+    )
+    is_digit = lambda t: (first(t) >= 48) & (first(t) <= 57)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_pretokens"),
+        F.size(F.filter(toks, is_alpha)).cast("bigint").alias("n_alpha"),
+        F.size(F.filter(toks, is_digit)).cast("bigint").alias("n_digit"),
+        (
+            F.size(toks)
+            - F.size(F.filter(toks, is_alpha))
+            - F.size(F.filter(toks, is_digit))
+        ).cast("bigint").alias("n_punct"),
+    )
+
+
+ORA_REGEX_PRETOKENIZE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{PRETOKEN_PATTERN.replace("'", "''")}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_pretokens,
+       CAST(len(list_filter(toks, t -> (ascii(t) BETWEEN 65 AND 90)
+                                    OR (ascii(t) BETWEEN 97 AND 122))) AS BIGINT)
+         AS n_alpha,
+       CAST(len(list_filter(toks, t -> ascii(t) BETWEEN 48 AND 57)) AS BIGINT)
+         AS n_digit,
+       CAST(len(toks)
+            - len(list_filter(toks, t -> (ascii(t) BETWEEN 65 AND 90)
+                                      OR (ascii(t) BETWEEN 97 AND 122)))
+            - len(list_filter(toks, t -> ascii(t) BETWEEN 48 AND 57)) AS BIGINT)
+         AS n_punct
+FROM t
+"""
+
+
 BOILER_PREFIX_CHARS = 32
 # Minimum docs sharing a prefix before it counts as boilerplate: without
 # this, a source whose prefixes are all unique (every n=1, ties broken by

@@ -72,6 +72,10 @@ def registry() -> dict[str, QuerySpec]:
             "mv_incremental_update",
             "fk_integrity_audit",
             "streaming_mv_update",
+            "recursive_rollup",
+            "window_lag_lead",
+            "variant_json_get",
+            "regex_pretokenize",
             # (b) r2-era: reference chain
             "envelope_roundtrip",
             "cast_projection",

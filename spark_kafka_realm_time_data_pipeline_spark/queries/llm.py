@@ -1082,6 +1082,12 @@ FROM sharded
 """
 
 
+def q_regex_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style regex pre-tokenizer accounting: per-doc pre-token count
+    with the alpha/digit/punct class split (operators/text.py)."""
+    return T.regex_pretokenize(load_table(spark, sf_dir, "documents"))
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source majority-prefix boilerplate detection + strip accounting
     (integer prefix keys, majority vote, broadcast join back)."""
@@ -1733,6 +1739,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sim_lsh_topk": QuerySpec(
         q_sim_lsh, _ora_sim_lsh(), "random-hyperplane LSH ANN (full value oracle)"
+    ),
+    "regex_pretokenize": QuerySpec(
+        q_regex_pretokenize,
+        T.ORA_REGEX_PRETOKENIZE,
+        "regex pre-tokenizer counts (alpha/digit/punct class split)",
     ),
     "sim_range_search": QuerySpec(
         q_sim_range_search,

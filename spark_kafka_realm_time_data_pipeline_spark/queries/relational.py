@@ -1614,6 +1614,104 @@ WHERE r.rn = 1 AND r.event_id % 10 <> 0
 """.replace("{FMT_DUCK}", FMT_DUCK)
 
 
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window family completion: lag/lead (previous/next event per
+    user) plus the distribution functions percent_rank and cume_dist —
+    both emit exact rationals of integer ranks, so the doubles are
+    bit-identical across engines.  One window shuffle partitioned by
+    user_id (ordered by ts, event_id), a second by event_type; both
+    bounded by the partition's own rows at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.lag("event_id").over(wu).alias("prev_event"),
+        F.lead("event_id").over(wu).alias("next_event"),
+        F.percent_rank().over(wt).alias("pct_rank"),
+        F.cume_dist().over(wt).alias("cume"),
+    )
+
+
+ORA_WINDOW_LAG_LEAD = """
+SELECT event_id, user_id, event_type, value,
+       lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event,
+       percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pct_rank,
+       cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cume
+FROM events
+"""
+
+
+def q_variant_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion round-trip: each doc's metadata is
+    serialized to a JSON string, parsed into the binary VARIANT type
+    (`parse_json`), and the fields are extracted back with typed
+    `variant_get` paths — the semi-structured ingestion path a lakehouse
+    uses for schemaless event payloads (VARIANT keeps the parsed tree, so
+    repeated path extraction skips re-parsing the text; the oracle states
+    the round-trip law by selecting the original columns directly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.to_json(F.struct("doc_id", "lang", "source", "n_chars"))
+    v = F.parse_json(payload)
+    return docs.select(
+        F.try_variant_get(v, "$.doc_id", "bigint").alias("doc_id"),
+        F.try_variant_get(v, "$.lang", "string").alias("lang"),
+        F.try_variant_get(v, "$.source", "string").alias("source"),
+        F.try_variant_get(v, "$.n_chars", "bigint").alias("n_chars"),
+    )
+
+
+ORA_VARIANT_JSON_GET = """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+"""
+
+
+# Recursive-CTE hierarchy rollup — IDENTICAL SQL text on both engines
+# (Spark 4 gained WITH RECURSIVE; probed: UNION ALL recursion works, the
+# distinct-UNION form errors with UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, so
+# only DAG walks — not cyclic closures — are expressible; the cyclic
+# components closure stays on the iterative DataFrame fixpoint in
+# operators/dedup.py).  Integer division is spelled CAST(FLOOR(x / 10) AS
+# BIGINT) because the dialects disagree on the operator (Spark ``div`` vs
+# DuckDB ``//``) — floor-of-double is exact for keys < 2^53.
+SQL_RECURSIVE_ROLLUP = """
+WITH RECURSIVE anc(node, a, depth) AS (
+  SELECT c_custkey AS node, CAST(FLOOR(c_custkey / 10) AS BIGINT) AS a,
+         1 AS depth
+  FROM customer
+  UNION ALL
+  SELECT node, CAST(FLOOR(a / 10) AS BIGINT) AS a, depth + 1
+  FROM anc WHERE a > 0
+)
+SELECT a AS ancestor,
+       CAST(COUNT(*) AS BIGINT) AS n_descendants,
+       CAST(MAX(depth) AS BIGINT) AS max_depth
+FROM anc GROUP BY a
+"""
+
+
+def q_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical containment rollup via a RECURSIVE CTE (Spark 4): every
+    customer key walks its decimal-digit ancestor chain to the root and
+    each ancestor aggregates descendant count + subtree depth — the
+    BOM-explosion / org-chart rollup shape, expressed as the SAME SQL text
+    DuckDB runs as the oracle.  The hierarchy is the synthetic key-prefix
+    tree (parent = key div 10): the corpus has no parts-of-parts table,
+    and the point is the recursion machinery, which is data-agnostic.
+
+    Scale shape: Spark executes the recursion as iterative UNION ALL steps
+    (one join/projection per level, depth bounded by key width ~6);
+    per-level frames are |customers| rows and the final rollup is one
+    map-side-combined groupBy.  Guard: UNION ALL recursion duplicates work
+    on non-tree edge sets — keep it to DAG walks with bounded depth."""
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_RECURSIVE_ROLLUP)
+
+
 MV_CUTOFF = "1997-01-01"  # base/delta split for incremental maintenance
 
 
@@ -2051,6 +2149,21 @@ QUERIES: dict[str, QuerySpec] = {
         q_compaction_plan,
         ORA_COMPACTION_PLAN,
         "small-files compaction planner (roll-over packing per partition)",
+    ),
+    "window_lag_lead": QuerySpec(
+        q_window_lag_lead,
+        ORA_WINDOW_LAG_LEAD,
+        "lag/lead + percent_rank/cume_dist window completion",
+    ),
+    "variant_json_get": QuerySpec(
+        q_variant_json_get,
+        ORA_VARIANT_JSON_GET,
+        "Spark 4 VARIANT ingestion round-trip (parse_json + typed variant_get)",
+    ),
+    "recursive_rollup": QuerySpec(
+        q_recursive_rollup,
+        SQL_RECURSIVE_ROLLUP,
+        "hierarchy rollup via WITH RECURSIVE (same SQL text on both engines)",
     ),
     "mv_incremental_update": QuerySpec(
         q_mv_incremental_update,
