@@ -161,6 +161,9 @@ HEADLINE += [
     "window_lag_lead",
     "variant_json_get",
     "regex_pretokenize",
+    "snapshot_diff",
+    "k_anonymity_audit",
+    "column_profile",
 ]
 
 

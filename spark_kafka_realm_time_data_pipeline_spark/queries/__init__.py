@@ -76,6 +76,9 @@ def registry() -> dict[str, QuerySpec]:
             "window_lag_lead",
             "variant_json_get",
             "regex_pretokenize",
+            "snapshot_diff",
+            "k_anonymity_audit",
+            "column_profile",
             # (b) r2-era: reference chain
             "envelope_roundtrip",
             "cast_projection",

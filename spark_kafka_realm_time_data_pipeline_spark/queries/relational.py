@@ -1832,6 +1832,206 @@ ORA_FK_INTEGRITY = "\nUNION ALL\n".join(
 )
 
 
+K_ANON = 5  # release threshold: quasi-identifier groups smaller than this leak
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (user-id bucket,
+    event type, day): counts the equivalence classes smaller than k and
+    the rows they expose — the privacy gate run before an event-level
+    dataset leaves the house.  Output: one row per (event_type, day) cell
+    with its class count, how many classes are under-k, and how many rows
+    those classes expose.
+
+    Shape: one map-side-combined groupBy over the quasi-identifier tuple
+    (bounded by |buckets| x |types| x |days|, not event volume), then a
+    second aggregation over that cell table.  Nothing downstream scales
+    with raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    classes = ev.groupBy(
+        (F.col("user_id") % 100).alias("uid_bucket"),
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        classes.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("n") < K_ANON, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_underk_classes"),
+            F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_exposed_rows"),
+        )
+    )
+
+
+ORA_K_ANONYMITY = f"""
+WITH classes AS (
+  SELECT user_id % 100 AS uid_bucket, event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, day,
+       COUNT(*) AS n_classes,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_underk_classes,
+       CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+         AS n_exposed_rows
+FROM classes GROUP BY event_type, day
+"""
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column null count, distinct count, and
+    min/max (rendered as strings so one schema fits every type) over
+    orders — the statistics pass a catalog/data-quality layer publishes
+    with each snapshot.  One wide aggregate computes every column's
+    stats in a SINGLE scan (no per-column jobs, no driver loop over
+    columns — the plan is |cols| aggregate expressions wide, the scan
+    happens once); the per-column rows are unpivoted from that one
+    aggregate row via a plan-level stack().
+
+    Floats render through format_number-free CAST(... AS STRING) of
+    DOUBLE only for exact integers; o_totalprice min/max go through a
+    2-decimal DECIMAL cast so the string rendering is engine-portable."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def mm(c: str) -> tuple[F.Column, F.Column]:
+        if c == "o_totalprice":
+            d = F.col(c).cast("decimal(12,2)")
+            return (
+                F.min(d).cast("string").alias(f"{c}__min"),
+                F.max(d).cast("string").alias(f"{c}__max"),
+            )
+        return (
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        )
+
+    aggs = []
+    for c in _PROFILE_COLS:
+        lo, hi = mm(c)
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            lo,
+            hi,
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).select(
+        "col_name",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
+
+
+def _ora_column_profile() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c == "o_totalprice":
+            mn = f"CAST(CAST(MIN(CAST({c} AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS VARCHAR)"
+            mx = f"CAST(CAST(MAX(CAST({c} AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS VARCHAR)"
+        else:
+            mn = f"CAST(MIN({c}) AS VARCHAR)"
+            mx = f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_val, {mx} AS max_val
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORA_COLUMN_PROFILE = _ora_column_profile()
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: compare two corpus snapshots by primary key
+    and content hash and emit one row per difference (added / removed /
+    changed) — the audit a data-versioning layer (Delta/LakeFS-style)
+    prints between releases, as pure relational algebra.  v2 is derived
+    deterministically from v1 (every 13th doc dropped, every 11th
+    edited, every 17th re-added under a new id), so the oracle replays
+    the derivation and the diff logic is what the hash checks.
+
+    Shape: two narrow md5 projections and ONE full outer join on doc_id;
+    unchanged rows are filtered before the join output materializes.
+    At 100 TB both sides are content-defined (pk, hash) frames — the join
+    shuffles 40-byte rows, never text, and a snapshot stored as a hash
+    manifest skips even the text scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = docs.select("doc_id", F.md5("text").alias("h1"))
+    b = v2.select("doc_id", F.md5("text").alias("h2"))
+    joined = a.join(b, "doc_id", "full_outer")
+    return joined.select(
+        "doc_id",
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.coalesce("h1", F.lit("")).alias("old_hash"),
+        F.coalesce("h2", F.lit("")).alias("new_hash"),
+    ).filter(F.col("status") != "unchanged")
+
+
+ORA_SNAPSHOT_DIFF = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h1 FROM documents
+), v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h2
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, md5(text) AS h2
+  FROM documents WHERE doc_id % 17 = 0
+), j AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.h1 IS NULL THEN 'added'
+              WHEN v2.h2 IS NULL THEN 'removed'
+              WHEN v1.h1 <> v2.h2 THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(v1.h1, '') AS old_hash,
+         COALESCE(v2.h2, '') AS new_hash
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT doc_id, status, old_hash, new_hash FROM j WHERE status <> 'unchanged'
+"""
+
+
 def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout audit: interleave (l_partkey, l_suppkey) bits into a
     Morton value, bucket by its high bits, and report each bucket's
@@ -2149,6 +2349,21 @@ QUERIES: dict[str, QuerySpec] = {
         q_compaction_plan,
         ORA_COMPACTION_PLAN,
         "small-files compaction planner (roll-over packing per partition)",
+    ),
+    "k_anonymity_audit": QuerySpec(
+        q_k_anonymity_audit,
+        ORA_K_ANONYMITY,
+        "k-anonymity audit over quasi-identifier classes (privacy gate)",
+    ),
+    "column_profile": QuerySpec(
+        q_column_profile,
+        ORA_COLUMN_PROFILE,
+        "single-scan table profiling (nulls/distinct/min/max per column)",
+    ),
+    "snapshot_diff": QuerySpec(
+        q_snapshot_diff,
+        ORA_SNAPSHOT_DIFF,
+        "dataset-version diff by pk + content hash (added/removed/changed)",
     ),
     "window_lag_lead": QuerySpec(
         q_window_lag_lead,
