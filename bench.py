@@ -164,6 +164,8 @@ HEADLINE += [
     "snapshot_diff",
     "k_anonymity_audit",
     "column_profile",
+    "lateral_topk",
+    "join_null_safe",
 ]
 
 

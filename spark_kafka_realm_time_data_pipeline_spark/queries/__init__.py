@@ -79,6 +79,8 @@ def registry() -> dict[str, QuerySpec]:
             "snapshot_diff",
             "k_anonymity_audit",
             "column_profile",
+            "lateral_topk",
+            "join_null_safe",
             # (b) r2-era: reference chain
             "envelope_roundtrip",
             "cast_projection",

@@ -1832,6 +1832,75 @@ ORA_FK_INTEGRITY = "\nUNION ALL\n".join(
 )
 
 
+# LATERAL correlated subquery — same SQL text on both engines (probed on
+# Spark 4.1 and DuckDB; both support comma-LATERAL with ORDER BY + LIMIT).
+SQL_LATERAL_TOPK = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 LATERAL correlated subquery: each customer's top-2 orders by
+    price via a per-row dependent subquery — the "top-N per entity"
+    idiom in its SQL-standard form, the SAME text DuckDB runs as the
+    oracle.  Catalyst rewrites the lateral into a ranked window join
+    (DeduplicateLateralSubquery -> rank filter), so the physical plan is
+    the same shuffle the explicit window form pays — no per-row
+    re-execution at any scale; o_totalprice passes through unchanged
+    (no arithmetic), so the doubles hash identically."""
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_LATERAL_TOPK)
+
+
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 completion: null-safe equi-join (Spark `<=>` / SQL IS NOT
+    DISTINCT FROM) — NULL keys match each other instead of vanishing,
+    the semantics CDC merge keys and optional dimension attributes need.
+    Key derivation details both matter: the key is (event_id div 2) % 50
+    so the even (side a) and odd (side b) halves land in the SAME residue
+    space (a plain event_id % 50 would give the sides disjoint
+    even/odd residues and only the NULL bucket would ever join), and
+    NULLs are planted sparsely (every 997th id) because under <=> the
+    NULL equivalence class CROSS-JOINS with itself — a dense NULL class
+    is a quadratic blowup, the exact hazard a production null-safe merge
+    key must budget for (documented here, bounded to ~10x10 rows).
+    Shape: one equi-shuffle on the nullable key (Spark hashes null like
+    any value under <=>), aggregated to per-key match counts so the
+    result is |keys|-bounded (<= 51 rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    half = F.floor(F.col("event_id") / 2).cast("bigint")
+    v = F.when(F.col("event_id") % 997 == 0, F.lit(None)).otherwise(half % 50)
+    a = ev.filter(F.col("event_id") % 2 == 0).select(v.alias("va"))
+    b = ev.filter(F.col("event_id") % 2 == 1).select(v.alias("vb"))
+    return (
+        a.join(b, a["va"].eqNullSafe(b["vb"]))
+        .groupBy("va")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .select(F.col("va").alias("v"), "n_matches")
+    )
+
+
+ORA_JOIN_NULL_SAFE = """
+WITH a AS (
+  SELECT CASE WHEN event_id % 997 = 0 THEN NULL
+              ELSE CAST(FLOOR(event_id / 2) AS BIGINT) % 50 END AS va
+  FROM events WHERE event_id % 2 = 0
+), b AS (
+  SELECT CASE WHEN event_id % 997 = 0 THEN NULL
+              ELSE CAST(FLOOR(event_id / 2) AS BIGINT) % 50 END AS vb
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT a.va AS v, COUNT(*) AS n_matches
+FROM a JOIN b ON a.va IS NOT DISTINCT FROM b.vb
+GROUP BY a.va
+"""
+
+
 K_ANON = 5  # release threshold: quasi-identifier groups smaller than this leak
 
 
@@ -2349,6 +2418,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_compaction_plan,
         ORA_COMPACTION_PLAN,
         "small-files compaction planner (roll-over packing per partition)",
+    ),
+    "lateral_topk": QuerySpec(
+        q_lateral_topk,
+        SQL_LATERAL_TOPK,
+        "LATERAL correlated top-N per entity (same SQL text on both engines)",
+    ),
+    "join_null_safe": QuerySpec(
+        q_join_null_safe,
+        ORA_JOIN_NULL_SAFE,
+        "null-safe equi-join (<=> / IS NOT DISTINCT FROM) with planted NULL keys",
     ),
     "k_anonymity_audit": QuerySpec(
         q_k_anonymity_audit,
