@@ -166,6 +166,7 @@ HEADLINE += [
     "column_profile",
     "lateral_topk",
     "join_null_safe",
+    "streaming_semi_join",
 ]
 
 

@@ -81,6 +81,7 @@ def registry() -> dict[str, QuerySpec]:
             "column_profile",
             "lateral_topk",
             "join_null_safe",
+            "streaming_semi_join",
             # (b) r2-era: reference chain
             "envelope_roundtrip",
             "cast_projection",

@@ -33,6 +33,8 @@ from ..streaming.pipeline import (
 from ..streaming.runner import run_to_memory
 from . import QuerySpec
 from .reference import _ORA_BIRTHYEAR, _ORA_EMAIL
+from .relational import FMT_DUCK as _FMT_DUCK
+from .relational import FMT_SPARK as _FMT_SPARK
 
 _STEDI_JOIN_ORACLE = f"""
 SELECT {_ORA_EMAIL.format(k='e.user_id')} AS customer,
@@ -476,6 +478,61 @@ FROM events p JOIN events c
  AND c.ts >= p.ts - INTERVAL {_INTERVAL_S} SECONDS
  AND c.ts <= p.ts
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: stream-stream LEFT SEMI join — purchases that had at least
+    one click from the same user in the preceding 30 minutes, emitted
+    once regardless of how many clicks matched (the "qualified events"
+    filter shape; an inner join would duplicate the purchase per click
+    and need a downstream dedup).  Same watermark + interval bounds as
+    the inner interval join, so join state is evicted identically;
+    left-semi emits as soon as the first match arrives."""
+    p = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_uid"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            f"p_uid = c_uid AND c_ts >= p_ts - INTERVAL {_INTERVAL_S} SECONDS"
+            " AND c_ts <= p_ts"
+        ),
+        "left_semi",
+    ).select(F.col("p_uid").alias("user_id"), "purchase_id", "p_ts")
+    out = run_to_memory(joined, spark, no_data_batches=False)
+    res = out.select(
+        "user_id",
+        "purchase_id",
+        F.date_format("p_ts", _FMT_SPARK).alias("purchase_ts"),
+    )
+    res.stream_input_rows = getattr(out, "stream_input_rows", 0)
+    return res
+
+
+ORA_STREAMING_SEMI_JOIN = f"""
+SELECT p.user_id, p.event_id AS purchase_id,
+       strftime(p.ts, '{_FMT_DUCK}') AS purchase_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL {_INTERVAL_S} SECONDS AND c.ts <= p.ts
+  )
 """
 
 
@@ -1084,6 +1141,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_scd2_lookup,
         ORA_STREAMING_SCD2_LOOKUP,
         "point-in-time SCD2 dimension lookup on the stream (stateless)",
+    ),
+    "streaming_semi_join": QuerySpec(
+        q_streaming_semi_join,
+        ORA_STREAMING_SEMI_JOIN,
+        "watermarked stream-stream LEFT SEMI interval join (qualified events)",
     ),
     "streaming_mv_update": QuerySpec(
         q_streaming_mv_update,
