@@ -308,14 +308,12 @@ def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-canonical member of a duplicate component (component_id != doc_id)
     is dropped via a left-anti join; canonical representatives and
     untouched docs survive.  One anti-join against the (tiny) component
-    frame — the corpus itself is never shuffled."""
+    frame — the corpus itself is never shuffled.  Reads the staged
+    pair-graph table (r8), same as the rest of the graph funnel — the
+    funnel end shares the one candidate-generation pass instead of
+    re-deriving it."""
     corpus = D.planted_corpus(spark, sf_dir)
-    pairs = D.minhash_lsh_dedup(
-        D.planted_corpus(spark, sf_dir),
-        threshold=0.8,
-        tokenizer=D.doc_shingles,
-        tok_hashed=True,
-    ).select("doc_a", "doc_b")
+    pairs = _staged_pair_graph(spark, sf_dir)
     drop = (
         D.dup_components(pairs)
         .filter(F.col("doc_id") != F.col("component_id"))

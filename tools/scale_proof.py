@@ -73,6 +73,19 @@ QUERIES = [
     "retrieval_rrf_fusion",
     "multimodal_audio",
     "streaming_scd2_lookup",
+    # round-8 additions
+    "sim_range_search",
+    "mixture_cap_sample",
+    "mv_incremental_update",
+    "fk_integrity_audit",
+    "streaming_mv_update",
+    "recursive_rollup",
+    "window_lag_lead",
+    "regex_pretokenize",
+    "snapshot_diff",
+    "k_anonymity_audit",
+    "lateral_topk",
+    "streaming_semi_join",
 ]
 
 
