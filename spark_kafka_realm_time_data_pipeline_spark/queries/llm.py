@@ -888,8 +888,15 @@ def _ora_sim_range(dim: int = 64, n_planes: int = 6, tau: float = 0.25) -> str:
         return "(" + " + ".join(terms) + ")"
 
     return f"""
-WITH keyed AS (
+WITH keyed0 AS (
   SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings
+),
+keyed AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT vec_id, embedding, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+    FROM keyed0
+  ) WHERE rn <= {S.RANGE_BUCKET_CAP}
 ),
 cand AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
