@@ -574,9 +574,14 @@ def q_streaming_foreachbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         try:
             if not query.awaitTermination(300):
                 raise TimeoutError("foreachBatch top-k replay did not finish in 300s")
+            input_rows = sum(
+                int(p["numInputRows"]) for p in (query.recentProgress or []) if p
+            )
         finally:
             query.stop()
-        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        out.stream_input_rows = input_rows
+        return out
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
