@@ -48,3 +48,27 @@ def test_compact_line_partial_flag_preserved():
     out["partial"] = True
     parsed = json.loads(bench.compact_line(out))
     assert parsed["partial"] is True
+
+
+def test_scale_proof_finds_full_line_in_two_line_output(monkeypatch):
+    """scale_proof.run_bench must locate the full artifact line even though
+    bench.py now prints a compact tail line AFTER it (driver tail-buffer
+    contract) — the r8 emission change would otherwise silently hand the
+    proof a line with no per-query map."""
+    import os
+    import sys
+    import types
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import scale_proof
+
+    full = {"metric": "headline_total", "queries": {"q1": 1.0}, "value": 1.0}
+    compact = {"metric": "headline_total", "value": 1.0, "n_queries": 1}
+    fake_stdout = "noise line\n" + json.dumps(full) + "\n" + json.dumps(compact) + "\n"
+
+    def fake_run(*args, **kwargs):
+        return types.SimpleNamespace(stdout=fake_stdout, returncode=0)
+
+    monkeypatch.setattr(scale_proof.subprocess, "run", fake_run)
+    parsed = scale_proof.run_bench("/tmp/x", ["q1"])
+    assert parsed["queries"] == {"q1": 1.0}
