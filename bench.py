@@ -167,6 +167,7 @@ HEADLINE += [
     "lateral_topk",
     "join_null_safe",
     "streaming_semi_join",
+    "dedup_agreement_report",
 ]
 
 

@@ -82,6 +82,7 @@ def registry() -> dict[str, QuerySpec]:
             "lateral_topk",
             "join_null_safe",
             "streaming_semi_join",
+            "dedup_agreement_report",
             # (b) r2-era: reference chain
             "envelope_roundtrip",
             "cast_projection",

@@ -241,6 +241,62 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) 
 """
 
 
+def q_dedup_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tier dedup AGREEMENT report: the pair sets found by the two
+    independent blocking strategies — MinHash-LSH signatures (probabilistic
+    candidates, exact verify) and the prefix-filtered inverted index
+    (deterministic candidates, exact verify) — compared head to head.
+    Both tiers verify with the same exact Jaccard at the same threshold,
+    so disagreement isolates BLOCKING misses: pairs one tier's candidate
+    generation never surfaced.  This is the audit that tells an operator
+    how much recall each tier's caps/bands actually cost on their corpus,
+    as exact integers (milli-ratios via integer division — no float).
+
+    Shape: the signature tier reads the staged pair-graph table; one full
+    outer join of two pair lists (each already candidate-bounded) + one
+    single-row aggregate."""
+    mh = _staged_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
+    px = D.prefix_filter_pairs(D.planted_corpus(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
+    j = mh.withColumn("in_mh", F.lit(1)).join(
+        px.withColumn("in_px", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    agg = j.agg(
+        F.sum(F.coalesce("in_mh", F.lit(0))).cast("bigint").alias("n_minhash"),
+        F.sum(F.coalesce("in_px", F.lit(0))).cast("bigint").alias("n_prefix"),
+        F.sum(
+            F.when(F.col("in_mh").isNotNull() & F.col("in_px").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_common"),
+    )
+    return agg.select(
+        "n_minhash",
+        "n_prefix",
+        "n_common",
+        F.expr("(1000 * n_common) div n_prefix").cast("bigint").alias(
+            "agree_vs_prefix_milli"
+        ),
+        F.expr("(1000 * n_common) div n_minhash").cast("bigint").alias(
+            "agree_vs_minhash_milli"
+        ),
+    )
+
+
+ORA_DEDUP_AGREEMENT = f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({ORA_DEDUP_MINHASH_NGRAM}) t),
+px AS (SELECT doc_a, doc_b FROM ({ORA_DEDUP_JACCARD_PREFIX}) t),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM mh) AS n_minhash,
+         (SELECT COUNT(*) FROM px) AS n_prefix,
+         (SELECT COUNT(*) FROM mh JOIN px USING (doc_a, doc_b)) AS n_common
+)
+SELECT n_minhash, n_prefix, n_common,
+       CAST((1000 * n_common) // n_prefix AS BIGINT) AS agree_vs_prefix_milli,
+       CAST((1000 * n_common) // n_minhash AS BIGINT) AS agree_vs_minhash_milli
+FROM counts
+"""
+
+
 _PAIR_GRAPH_DIRS: dict[str, str] = {}
 
 
@@ -1744,6 +1800,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sim_lsh_topk": QuerySpec(
         q_sim_lsh, _ora_sim_lsh(), "random-hyperplane LSH ANN (full value oracle)"
+    ),
+    "dedup_agreement_report": QuerySpec(
+        q_dedup_agreement_report,
+        ORA_DEDUP_AGREEMENT,
+        "cross-tier dedup blocking agreement audit (MinHash vs prefix index)",
     ),
     "regex_pretokenize": QuerySpec(
         q_regex_pretokenize,
