@@ -168,6 +168,7 @@ HEADLINE += [
     "join_null_safe",
     "streaming_semi_join",
     "dedup_agreement_report",
+    "xml_roundtrip",
 ]
 
 

@@ -83,6 +83,7 @@ def registry() -> dict[str, QuerySpec]:
             "join_null_safe",
             "streaming_semi_join",
             "dedup_agreement_report",
+            "xml_roundtrip",
             # (b) r2-era: reference chain
             "envelope_roundtrip",
             "cast_projection",

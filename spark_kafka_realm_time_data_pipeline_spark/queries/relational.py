@@ -1670,6 +1670,34 @@ SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
 """
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML ingestion round-trip: doc metadata serialized
+    with `to_xml`, parsed back with a typed `from_xml` schema, and one
+    field additionally re-extracted with the classic `xpath_string` — the
+    semi-structured XML path (feeds/exports/legacy enterprise payloads)
+    that spark-xml used to require an external package for.  The oracle
+    states the round-trip law by selecting the original columns (DuckDB
+    has no XML type; the LAW, not the wire format, is the checked
+    property — same pattern as variant_json_get).  Pure Project over the
+    scan: zero exchanges."""
+    docs = load_table(spark, sf_dir, "documents")
+    xml = F.to_xml(F.struct("doc_id", "lang", "source", "n_chars"))
+    parsed = F.from_xml(
+        xml, "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+    )
+    return docs.select(
+        parsed.getField("doc_id").alias("doc_id"),
+        parsed.getField("lang").alias("lang"),
+        F.xpath_string(xml, F.lit("/ROW/source")).alias("source"),
+        parsed.getField("n_chars").alias("n_chars"),
+    )
+
+
+ORA_XML_ROUNDTRIP = """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+"""
+
+
 # Recursive-CTE hierarchy rollup — IDENTICAL SQL text on both engines
 # (Spark 4 gained WITH RECURSIVE; probed: UNION ALL recursion works, the
 # distinct-UNION form errors with UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, so
@@ -2433,6 +2461,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_compaction_plan,
         ORA_COMPACTION_PLAN,
         "small-files compaction planner (roll-over packing per partition)",
+    ),
+    "xml_roundtrip": QuerySpec(
+        q_xml_roundtrip,
+        ORA_XML_ROUNDTRIP,
+        "Spark 4 native XML round-trip (to_xml -> from_xml + xpath_string)",
     ),
     "lateral_topk": QuerySpec(
         q_lateral_topk,
