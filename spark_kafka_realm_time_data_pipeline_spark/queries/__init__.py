@@ -48,18 +48,21 @@ def registry() -> dict[str, QuerySpec]:
     # (a) the two r7 driver-fails, now fixed (uncast DuckDB HUGEINT in the
     #     oracle SQL — CAST(... AS BIGINT) added; Spark side unchanged) —
     #     window head so CORRECTNESS_r08 records the re-proof;
+    # (a') the 17 queries NEW in r8 — never driver-checked, so they must
+    #     sit inside the window (test_registry enforces this);
     # (b) the 34 r2-era names whose last driver proof predates two corpus
     #     regenerations (reference chain, scalar/set-op/subquery/agg/join
     #     families, r2 relational core) — oldest-proof-first per the r7
-    #     verdict;
+    #     verdict; with 19 head entries a 50-wide window reaches ~31 of
+    #     them, the tail plus
     # (c) the 24 r3-era names (dedup/similarity/text/multimodal/UDF
-    #     families) — next-oldest; the first ~14 land inside a 50-entry
-    #     window, the rest queue behind;
+    #     families) queue immediately behind for the r9 window;
     # (d) every query whose PLAN changed this round (staged pair-graph
-    #     trio, heavy_hitters fan-out removal, complete-mode streaming
-    #     replay skip, boilerplate min-support, anomaly double-cast) —
-    #     driver-proven in r7, re-proven by the local sf0.01 sweep after
-    #     the change, rotated here in case the window is wider than 50.
+    #     trio + keep_corpus, heavy_hitters fan-out removal, range-search
+    #     bucket cap, aggregate-first null-safe join, boilerplate
+    #     min-support, anomaly decimal-square) — driver-proven in r7 or
+    #     new-this-round, re-proven by the local sf0.01 sweep after the
+    #     change, rotated here in case the window is wider than 50.
     front = [
         n
         for n in (
