@@ -169,6 +169,7 @@ HEADLINE += [
     "streaming_semi_join",
     "dedup_agreement_report",
     "xml_roundtrip",
+    "mixture_repeat_plan",
 ]
 
 

@@ -273,6 +273,63 @@ FROM picked WHERE pick <= cap
 """
 
 
+MAX_REPEAT_MILLI = 4000  # upsampling ceiling: no source repeats more than 4x
+
+
+def mixture_repeat_plan(docs: DataFrame) -> DataFrame:
+    """The UPSAMPLING side of mixture rebalancing: given a uniform
+    per-source TOKEN budget (total div n_sources), compute each source's
+    repeat factor — how many times its documents recur per epoch to fill
+    its share — capped at 4x (repeating a small source more buys
+    memorization, not balance; the residual share is left to the large
+    sources).  `mixture_cap_sample` downsamples the over-represented
+    sources; this plans the repetition of the under-represented ones —
+    together they are the resample half of a DoReMi-style mix.
+
+    All milli-exact integer arithmetic (1000 * share div n_tokens,
+    capped), so the plan is engine-portable with zero float divisions.
+    Shape: one map-side-combined groupBy(source) + window totals over the
+    |sources|-row aggregate — nothing scales with corpus rows."""
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    share = F.expr("sum(n_tokens) OVER () div count(*) OVER ()")
+    out = per.withColumn("share_tokens", share.cast("bigint"))
+    repeat = F.least(
+        F.expr("(1000 * share_tokens) div n_tokens"), F.lit(MAX_REPEAT_MILLI)
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "share_tokens",
+        repeat.cast("bigint").alias("repeat_milli"),
+        F.expr(
+            f"(n_tokens * least((1000 * share_tokens) div n_tokens, {MAX_REPEAT_MILLI})) div 1000"
+        ).cast("bigint").alias("effective_tokens"),
+    )
+
+
+ORA_MIXTURE_REPEAT_PLAN = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(SUM(n_tokens) OVER () // COUNT(*) OVER () AS BIGINT) AS share_tokens
+  FROM per
+)
+SELECT source, n_docs, n_tokens, share_tokens,
+       CAST(least((1000 * share_tokens) // n_tokens, {MAX_REPEAT_MILLI}) AS BIGINT)
+         AS repeat_milli,
+       CAST((n_tokens * least((1000 * share_tokens) // n_tokens, {MAX_REPEAT_MILLI})) // 1000
+            AS BIGINT) AS effective_tokens
+FROM tot
+"""
+
+
 # --- sequence packing --------------------------------------------------------
 
 PACK_BUDGET = 512  # tokens per packed training sequence

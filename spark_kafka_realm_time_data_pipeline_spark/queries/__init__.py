@@ -48,12 +48,12 @@ def registry() -> dict[str, QuerySpec]:
     # (a) the two r7 driver-fails, now fixed (uncast DuckDB HUGEINT in the
     #     oracle SQL — CAST(... AS BIGINT) added; Spark side unchanged) —
     #     window head so CORRECTNESS_r08 records the re-proof;
-    # (a') the 17 queries NEW in r8 — never driver-checked, so they must
+    # (a') the 18 queries NEW in r8 — never driver-checked, so they must
     #     sit inside the window (test_registry enforces this);
     # (b) the 34 r2-era names whose last driver proof predates two corpus
     #     regenerations (reference chain, scalar/set-op/subquery/agg/join
     #     families, r2 relational core) — oldest-proof-first per the r7
-    #     verdict; with 19 head entries a 50-wide window reaches ~31 of
+    #     verdict; with 20 head entries a 50-wide window reaches ~30 of
     #     them, the tail plus
     # (c) the 24 r3-era names (dedup/similarity/text/multimodal/UDF
     #     families) queue immediately behind for the r9 window;
@@ -87,6 +87,7 @@ def registry() -> dict[str, QuerySpec]:
             "streaming_semi_join",
             "dedup_agreement_report",
             "xml_roundtrip",
+            "mixture_repeat_plan",
             # (b) r2-era: reference chain
             "envelope_roundtrip",
             "cast_projection",

@@ -1677,6 +1677,13 @@ def q_mixture_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.mixture_cap_sample(load_table(spark, sf_dir, "documents"))
 
 
+def q_mixture_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repetition plan toward a uniform token budget (capped
+    4x upsampling; the counterpart of mixture_cap_sample's downsampling —
+    operators/training.py)."""
+    return TR.mixture_repeat_plan(load_table(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.pack_sequences(load_table(spark, sf_dir, "documents"))
 
@@ -1704,6 +1711,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_mixture_cap_sample,
         TR.ORA_MIXTURE_CAP_SAMPLE,
         "budget-capped mixture rebalance (exact per-source doc budget)",
+    ),
+    "mixture_repeat_plan": QuerySpec(
+        q_mixture_repeat_plan,
+        TR.ORA_MIXTURE_REPEAT_PLAN,
+        "per-source repetition plan toward a uniform token budget (4x cap)",
     ),
     "pack_sequences": QuerySpec(
         q_pack_sequences,

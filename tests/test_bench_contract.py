@@ -72,3 +72,15 @@ def test_scale_proof_finds_full_line_in_two_line_output(monkeypatch):
     monkeypatch.setattr(scale_proof.subprocess, "run", fake_run)
     parsed = scale_proof.run_bench("/tmp/x", ["q1"])
     assert parsed["queries"] == {"q1": 1.0}
+
+
+def test_every_headline_name_is_registered():
+    """A misspelled HEADLINE entry only surfaces as a per-query error at
+    bench runtime (and silently shrinks the round's measured surface) —
+    catch it at test time instead."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench headline names not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline names"
