@@ -252,13 +252,13 @@ def q_dedup_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     how much recall each tier's caps/bands actually cost on their corpus,
     as exact integers (milli-ratios via integer division — no float).
 
-    Shape: the signature tier reads the staged pair-graph table; one full
-    outer join of two pair lists (each already candidate-bounded) + one
-    single-row aggregate."""
+    Shape: BOTH tiers read staged pair tables (the signature tier's
+    pair graph and a staged copy of the prefix tier's pairs — each
+    derivation is deterministic, so the staged copies are value-identical
+    to the live pipelines the oracles replay); one full outer join of two
+    edge lists + one single-row aggregate."""
     mh = _staged_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
-    px = D.prefix_filter_pairs(D.planted_corpus(spark, sf_dir)).select(
-        "doc_a", "doc_b"
-    )
+    px = _staged_prefix_pairs(spark, sf_dir).select("doc_a", "doc_b")
     j = mh.withColumn("in_mh", F.lit(1)).join(
         px.withColumn("in_px", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
     )
@@ -295,6 +295,32 @@ SELECT n_minhash, n_prefix, n_common,
        CAST((1000 * n_common) // n_minhash AS BIGINT) AS agree_vs_minhash_milli
 FROM counts
 """
+
+
+_PREFIX_PAIR_DIRS: dict[str, str] = {}
+
+
+def _staged_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged copy of the prefix-filter tier's verified pairs — the second
+    maintained pairs table (same pattern as _staged_pair_graph), consumed
+    by the cross-tier agreement audit so it never re-derives the PPJoin
+    from raw text per call.  `dedup_jaccard_prefix` itself keeps deriving
+    live (the derivation is what its oracle proves); this staging is
+    value-identical because the pipeline is deterministic."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = f"{id(spark._jsparkSession)}:{sf_dir}"
+    path = _PREFIX_PAIR_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="prefix_pairs_")
+        D.prefix_filter_pairs(D.planted_corpus(spark, sf_dir)).select(
+            "doc_a", "doc_b"
+        ).write.mode("overwrite").parquet(path)
+        _PREFIX_PAIR_DIRS[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return spark.read.parquet(path)
 
 
 _PAIR_GRAPH_DIRS: dict[str, str] = {}
