@@ -170,6 +170,7 @@ HEADLINE += [
     "dedup_agreement_report",
     "xml_roundtrip",
     "mixture_repeat_plan",
+    "cogroup_apply_in_pandas",
 ]
 
 

@@ -48,7 +48,7 @@ def registry() -> dict[str, QuerySpec]:
     # (a) the two r7 driver-fails, now fixed (uncast DuckDB HUGEINT in the
     #     oracle SQL — CAST(... AS BIGINT) added; Spark side unchanged) —
     #     window head so CORRECTNESS_r08 records the re-proof;
-    # (a') the 18 queries NEW in r8 — never driver-checked, so they must
+    # (a') the 19 queries NEW in r8 — never driver-checked, so they must
     #     sit inside the window (test_registry enforces this);
     # (b) the 34 r2-era names whose last driver proof predates two corpus
     #     regenerations (reference chain, scalar/set-op/subquery/agg/join
@@ -88,6 +88,7 @@ def registry() -> dict[str, QuerySpec]:
             "dedup_agreement_report",
             "xml_roundtrip",
             "mixture_repeat_plan",
+            "cogroup_apply_in_pandas",
             # (b) r2-era: reference chain
             "envelope_roundtrip",
             "cast_projection",

@@ -123,6 +123,69 @@ FROM events
 """
 
 
+# --- cogrouped applyInPandas: two-sided grouped map ---------------------------
+
+
+def q_cogroup_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup(...).applyInPandas — the TWO-SIDED grouped map (§2.5 UDF
+    family completion): each user's purchases and clicks arrive as a PAIR
+    of pandas frames and the function computes, per purchase, how many of
+    the user's clicks happened at or before it (an as-of count via
+    searchsorted on the sorted click times).  This is the API for custom
+    per-key merges that SQL joins express poorly (session stitching,
+    trajectory alignment) — here deliberately SQL-expressible so the
+    count has an exact oracle.
+
+    Scale shape: ONE co-partitioned shuffle on user_id for both sides,
+    then one Arrow-batched Python call per key — never a row-at-a-time
+    UDF, and per-key memory is the key's own events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+
+    def asof_count(p: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_clicks_before": pd.Series(dtype="int64"),
+                }
+            )
+        import numpy as np
+
+        cts = np.sort(c["ts"].values)
+        n_before = np.searchsorted(cts, p["ts"].values, side="right")
+        return pd.DataFrame(
+            {
+                "purchase_id": p["event_id"].values,
+                "user_id": p["user_id"].values,
+                "n_clicks_before": n_before.astype("int64"),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof_count, "purchase_id long, user_id long, n_clicks_before long"
+        )
+    )
+
+
+ORA_COGROUP_APPLY = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       (SELECT COUNT(*) FROM events c
+         WHERE c.event_type = 'click' AND c.user_id = p.user_id
+           AND c.ts <= p.ts) AS n_clicks_before
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
 # --- row-at-a-time UDF (inventory parity; the documented slow path) ----------
 
 
@@ -280,6 +343,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "apply_in_pandas": QuerySpec(
         q_apply_in_pandas, ORA_APPLY_IN_PANDAS, "applyInPandas grouped map"
+    ),
+    "cogroup_apply_in_pandas": QuerySpec(
+        q_cogroup_apply_in_pandas,
+        ORA_COGROUP_APPLY,
+        "cogrouped applyInPandas two-sided merge (per-key as-of count)",
     ),
     "python_udf_scalar": QuerySpec(
         q_python_udf_scalar, ORA_PYTHON_UDF, "row-at-a-time UDF (inventory parity)"
