@@ -170,7 +170,11 @@ HEADLINE += [
     "dedup_agreement_report",
     "xml_roundtrip",
     "mixture_repeat_plan",
-    "cogroup_apply_in_pandas",
+    # cogroup_apply_in_pandas stays out of the bench slice like the other
+    # grouped-map UDFs (apply_in_pandas, python_udtf): the family is
+    # represented by pandas_udf_scalar + multimodal_features, and per-key
+    # Python call overhead (~1500 keys) makes it a ~7 s line that measures
+    # the Arrow bridge, not the engine.
 ]
 
 
