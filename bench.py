@@ -170,6 +170,8 @@ HEADLINE += [
     "dedup_agreement_report",
     "xml_roundtrip",
     "mixture_repeat_plan",
+    "agg_string_concat",
+    "streaming_session_dynamic",
     # cogroup_apply_in_pandas stays out of the bench slice like the other
     # grouped-map UDFs (apply_in_pandas, python_udtf): the family is
     # represented by pandas_udf_scalar + multimodal_features, and per-key

@@ -48,7 +48,7 @@ def registry() -> dict[str, QuerySpec]:
     # (a) the two r7 driver-fails, now fixed (uncast DuckDB HUGEINT in the
     #     oracle SQL — CAST(... AS BIGINT) added; Spark side unchanged) —
     #     window head so CORRECTNESS_r08 records the re-proof;
-    # (a') the 19 queries NEW in r8 — never driver-checked, so they must
+    # (a') the 21 queries NEW in r8 — never driver-checked, so they must
     #     sit inside the window (test_registry enforces this);
     # (b) the 34 r2-era names whose last driver proof predates two corpus
     #     regenerations (reference chain, scalar/set-op/subquery/agg/join
@@ -89,6 +89,8 @@ def registry() -> dict[str, QuerySpec]:
             "xml_roundtrip",
             "mixture_repeat_plan",
             "cogroup_apply_in_pandas",
+            "agg_string_concat",
+            "streaming_session_dynamic",
             # (b) r2-era: reference chain
             "envelope_roundtrip",
             "cast_projection",

@@ -1670,6 +1670,46 @@ SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
 """
 
 
+def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (the LISTAGG/STRING_AGG shape): per
+    region, the alphabetical comma-joined list of its nations plus a
+    per-nation customer count roll-in.  Spark spells it
+    array_join(array_sort(collect_list(...))) — collect_list alone is
+    shuffle-order-nondeterministic, so the sort is what makes the result
+    (and the hash) stable; DuckDB spells it string_agg(... ORDER BY).
+    Shape: one broadcast dim join + a |regions|-row aggregate."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        customer.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    entry = F.concat("n_name", F.lit(":"), F.col("n_cust").cast("string"))
+    return per_nation.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list(entry)), ",").alias("nations"),
+        F.sum("n_cust").cast("bigint").alias("n_customers"),
+    )
+
+
+ORA_AGG_STRING_CONCAT = """
+WITH per_nation AS (
+  SELECT n.n_name, r.r_name, COUNT(*) AS n_cust
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name
+)
+SELECT r_name,
+       string_agg(n_name || ':' || CAST(n_cust AS VARCHAR), ','
+                  ORDER BY n_name || ':' || CAST(n_cust AS VARCHAR)) AS nations,
+       CAST(SUM(n_cust) AS BIGINT) AS n_customers
+FROM per_nation GROUP BY r_name
+"""
+
+
 def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 native XML ingestion round-trip: doc metadata serialized
     with `to_xml`, parsed back with a typed `from_xml` schema, and one
@@ -2461,6 +2501,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_compaction_plan,
         ORA_COMPACTION_PLAN,
         "small-files compaction planner (roll-over packing per partition)",
+    ),
+    "agg_string_concat": QuerySpec(
+        q_agg_string_concat,
+        ORA_AGG_STRING_CONCAT,
+        "ordered string aggregation (LISTAGG shape, sort-stabilized)",
     ),
     "xml_roundtrip": QuerySpec(
         q_xml_roundtrip,

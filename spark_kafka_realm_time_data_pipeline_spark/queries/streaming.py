@@ -239,6 +239,67 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, spark, output_mode="append")
 
 
+def q_streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: session windows with a DYNAMIC per-event gap — clicks close a
+    session after 10 minutes of inactivity, heavier events keep it open
+    for 30 (the engagement-dependent-timeout shape).  Spark's
+    session_window accepts a gap COLUMN; the state store merges
+    overlapping [ts, ts+gap_event) intervals, so the session end is the
+    running max of per-event ends, not last_ts + constant.  The oracle
+    replays that merge rule as an island computation: a new session
+    starts when ts exceeds the running MAX(ts + gap) of all earlier
+    events in the partition."""
+    ev = stream_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, spark, output_mode="append")
+
+
+_DYN_GAP = (
+    "CASE WHEN event_type = 'click' THEN INTERVAL 10 MINUTE"
+    " ELSE INTERVAL 30 MINUTE END"
+)
+
+ORA_SESSION_DYNAMIC = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         ts + {_DYN_GAP} AS ev_end,
+         CASE WHEN MAX(ts + {_DYN_GAP}) OVER
+                     (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR ts > MAX(ts + {_DYN_GAP}) OVER
+                     (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, ev_end,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ev_end) AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+HAVING MAX(ev_end) <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+"""
+
+
 ORA_SESSION_WINDOW = """
 WITH marked AS (
   SELECT user_id, ts,
@@ -1211,6 +1272,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_session_window,
         ORA_SESSION_WINDOW,
         "session windows (30 min gap) with watermark, append mode",
+    ),
+    "streaming_session_dynamic": QuerySpec(
+        q_streaming_session_dynamic,
+        ORA_SESSION_DYNAMIC,
+        "session windows with a dynamic per-event gap column (10/30 min)",
     ),
     "streaming_dedup": QuerySpec(
         q_streaming_dedup,
