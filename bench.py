@@ -59,7 +59,8 @@ def compact_line(out: dict) -> str:
     if out.get("partial"):
         compact["partial"] = True
     line = json.dumps(compact)
-    assert len(line) < 512, "compact bench line must stay tail-safe"
+    if len(line) >= 512:  # not assert: python -O must not strip the guard
+        raise ValueError(f"compact bench line must stay tail-safe ({len(line)} bytes)")
     return line
 
 # Representative slice of the registry: the reference-parity flagship, the

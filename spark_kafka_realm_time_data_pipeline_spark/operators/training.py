@@ -231,7 +231,6 @@ def mixture_cap_sample(docs: DataFrame) -> DataFrame:
     key = F.md5(F.col("doc_id").cast("string").cast("binary"))
     keyed = docs.select("doc_id", "source", key.alias("k"))
     sizes = keyed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w_all = Window.partitionBy()
     caps = sizes.select(
         "source",
         "n_docs",

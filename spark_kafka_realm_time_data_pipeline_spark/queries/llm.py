@@ -262,11 +262,16 @@ def q_dedup_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = mh.withColumn("in_mh", F.lit(1)).join(
         px.withColumn("in_px", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
     )
+    # SUM over zero rows is NULL in Spark while the oracle's scalar
+    # COUNT(*) subqueries return 0 — coalesce so a dup-free corpus agrees.
     agg = j.agg(
-        F.sum(F.coalesce("in_mh", F.lit(0))).cast("bigint").alias("n_minhash"),
-        F.sum(F.coalesce("in_px", F.lit(0))).cast("bigint").alias("n_prefix"),
-        F.sum(
-            F.when(F.col("in_mh").isNotNull() & F.col("in_px").isNotNull(), 1).otherwise(0)
+        F.coalesce(F.sum(F.coalesce("in_mh", F.lit(0))), F.lit(0)).cast("bigint").alias("n_minhash"),
+        F.coalesce(F.sum(F.coalesce("in_px", F.lit(0))), F.lit(0)).cast("bigint").alias("n_prefix"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("in_mh").isNotNull() & F.col("in_px").isNotNull(), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).cast("bigint").alias("n_common"),
     )
     return agg.select(

@@ -1728,7 +1728,9 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         parsed.getField("doc_id").alias("doc_id"),
         parsed.getField("lang").alias("lang"),
-        F.xpath_string(xml, F.lit("/ROW/source")).alias("source"),
+        # xpath_string returns '' (not NULL) for a missing node; nullif
+        # restores NULL semantics so a NULL source matches the oracle.
+        F.nullif(F.xpath_string(xml, F.lit("/ROW/source")), F.lit("")).alias("source"),
         parsed.getField("n_chars").alias("n_chars"),
     )
 
@@ -1868,10 +1870,21 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     those two are plain shuffled hash joins sized by AQE, and the audit
     runs partition-parallel with no driver-side data movement (the
     per-edge union is a plan-level union of 7 one-row aggregates)."""
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("orders", "lineitem", "part", "supplier", "customer", "nation", "region")
+    }
+    return fk_integrity_audit(tables)
+
+
+def fk_integrity_audit(tables: dict) -> DataFrame:
+    """Audit core over injected child/parent frames — the tests feed a
+    planted-orphan union through this to prove the counting machinery
+    itself can fail (an audit that can't fail is not an audit)."""
     audits = []
     for edge, child, fk, parent, pk in _FK_EDGES:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(pk)
+        c = tables[child]
+        p = tables[parent].select(pk)
         orphans = c.join(p, c[fk] == p[pk], "left_anti")
         audits.append(
             c.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(

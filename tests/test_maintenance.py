@@ -68,18 +68,26 @@ def test_fk_integrity_clean_corpus_all_zero_orphans(spark):
 
 
 def test_fk_integrity_detects_planted_orphan(spark):
-    """An audit that can't fail is not an audit: plant an orphan FK and
-    assert it is counted."""
-    from spark_kafka_realm_time_data_pipeline_spark.queries.relational import _FK_EDGES
-
-    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-    bad = orders.limit(2).withColumn("o_custkey", F.lit(-999_999))
-    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet").select("c_custkey")
-    orphans = (
-        orders.unionByName(bad)
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    """An audit that can't fail is not an audit: plant two orphan rows
+    sharing one bogus FK value and run them through the audit query's own
+    counting path (n_orphans / n_orphan_keys per edge)."""
+    from spark_kafka_realm_time_data_pipeline_spark.queries.relational import (
+        fk_integrity_audit,
     )
-    assert orphans.count() == 2
+
+    tables = {
+        t: spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        for t in ("orders", "lineitem", "part", "supplier", "customer", "nation", "region")
+    }
+    bad = tables["orders"].limit(2).withColumn("o_custkey", F.lit(-999_999))
+    tables["orders"] = tables["orders"].unionByName(bad)
+    rows = {r.edge: r for r in fk_integrity_audit(tables).collect()}
+    hit = rows["orders.o_custkey->customer.c_custkey"]
+    assert hit.n_orphans == 2 and hit.n_orphan_keys == 1
+    # every other edge stays clean
+    for edge, r in rows.items():
+        if edge != "orders.o_custkey->customer.c_custkey":
+            assert r.n_orphans == 0 and r.n_orphan_keys == 0, edge
 
 
 def test_range_search_sound_and_symmetric_free(spark):
