@@ -120,9 +120,10 @@ HEADLINE += [
     "hll_registers",
     "length_drift_report",
     "streaming_countmin",
-    "streaming_dedup_incremental",
-    # round-7 additions
+    # round-7 additions (indexed batch twin stages the shared base index
+    # BEFORE the streaming twin's runs, so those measure warm delta work)
     "dedup_incremental_indexed",
+    "streaming_dedup_incremental",
     "sim_recall_report",
     "kmeans_embeddings",
     "bloom_prune_join",

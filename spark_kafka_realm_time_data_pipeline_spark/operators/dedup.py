@@ -325,12 +325,18 @@ def jaccard_verify(
     """
     if sizes is None:
         sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    # Semi-filter the probe side to docs that actually appear as doc_b
-    # BEFORE the (doc_b, tok) shuffle: the candidate-doc set is a tiny
+    # Semi-filter BOTH sides to docs that actually appear in a candidate
+    # pair BEFORE any shuffle: the candidate-doc set is a tiny
     # broadcastable key list, and without the filter the full token frame —
     # the widest intermediate in the suite — crosses the wire even though
-    # most docs are in no candidate pair.  Result-neutral (inner join).
+    # most docs are in no candidate pair.  Result-neutral (inner joins).
+    # The doc_a prune matters most for the indexed incremental path, where
+    # toks includes the whole staged BASE shingle table but only a few
+    # base docs ever reach a candidate pair.
+    docs_a = pairs.select(F.col("doc_a").alias("doc_id")).distinct()
+    ta = toks.join(docs_a, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_a"), "tok"
+    )
     docs_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     tb = toks.join(docs_b, "doc_id", "left_semi").select(
         F.col("doc_id").alias("doc_b"), "tok"

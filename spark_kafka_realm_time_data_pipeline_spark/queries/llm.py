@@ -479,13 +479,24 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     a daily delta batch — pay ONLY delta-side work, while a regenerated
     corpus invalidates the key and restages.  Honors SPARK_GRAFT_SCRATCH
     (shared-FS on a real cluster; local tmp here)."""
+    corpus = D.planted_corpus(spark, sf_dir)
+    delta = corpus.filter(F.col("doc_id") >= 1000000)
+    idx = staged_base_index(spark, sf_dir)
+    return D.incremental_near_dup_indexed(spark, idx, delta, threshold=0.8)
+
+
+def staged_base_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per corpus fingerprint) the incremental-dedup base
+    index over the raw documents table and return its path.  Shared by
+    the batch indexed query and the streaming foreachBatch twin — the
+    base side of both is the same frame (planted_corpus below 1000000 IS
+    the raw documents table), so they read one maintained index, exactly
+    as a daily-ingest pipeline would."""
     import hashlib
     import os
     import tempfile
 
-    corpus = D.planted_corpus(spark, sf_dir)
-    base = corpus.filter(F.col("doc_id") < 1000000)
-    delta = corpus.filter(F.col("doc_id") >= 1000000)
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     src = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.md5(
         f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
@@ -496,7 +507,7 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # means the whole index is complete
     if not os.path.exists(os.path.join(idx, "toks", "_SUCCESS")):
         D.stage_base_index(base, idx)
-    return D.incremental_near_dup_indexed(spark, idx, delta, threshold=0.8)
+    return idx
 
 
 ORA_DEDUP_INCREMENTAL = f"""

@@ -834,12 +834,15 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     """Streaming ingest dedup: the planted copies arrive AS A STREAM and
     each micro-batch is near-dup-matched against the static base corpus
     inside foreachBatch — the production shape for continuous ingestion,
-    where the base band index is a maintained table and every incoming
+    where the base band index is a MAINTAINED TABLE and every incoming
     batch pays only delta-vs-base work (never base-vs-base, never a
-    full-corpus re-dedup).  The batch hook reuses the exact
-    incremental_near_dup operator, so the codegen'd explode + groupBy
-    signature path runs per micro-batch instead of a (10-100x slower)
-    per-row interpreted-lambda MinHash on the stream.  availableNow
+    full-corpus re-dedup, and — since r9 — never a base re-tokenize: the
+    hook reads the STAGED band/shingle/size index `stage_base_index`
+    materializes once per corpus, the same index the batch
+    `dedup_incremental_indexed` query reads).  The batch hook reuses the
+    exact incremental_near_dup_indexed operator, so the codegen'd explode
+    + groupBy signature path runs per micro-batch instead of a (10-100x
+    slower) per-row interpreted-lambda MinHash on the stream.  availableNow
     drains the bounded source in one deterministic micro-batch, which
     makes the result value-identical to the batch twin — and the oracle
     IS the batch twin's SQL.
@@ -853,8 +856,8 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
 
     from ..operators import dedup as D
-    from ..sources.files import load_table
     from ..streaming.sinks import foreach_batch_sink
+    from .llm import staged_base_index
 
     docs = stream_table(spark, sf_dir, "documents")
     delta = (
@@ -877,11 +880,11 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter("x.keep")
         .select("x.doc_id", "x.text")
     )
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = staged_base_index(spark, sf_dir)
     out_dir = _scratch_dir("stream_incdedup_")
 
     def match_batch(batch_df: DataFrame, batch_id: int) -> None:
-        matches = D.incremental_near_dup(base, batch_df, threshold=0.8)
+        matches = D.incremental_near_dup_indexed(spark, idx, batch_df, threshold=0.8)
         matches.write.mode("append").parquet(out_dir)
 
     try:
