@@ -44,83 +44,32 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Round-8 rotation (the driver checks the first ~50).  Composition:
-    # (a) the two r7 driver-fails, now fixed (uncast DuckDB HUGEINT in the
-    #     oracle SQL — CAST(... AS BIGINT) added; Spark side unchanged) —
-    #     window head so CORRECTNESS_r08 records the re-proof;
-    # (a') the 21 queries NEW in r8 — never driver-checked, so they must
-    #     sit inside the window (test_registry enforces this);
-    # (b) the 34 r2-era names whose last driver proof predates two corpus
-    #     regenerations (reference chain, scalar/set-op/subquery/agg/join
-    #     families, r2 relational core) — oldest-proof-first per the r7
-    #     verdict; with 20 head entries a 50-wide window reaches ~30 of
-    #     them, the tail plus
-    # (c) the 24 r3-era names (dedup/similarity/text/multimodal/UDF
-    #     families) queue immediately behind for the r9 window;
-    # (d) every query whose PLAN changed this round (staged pair-graph
-    #     trio + keep_corpus, heavy_hitters fan-out removal, range-search
-    #     bucket cap, aggregate-first null-safe join, boilerplate
-    #     min-support, anomaly decimal-square) — driver-proven in r7 or
-    #     new-this-round, re-proven by the local sf0.01 sweep after the
-    #     change, rotated here in case the window is wider than 50.
+    # Round-9 rotation (the driver checks the first ~50).  Composition:
+    # (a) the queries NEW in r9 — never driver-checked, so they must sit
+    #     inside the window (test_registry enforces this): the Python
+    #     Data Source envelope pair, the stream-stream full-outer join,
+    #     and the observed-metrics query;
+    # (b) the 7 r2-era names whose latest driver proof predates two
+    #     corpus regenerations and which sat at positions 50-54 last
+    #     round (they would have missed a 50-wide window AGAIN), then
+    # (c) the 24 r3-era names (text/multimodal/similarity/UDF/map
+    #     families and friends) — after this round every oracled name's
+    #     latest driver proof is r4 or newer;
+    # (d) queries whose PLAN or oracle-facing expression changed this
+    #     round (staged-index streaming dedup + the jaccard_verify doc_a
+    #     prune reaching the whole MinHash family, the agreement-report
+    #     zero-row coalesce, xml nullif, fk audit refactor) — re-proven
+    #     by the local sf0.01 sweep, rotated here in case the window is
+    #     wider than 50.
     front = [
         n
         for n in (
-            # (a) r7 driver-fails, oracle fixed
-            "bpe_encode",
-            "compaction_plan",
-            # (a') new in r8 — never driver-checked
-            "sim_range_search",
-            "mixture_cap_sample",
-            "mv_incremental_update",
-            "fk_integrity_audit",
-            "streaming_mv_update",
-            "recursive_rollup",
-            "window_lag_lead",
-            "variant_json_get",
-            "regex_pretokenize",
-            "snapshot_diff",
-            "k_anonymity_audit",
-            "column_profile",
-            "lateral_topk",
-            "join_null_safe",
-            "streaming_semi_join",
-            "dedup_agreement_report",
-            "xml_roundtrip",
-            "mixture_repeat_plan",
-            "cogroup_apply_in_pandas",
-            "agg_string_concat",
-            "streaming_session_dynamic",
-            # (b) r2-era: reference chain
-            "envelope_roundtrip",
-            "cast_projection",
-            "json_extract",
-            "null_filter_split",
-            "temp_view_sql",
-            # (b) r2-era: scalar / set-op / subquery / agg / join families
-            "scalar_string",
-            "scalar_date",
-            "scalar_array",
-            "set_union",
-            "set_intersect",
-            "set_except",
-            "exists_subquery",
-            "scalar_subquery",
-            "correlated_min_subquery",
-            "agg_rollup",
-            "agg_cube",
-            "agg_grouping_sets",
-            "agg_having",
-            "join_anti",
-            "join_semi",
-            "join_full",
-            "view_over_agg_max",
-            "in_aggregate_subquery",
-            "multi_exists_anti",
-            # (b) r2-era: relational core
-            "group_stats",
-            "percentiles",
-            "topk_join",
+            # (a) new in r9 — never driver-checked
+            "envelope_pyds_roundtrip",
+            "envelope_pyds_stream",
+            "streaming_full_outer_join",
+            "streaming_observed_metrics",
+            # (b) r2-era stragglers (missed the 50-wide r8 window)
             "nation_revenue",
             "join_left",
             "join_range",
@@ -153,16 +102,16 @@ def registry() -> dict[str, QuerySpec]:
             "map_functions",
             "map_entries_explode",
             "join_theta_band",
-            # (d) r8 plan changes (driver-green in r7; local sweep re-proof)
-            "dedup_components",
-            "dedup_pagerank",
-            "dedup_triangles",
-            "heavy_hitters",
-            "streaming_quantile",
-            "streaming_anomaly",
+            # (d) r9 plan / expression changes (local sf0.01 re-proof)
             "streaming_dedup_incremental",
-            "boilerplate_strip",
-            "anomaly_zscore",
+            "dedup_incremental",
+            "dedup_incremental_indexed",
+            "dedup_minhash_lsh",
+            "dedup_minhash_ngram",
+            "dedup_agreement_report",
+            "xml_roundtrip",
+            "fk_integrity_audit",
+            "mixture_cap_sample",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -39,6 +39,39 @@ def q_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_birth_year(decode_redis_envelope(synth_customer_wire(spark, sf_dir)))
 
 
+def q_envelope_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 via the Spark 4 PYTHON DATA SOURCE API: the Redis-CDC envelope
+    wire read through a registered custom source
+    (``spark.read.format("customer_envelope")``) instead of a parquet
+    re-encode — the idiomatic §2.1 source-extension point (the broker-less
+    analog of the reference's Kafka Connect Redis source + Python
+    producer, sparkpykafkajoin.py:48-54).  Downstream is the SAME Catalyst
+    decode chain as envelope_roundtrip, and the oracle is the same
+    identity-law SQL — proving the registered source emits the exact wire
+    the codec chain expects."""
+    from ..sources.envelope_source import SOURCE_NAME, register
+
+    register(spark)
+    n = load_table(spark, sf_dir, "customer").count()
+    wire = spark.read.format(SOURCE_NAME).option("n", n).load()
+    return customer_birth_year(decode_redis_envelope(wire))
+
+
+def q_envelope_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 streaming twin: the SAME registered Python data source read with
+    ``spark.readStream`` — its ``DataSourceStreamReader`` tracks a single
+    integer offset like a Kafka partition and replays [0, n) under
+    availableNow — through the same decode chain to the memory sink."""
+    from ..sources.envelope_source import SOURCE_NAME, register
+    from ..streaming.runner import run_to_memory
+
+    register(spark)
+    n = load_table(spark, sf_dir, "customer").count()
+    wire = spark.readStream.format(SOURCE_NAME).option("n", n).load()
+    decoded = customer_birth_year(decode_redis_envelope(wire))
+    return run_to_memory(decoded, spark, no_data_batches=False)
+
+
 def q_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: selectExpr binary/typed->string casts (sparkpykafkajoin.py:57)."""
     ev = load_table(spark, sf_dir, "events")
@@ -113,6 +146,24 @@ QUERIES: dict[str, QuerySpec] = {
         FROM customer
         """,
         "Redis-CDC envelope codec chain (P2/P4/P5)",
+    ),
+    "envelope_pyds_roundtrip": QuerySpec(
+        q_envelope_pyds_roundtrip,
+        f"""
+        SELECT {_ORA_EMAIL.format(k='c_custkey')} AS email,
+               {_ORA_BIRTHYEAR.format(k='c_custkey')} AS birthYear
+        FROM customer
+        """,
+        "envelope wire via registered Spark 4 Python Data Source (batch read)",
+    ),
+    "envelope_pyds_stream": QuerySpec(
+        q_envelope_pyds_stream,
+        f"""
+        SELECT {_ORA_EMAIL.format(k='c_custkey')} AS email,
+               {_ORA_BIRTHYEAR.format(k='c_custkey')} AS birthYear
+        FROM customer
+        """,
+        "envelope wire via Python Data Source stream reader (availableNow replay)",
     ),
     "cast_projection": QuerySpec(
         q_cast_projection,

@@ -436,6 +436,76 @@ FROM agg a JOIN latest l ON a.user_id = l.user_id AND l.rn = 1
 """
 
 
+def q_streaming_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: ``df.observe()`` metrics on a STREAMING query — the
+    production monitoring hook: per-micro-batch named aggregates computed
+    ON THE DATA FLOWING PAST the observe point (row counts, domain
+    counters, an exact money total, key-range bounds) and surfaced through
+    the engine's progress telemetry (``observedMetrics`` in each
+    ``StreamingQueryProgress``), with zero extra passes — CollectMetrics
+    piggybacks on the batch's own execution, unlike a side aggregation
+    which would double-scan the stream.
+
+    The query observes the raw event stream feeding a normal windowed
+    aggregation sink (monitoring must not replace the workload), then
+    FOLDS the per-batch metric rows into stream totals with each metric's
+    own merge law — counts/sums add (money via exact Decimal), min/max
+    combine — which is exactly how a metrics pipeline folds per-batch
+    observations into a dashboard.  The folded totals are the returned
+    frame, so the DuckDB oracle re-derives them from the events table in
+    plain batch SQL: the checked law is "telemetry == truth".
+    ``n_null_props`` is a data-quality gate expected to hold at 0."""
+    from decimal import Decimal
+
+    ev = stream_table(spark, sf_dir, "events").observe(
+        "ingest_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("n_null_props"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, spark, output_mode="complete", no_data_batches=False)
+    n_rows = n_purchases = n_null_props = 0
+    sum_value = Decimal(0)
+    min_eid: int | None = None
+    max_eid: int | None = None
+    for _batch_id, name, row in out.observed_metrics:
+        if name != "ingest_metrics" or not row.get("n_rows"):
+            continue  # no-data batches observe zero rows (all-null aggs)
+        n_rows += int(row["n_rows"])
+        n_purchases += int(row["n_purchases"])
+        n_null_props += int(row["n_null_props"])
+        sum_value += Decimal(str(row["sum_value"]))
+        min_eid = min(x for x in (min_eid, int(row["min_event_id"])) if x is not None)
+        max_eid = max(x for x in (max_eid, int(row["max_event_id"])) if x is not None)
+    res = spark.createDataFrame(
+        [(n_rows, n_purchases, n_null_props, float(sum_value), min_eid, max_eid)],
+        "n_rows BIGINT, n_purchases BIGINT, n_null_props BIGINT, "
+        "sum_value DOUBLE, min_event_id BIGINT, max_event_id BIGINT",
+    )
+    res.stream_input_rows = out.stream_input_rows
+    return res
+
+
+ORA_STREAMING_OBSERVED = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases,
+       CAST(COUNT(*) FILTER (props IS NULL) AS BIGINT) AS n_null_props,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+"""
+
+
 def q_streaming_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5: union of two independent streaming sources feeding one
     windowed aggregation — the multi-topic fan-in shape (e.g. regional
@@ -582,6 +652,76 @@ def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res.stream_input_rows = getattr(out, "stream_input_rows", 0)
     return res
+
+
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: stream-stream FULL OUTER interval join — the last watermark-
+    eviction join shape (inner / left-outer / left-semi are the other
+    three): matched purchase+click pairs emit immediately; UNMATCHED rows
+    on BOTH sides are held in state until the watermark proves no future
+    partner can arrive, then emit null-extended (public Spark >= 3.1,
+    StreamingSymmetricHashJoinExec with both sides' state watermarks
+    derived from the interval bounds).
+
+    A bounded availableNow replay never advances the watermark past the
+    final `delay` of real data, which would strand the tail's unmatched
+    rows in state and make the result diverge from the batch join.  Each
+    side therefore unions in one deterministic FLUSH SENTINEL (event 0
+    shifted +1 year, key -1/-2 so it matches nothing) whose only job is to
+    push the final watermark past every real row — the replay-side analog
+    of a Kafka heartbeat/punctuation message, and the reason the oracle is
+    EXACTLY the batch full-outer SQL with no empirically-pinned emission
+    frontier (contrast ORA_STREAMING_OUTER_JOIN).  Sentinels leave as the
+    two rows with negative keys, filtered after the join."""
+    ev = stream_table(spark, sf_dir, "events")
+
+    def side(event_type: str, key: str, ts: str, eid: str, sentinel_key: int):
+        real = ev.filter(F.col("event_type") == event_type).select(
+            F.col("user_id").alias(key),
+            F.col("ts").alias(ts),
+            F.col("event_id").alias(eid),
+        )
+        flush = ev.filter(F.col("event_id") == 0).select(
+            F.lit(sentinel_key).cast("long").alias(key),
+            (F.col("ts") + F.expr("INTERVAL 1 YEAR")).alias(ts),
+            F.lit(-1).cast("long").alias(eid),
+        )
+        return real.unionByName(flush).withWatermark(ts, "1 hour")
+
+    p = side("purchase", "p_uid", "p_ts", "purchase_id", -1)
+    c = side("click", "c_uid", "c_ts", "click_id", -2)
+    joined = (
+        p.join(
+            c,
+            F.expr(
+                f"p_uid = c_uid AND c_ts >= p_ts - INTERVAL {_INTERVAL_S} SECONDS"
+                " AND c_ts <= p_ts"
+            ),
+            "full_outer",
+        )
+        .filter(F.coalesce("p_uid", F.lit(0)) >= 0)
+        .filter(F.coalesce("c_uid", F.lit(0)) >= 0)
+        .select(
+            F.coalesce("p_uid", "c_uid").alias("user_id"),
+            "purchase_id",
+            "click_id",
+        )
+    )
+    # outer rows emit on watermark advance: the trailing no-data batch is
+    # load-bearing here (it evicts + null-extends), so keep it on
+    return run_to_memory(joined, spark)
+
+
+ORA_STREAMING_FULL_OUTER_JOIN = f"""
+SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL {_INTERVAL_S} SECONDS
+ AND c.ts <= p.ts
+"""
 
 
 ORA_STREAMING_SEMI_JOIN = f"""
@@ -1215,6 +1355,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_semi_join,
         ORA_STREAMING_SEMI_JOIN,
         "watermarked stream-stream LEFT SEMI interval join (qualified events)",
+    ),
+    "streaming_full_outer_join": QuerySpec(
+        q_streaming_full_outer_join,
+        ORA_STREAMING_FULL_OUTER_JOIN,
+        "watermarked stream-stream FULL OUTER interval join (sentinel-flushed replay)",
+    ),
+    "streaming_observed_metrics": QuerySpec(
+        q_streaming_observed_metrics,
+        ORA_STREAMING_OBSERVED,
+        "df.observe() per-batch telemetry folded to stream totals (telemetry == truth)",
     ),
     "streaming_mv_update": QuerySpec(
         q_streaming_mv_update,

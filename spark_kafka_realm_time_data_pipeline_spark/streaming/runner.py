@@ -131,6 +131,14 @@ def run_to_memory(
         input_rows = sum(
             int(p["numInputRows"]) for p in (query.recentProgress or []) if p
         )
+        # Per-batch df.observe() metric rows, keyed by observation name —
+        # recorded the same way (the StreamingQuery object dies in finally).
+        observed = [
+            (p["batchId"], name, row.asDict() if hasattr(row, "asDict") else dict(row))
+            for p in (query.recentProgress or [])
+            if p
+            for name, row in (p["observedMetrics"] or {}).items()
+        ]
     finally:
         if query is not None:
             query.stop()
@@ -143,7 +151,8 @@ def run_to_memory(
     # result table for the life of the session
     out = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
-    # plain Python attribute on the returned (batch) DataFrame — consumed
-    # by bench.py's rows/s; harmless everywhere else
+    # plain Python attributes on the returned (batch) DataFrame — consumed
+    # by bench.py's rows/s and the observed-metrics query; harmless elsewhere
     out.stream_input_rows = input_rows
+    out.observed_metrics = observed
     return out
