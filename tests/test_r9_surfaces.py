@@ -1,0 +1,117 @@
+"""Semantic invariants for the r9 additions — the Python Data Source
+envelope wire, the stream-stream full-outer interval join, and the
+df.observe() metrics fold.  The oracle hash proves engine parity; these
+pin the meaning (wire-law equivalence, outer-row completeness,
+telemetry == truth) the hash can't express.
+"""
+
+import base64
+import json
+
+from pyspark.sql import functions as F
+
+from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+from spark_kafka_realm_time_data_pipeline_spark.sources.envelope_source import (
+    SOURCE_NAME,
+    envelope_value,
+    register,
+)
+
+from conftest import SF_DIR
+
+
+def _run(spark, name):
+    return registry()[name].fn(spark, SF_DIR)
+
+
+def test_envelope_value_wire_law():
+    """The pure-Python generator emits the documented envelope: base64
+    'Customer' key, one zSetEntry whose element decodes to the synthetic
+    identity for key k."""
+    env = json.loads(envelope_value(42))
+    assert base64.b64decode(env["key"]) == b"Customer"
+    assert env["existType"] == "NONE" and env["Ch"] is False
+    doc = json.loads(base64.b64decode(env["zSetEntries"][0]["element"]))
+    assert doc["customerName"] == "Customer#000000042"
+    assert doc["email"] == "user42@test.com"
+    assert doc["birthDay"] == "1948-05-24"  # 1940-01-01 + (42*73) % 21915 days
+
+
+def test_envelope_pyds_equals_parquet_reencode_path(spark):
+    """The registered source + Catalyst decode chain produces exactly the
+    rows the parquet-re-encode path (envelope_roundtrip) produces — the
+    two wire synthesizers implement one law."""
+    via_source = {tuple(r) for r in _run(spark, "envelope_pyds_roundtrip").collect()}
+    via_parquet = {tuple(r) for r in _run(spark, "envelope_roundtrip").collect()}
+    assert via_source == via_parquet and via_source
+
+
+def test_envelope_pyds_partitioning(spark):
+    """numPartitions splits the key range without loss or duplication."""
+    register(spark)
+    df = spark.read.format(SOURCE_NAME).option("n", 10).option("numPartitions", 3).load()
+    assert df.rdd.getNumPartitions() == 3
+    vals = [json.loads(r.value) for r in df.collect()]
+    docs = {json.loads(base64.b64decode(v["zSetEntries"][0]["element"]))["email"] for v in vals}
+    assert docs == {f"user{k}@test.com" for k in range(10)}
+
+
+def test_full_outer_join_equals_batch(spark):
+    """The watermark-eviction full outer (with flush sentinels) equals the
+    batch full-outer interval join row-for-row — matched pairs AND both
+    sides' null-extended unmatched rows."""
+    from spark_kafka_realm_time_data_pipeline_spark.queries.streaming import _INTERVAL_S
+
+    def _key(t):  # None-safe sort (outer rows carry nulls)
+        return tuple((x is None, x or 0) for x in t)
+
+    got = sorted(
+        (tuple(r) for r in _run(spark, "streaming_full_outer_join").collect()),
+        key=_key,
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    want = sorted(
+        (tuple(r)
+        for r in p.join(
+            c,
+            F.expr(
+                f"p_uid = c_uid AND c_ts >= p_ts - INTERVAL {_INTERVAL_S} SECONDS"
+                " AND c_ts <= p_ts"
+            ),
+            "full_outer",
+        )
+        .select(F.coalesce("p_uid", "c_uid").alias("user_id"), "purchase_id", "click_id")
+        .collect()),
+        key=_key,
+    )
+    assert got == want
+    # both outer shapes actually occur in the corpus (the test would be
+    # vacuous on data where everything matches)
+    assert any(r[1] is None for r in got) and any(r[2] is None for r in got)
+
+
+def test_observed_metrics_equal_truth(spark):
+    """Folded per-batch observe() telemetry == direct batch aggregation."""
+    row = _run(spark, "streaming_observed_metrics").collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    truth = ev.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    ).collect()[0]
+    assert row.n_rows == truth.n_rows
+    assert row.n_purchases == truth.n_purchases
+    assert row.n_null_props == 0  # the data-quality gate holds
+    assert abs(row.sum_value - truth.sum_value) < 1e-9
+    assert row.min_event_id == truth.min_event_id
+    assert row.max_event_id == truth.max_event_id
