@@ -174,6 +174,10 @@ HEADLINE += [
     "mixture_repeat_plan",
     "agg_string_concat",
     "streaming_session_dynamic",
+    # round-9 additions
+    "streaming_full_outer_join",
+    "streaming_observed_metrics",
+    "envelope_pyds_roundtrip",
     # cogroup_apply_in_pandas stays out of the bench slice like the other
     # grouped-map UDFs (apply_in_pandas, python_udtf): the family is
     # represented by pandas_udf_scalar + multimodal_features, and per-key

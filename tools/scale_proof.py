@@ -86,6 +86,18 @@ QUERIES = [
     "k_anonymity_audit",
     "lateral_topk",
     "streaming_semi_join",
+    # round-9 extension: the r8 verdict's remaining scale-unproven top-20
+    # bench lines, plus the r9 additions
+    "streaming_dedup_incremental",
+    "streaming_stedi_join",
+    "sim_recall_report",
+    "column_profile",
+    "streaming_interval_join",
+    "bpe_merge_steps",
+    "streaming_full_outer_join",
+    "streaming_observed_metrics",
+    "envelope_pyds_roundtrip",
+    "dedup_agreement_report",
 ]
 
 
@@ -128,12 +140,19 @@ def main() -> None:
         if q in small.get("queries", {}) and q in big.get("queries", {})
         and small["queries"][q] > 0
     }
+    # merge into the existing artifact so an argv-subset run EXTENDS the
+    # proof instead of silently shrinking it to the subset
+    prior: dict = {}
+    artifact = os.path.join(REPO, "BENCH_sf1.json")
+    if os.path.exists(artifact):
+        with open(artifact) as f:
+            prior = json.load(f)
     result = {
         "metric": "sf1_scale_proof",
         "data_scale": 10,
-        "sf0.1": small.get("queries", {}),
-        "sf1": big.get("queries", {}),
-        "ratio": ratio,
+        "sf0.1": {**prior.get("sf0.1", {}), **small.get("queries", {})},
+        "sf1": {**prior.get("sf1", {}), **big.get("queries", {})},
+        "ratio": {**prior.get("ratio", {}), **ratio},
         "errors": {**small.get("errors", {}), **big.get("errors", {})},
         "note": (
             "10x data on the same local[32] box; near-linear = ratio <= ~12. "
