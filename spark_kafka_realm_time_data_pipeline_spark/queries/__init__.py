@@ -67,8 +67,10 @@ def registry() -> dict[str, QuerySpec]:
             # (a) new in r9 — never driver-checked
             "envelope_pyds_roundtrip",
             "envelope_pyds_stream",
+            "envelope_pyds_sink",
             "streaming_full_outer_join",
             "streaming_observed_metrics",
+            "state_store_inspect",
             # (b) r2-era stragglers (missed the 50-wide r8 window)
             "nation_revenue",
             "join_left",

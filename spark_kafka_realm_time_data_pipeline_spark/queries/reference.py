@@ -72,6 +72,54 @@ def q_envelope_pyds_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(decoded, spark, no_data_batches=False)
 
 
+def q_envelope_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 via the Python Data Source WRITER API: the risk stream's sink
+    side (the reference publishes to a Kafka topic,
+    sparkpykafkajoin.py:202-209) expressed as a registered
+    ``DataSourceStreamWriter`` — per-partition staging writes, two-phase
+    commit renaming each micro-batch's files into place, abort discarding
+    them.  The written JSON-lines are read back and returned, so the
+    oracle checks the full write-then-read round trip.
+
+    Local-mode caveat (same as every foreachBatch parquet sink here): the
+    sink directory is driver-local tempdir, valid because local[] workers
+    share the driver's filesystem; on a real cluster point ``path`` at
+    shared storage."""
+    import shutil
+    import tempfile
+
+    from ..functions.codec import parse_stedi_events
+    from ..sources.envelope_source import SOURCE_NAME, register
+    from ..streaming.pipeline import synth_event_wire_stream
+
+    register(spark)
+    risk = parse_stedi_events(synth_event_wire_stream(spark, sf_dir)).select(
+        "customer", "score"
+    )
+    out_dir = tempfile.mkdtemp(prefix="pyds_sink_")
+    ckpt = tempfile.mkdtemp(prefix="pyds_sink_ckpt_")
+    try:
+        query = (
+            risk.writeStream.format(SOURCE_NAME)
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("python-sink replay did not finish in 300s")
+        finally:
+            query.stop()
+        back = spark.read.schema("customer string, score double").json(
+            f"{out_dir}/batch-*"
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: selectExpr binary/typed->string casts (sparkpykafkajoin.py:57)."""
     ev = load_table(spark, sf_dir, "events")
@@ -164,6 +212,15 @@ QUERIES: dict[str, QuerySpec] = {
         FROM customer
         """,
         "envelope wire via Python Data Source stream reader (availableNow replay)",
+    ),
+    "envelope_pyds_sink": QuerySpec(
+        q_envelope_pyds_sink,
+        f"""
+        SELECT {_ORA_EMAIL.format(k='user_id')} AS customer,
+               value AS score
+        FROM events
+        """,
+        "risk stream through the Python Data Source stream WRITER (two-phase commit)",
     ),
     "cast_projection": QuerySpec(
         q_cast_projection,

@@ -506,6 +506,68 @@ FROM events
 """
 
 
+def q_state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 ops: the Spark 4 STATE DATA SOURCE — the checkpointed state of
+    a streaming aggregation read back as a DataFrame
+    (``spark.read.format("statestore").load(ckpt)``), the incident-
+    response tool for "what does my stream think right now": inspect hot
+    keys, audit state size, debug a wrong running total WITHOUT stopping
+    or instrumenting the query.  Here a per-event-type count+sum
+    aggregation runs to completion, then its state store is read back and
+    the aggregate BUFFERS (key struct + count/sum fields) are projected
+    out.  The oracle recomputes the same totals from the raw table in
+    batch SQL — the checked law is "checkpointed state == truth", which
+    is exactly what an operator needs to trust state inspection.
+
+    Scale shape: the state read is partition-parallel over the store's
+    own layout (one task per state partition) and never replays the
+    stream; at 100 TB you point it at the production checkpoint on S3/
+    HDFS and read only the operator/batch you care about."""
+    import shutil
+    import tempfile
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="state_inspect_")
+    qname = f"state_inspect_{os.path.basename(ckpt)[-6:]}"
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("state-inspect replay did not finish in 300s")
+        finally:
+            query.stop()
+        spark.catalog.dropTempView(qname)
+        st = spark.read.format("statestore").load(ckpt)
+        # buffer fields use the PHYSICAL aggregate names (count/sum), not
+        # the query aliases — part of what this query documents
+        return st.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+            F.col("value.sum").cast("double").alias("sum_value"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+ORA_STATE_INSPECT = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_streaming_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5: union of two independent streaming sources feeding one
     windowed aggregation — the multi-topic fan-in shape (e.g. regional
@@ -1365,6 +1427,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_observed_metrics,
         ORA_STREAMING_OBSERVED,
         "df.observe() per-batch telemetry folded to stream totals (telemetry == truth)",
+    ),
+    "state_store_inspect": QuerySpec(
+        q_state_store_inspect,
+        ORA_STATE_INSPECT,
+        "Spark 4 state data source: checkpointed aggregation state read back == truth",
     ),
     "streaming_mv_update": QuerySpec(
         q_streaming_mv_update,

@@ -43,7 +43,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SOURCE_NAME = "customer_envelope"
@@ -131,9 +133,70 @@ class _EnvelopeStreamReader(DataSourceStreamReader):
         pass
 
 
+class _JsonlCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Kafka-producer analog as a Python stream SINK: each partition task
+    writes its micro-batch slice to a private staging file (task attempt
+    scoped, so a re-run never corrupts a reader), and ``commit`` renames
+    the whole batch's files into place atomically-enough for a
+    list-after-commit reader; ``abort`` discards the staging files.  The
+    two-phase layout is the same contract the parquet sink's
+    ``_temporary`` dirs implement — stated in Python so the API surface
+    is demonstrated end to end."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        staging = os.path.join(
+            self.path, f".staging-{part:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        )
+        n = 0
+        with open(staging, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommitMessage(staging, n)
+
+    def commit(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is None or m.n_rows == 0:
+                if m is not None:
+                    os.remove(m.path)
+                continue
+            final = os.path.join(
+                self.path,
+                f"batch-{batchId:08d}-{os.path.basename(m.path)[len('.staging-'):]}",
+            )
+            os.rename(m.path, final)
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class EnvelopeDataSource(DataSource):
-    """Options: ``n`` (number of customers, required), ``numPartitions``
-    (default 8)."""
+    """Reader options: ``n`` (number of customers, required),
+    ``numPartitions`` (default 8).  Writer options: ``path`` (directory
+    for the JSON-lines sink)."""
 
     @classmethod
     def name(cls):
@@ -153,6 +216,9 @@ class EnvelopeDataSource(DataSource):
     def streamReader(self, schema):
         n, parts = self._params()
         return _EnvelopeStreamReader(n, parts, batch_size=n)
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonlStreamWriter(self.options["path"])
 
 
 def register(spark) -> None:

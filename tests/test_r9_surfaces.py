@@ -98,6 +98,58 @@ def test_full_outer_join_equals_batch(spark):
     assert any(r[1] is None for r in got) and any(r[2] is None for r in got)
 
 
+def test_pyds_sink_round_trip_and_layout(spark, tmp_path):
+    """The Python stream writer two-phase commit: committed files carry
+    the batch prefix, no staging litter survives, and the read-back rows
+    equal the stream's input."""
+    import os
+
+    from spark_kafka_realm_time_data_pipeline_spark.sources.envelope_source import (
+        SOURCE_NAME,
+    )
+
+    register(spark)
+    src = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(20)], "id long, name string"
+    )
+    src_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    src.repartition(4).write.parquet(src_dir)
+    stream = spark.readStream.schema("id long, name string").parquet(src_dir)
+    q = (
+        stream.writeStream.format(SOURCE_NAME)
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    files = os.listdir(out_dir)
+    assert files and all(f.startswith("batch-") for f in files), files
+    back = spark.read.schema("id long, name string").json(f"{out_dir}/batch-*")
+    assert {tuple(r) for r in back.collect()} == {(i, f"c{i}") for i in range(20)}
+
+
+def test_state_store_inspect_equals_truth(spark):
+    """Checkpointed aggregation state read via the state data source
+    equals a direct batch aggregation of the same table."""
+    got = {
+        r.event_type: (r.n_events, round(r.sum_value, 2))
+        for r in _run(spark, "state_store_inspect").collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        r.event_type: (r.n_events, round(r.sum_value, 2))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_observed_metrics_equal_truth(spark):
     """Folded per-batch observe() telemetry == direct batch aggregation."""
     row = _run(spark, "streaming_observed_metrics").collect()[0]
