@@ -71,6 +71,8 @@ def registry() -> dict[str, QuerySpec]:
             "streaming_full_outer_join",
             "streaming_observed_metrics",
             "state_store_inspect",
+            "sql_udf_pricing",
+            "param_sql_topk",
             # (b) r2-era stragglers (missed the 50-wide r8 window)
             "nation_revenue",
             "join_left",

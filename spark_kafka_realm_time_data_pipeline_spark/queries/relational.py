@@ -1155,6 +1155,87 @@ FROM orders
 """
 
 
+def q_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (``CREATE FUNCTION ... RETURNS ... RETURN expr``):
+    the TPC-H pricing expressions packaged as named, reusable SQL-language
+    functions — the warehouse-catalog way to share business logic without
+    leaving Catalyst (the function BODY is inlined into the plan at
+    analysis time, so this costs exactly zero vs writing the expression
+    out; contrast a Python UDF, which would break codegen).  The oracle
+    states the same aggregation with the expressions inlined by hand —
+    proving the inlining law.  Decimal-exact per repo discipline."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DECIMAL(12,2), d DECIMAL(12,2)) "
+        "RETURNS DECIMAL(18,4) RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge(p DECIMAL(12,2), d DECIMAL(12,2), t DECIMAL(12,2)) "
+        "RETURNS DECIMAL(24,6) RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(disc_price(CAST(l_extendedprice AS DECIMAL(12,2)),
+                                   CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                 AS sum_disc_price,
+               CAST(SUM(charge(CAST(l_extendedprice AS DECIMAL(12,2)),
+                               CAST(l_discount AS DECIMAL(12,2)),
+                               CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge
+        FROM li_sqludf GROUP BY l_returnflag
+        """
+    )
+
+
+ORA_SQL_UDF_PRICING = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+_PARAM_SEGMENT = "BUILDING"
+_PARAM_TOPK = 25
+
+
+def q_param_sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (``spark.sql(query, args={...})``): named
+    placeholders bound server-side — the injection-safe templating API an
+    application layer should use instead of f-string SQL.  The statement
+    is a segment-filtered customer top-k; the oracle is the same SQL with
+    the parameters spelled as literals, proving binding == inlining."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_param")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_param")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+        FROM cust_param JOIN ord_param ON o_custkey = c_custkey
+        WHERE c_mktsegment = :seg
+        GROUP BY c_custkey, c_name
+        ORDER BY total_spent DESC, c_custkey
+        LIMIT :k
+        """,
+        args={"seg": _PARAM_SEGMENT, "k": _PARAM_TOPK},
+    )
+
+
+ORA_PARAM_SQL_TOPK = f"""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE c_mktsegment = '{_PARAM_SEGMENT}'
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT {_PARAM_TOPK}
+"""
+
+
 def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IEEE-exact scalar math only (abs/floor/ceil/sqrt/arithmetic/mod) —
     hash-stable across engines without rounding tricks."""
@@ -2590,6 +2671,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_merge_upsert, ORA_MERGE_UPSERT, "MERGE INTO semantics via full outer join"
     ),
     "pricing_summary": QuerySpec(q_pricing_summary, ORA_PRICING, "TPC-H Q1 hash-agg"),
+    "sql_udf_pricing": QuerySpec(
+        q_sql_udf_pricing,
+        ORA_SQL_UDF_PRICING,
+        "Spark 4 SQL-language UDFs inlined by Catalyst (pricing expressions)",
+    ),
+    "param_sql_topk": QuerySpec(
+        q_param_sql_topk,
+        ORA_PARAM_SQL_TOPK,
+        "parameterized spark.sql(args=...) named-placeholder binding == literal SQL",
+    ),
     "filtered_revenue": QuerySpec(q_filtered_revenue, ORA_FILTERED_REVENUE, "TPC-H Q6 scan+agg"),
     "group_stats": QuerySpec(q_group_stats, ORA_GROUP_STATS, "group agg + count distinct"),
     "agg_rollup": QuerySpec(q_rollup, ORA_ROLLUP, "ROLLUP"),
