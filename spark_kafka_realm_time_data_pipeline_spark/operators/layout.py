@@ -74,3 +74,65 @@ def zorder_layout(df: DataFrame, x: str, y: str, n_files: int, bits: int = DEFAU
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def compact_small_files(
+    spark, src_dir: str, out_dir: str, target_bytes: int
+) -> dict:
+    """Small-files compaction EXECUTOR — the rewrite the planner
+    (`q_compaction_plan`) only reports: bin-pack the table's data files
+    into `target_bytes` output groups by contiguous roll-over packing and
+    rewrite each group as exactly ONE file, in a single Spark job.
+
+    Shape (the Iceberg `rewriteDataFiles` / Delta `OPTIMIZE` move, in
+    plain open Spark):
+    - the file manifest is DRIVER-SIDE METADATA (name + size per data
+      file), as in any table format; packing it is integer arithmetic
+      over |files| rows, never row data;
+    - the rewrite is ONE distributed plan: scan all input files, tag each
+      row with its file's assigned bucket via a broadcast manifest join
+      on `input_file_name()`, hash-repartition on the bucket id, and
+      `write.partitionBy(bucket)` — each bucket lands wholly in one task,
+      so each output directory holds exactly one data file.  No driver
+      loop over groups, no per-group job storm: 10k small files compact
+      in one shuffle.
+
+    Returns {"n_input_files", "n_output_files", "out_dir"}; the caller
+    verifies content preservation (that is the oracle's job — a rewrite
+    that loses or duplicates rows must fail the value hash)."""
+    import os
+
+    parts = sorted(
+        f
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    sizes = [os.path.getsize(os.path.join(src_dir, f)) for f in parts]
+    buckets, start = [], 0
+    for sz in sizes:
+        buckets.append(start // target_bytes)
+        start += sz
+    manifest = spark.createDataFrame(
+        list(zip(parts, buckets)), "file_name string, compact_bucket bigint"
+    )
+    df = spark.read.parquet(src_dir).withColumn(
+        "file_name", F.substring_index(F.input_file_name(), "/", -1)
+    )
+    (
+        df.join(F.broadcast(manifest), "file_name")
+        .drop("file_name")
+        .repartition("compact_bucket")
+        .write.mode("overwrite")
+        .partitionBy("compact_bucket")
+        .parquet(out_dir)
+    )
+    n_out = 0
+    for root, _dirs, files in os.walk(out_dir):
+        n_out += sum(
+            1 for f in files if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return {
+        "n_input_files": len(parts),
+        "n_output_files": n_out,
+        "out_dir": out_dir,
+    }

@@ -73,6 +73,7 @@ def registry() -> dict[str, QuerySpec]:
             "state_store_inspect",
             "sql_udf_pricing",
             "param_sql_topk",
+            "compaction_execute",
             # (b) r2-era stragglers (missed the 50-wide r8 window)
             "nation_revenue",
             "join_left",

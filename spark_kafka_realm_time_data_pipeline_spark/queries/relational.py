@@ -1651,6 +1651,62 @@ FROM planned GROUP BY source, bucket
 """
 
 
+def q_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction EXECUTOR (`operators/layout.py:
+    compact_small_files`): a deliberately fragmented copy of the documents
+    table (48 tiny files, staged once per corpus fingerprint) is
+    bin-packed and rewritten as one-file-per-bucket in a single shuffle —
+    scan + broadcast manifest join + repartition(bucket) +
+    write.partitionBy(bucket), the OPTIMIZE/rewriteDataFiles move with no
+    driver loop over groups.  The returned frame is the COMPACTED table's
+    per-source content summary, so the DuckDB oracle (same summary from
+    the original table) makes "rewrite preserves every row" the checked
+    property; the file-count collapse itself is pinned by pytest."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.layout import compact_small_files
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+    ).hexdigest()[:12]
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    frag = os.path.join(root, f"frag_docs_{tag}")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").repartition(48).write.mode(
+            "overwrite"
+        ).parquet(frag)
+    out = tempfile.mkdtemp(prefix="compacted_")
+    try:
+        compact_small_files(spark, frag, out, target_bytes=1 << 20)
+        compacted = spark.read.parquet(out)
+        return (
+            compacted.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORA_COMPACTION_EXECUTE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents GROUP BY source
+"""
+
+
 def q_cdc_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge WITH DELETES: each event carries a derived op (every
     event_id % 10 == 0 row is a tombstone); the materialized state keeps a
@@ -2590,6 +2646,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_anomaly_zscore,
         ORA_ANOMALY_ZSCORE,
         "daily volume anomaly monitor (portable IEEE z-score)",
+    ),
+    "compaction_execute": QuerySpec(
+        q_compaction_execute,
+        ORA_COMPACTION_EXECUTE,
+        "small-files compaction executor (one-shuffle rewrite preserves every row)",
     ),
     "compaction_plan": QuerySpec(
         q_compaction_plan,

@@ -150,6 +150,35 @@ def test_state_store_inspect_equals_truth(spark):
     assert got == want
 
 
+def test_compaction_collapses_files_one_per_bucket(spark, tmp_path):
+    """48 fragment files bin-pack into far fewer buckets, exactly one
+    data file per bucket directory, and the row multiset is preserved."""
+    import os
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "out")
+    docs.repartition(48).write.parquet(frag)
+    stats = compact_small_files(spark, frag, out, target_bytes=1 << 20)
+    assert stats["n_input_files"] == 48
+    assert 0 < stats["n_output_files"] < 48
+    bucket_dirs = [d for d in os.listdir(out) if d.startswith("compact_bucket=")]
+    assert len(bucket_dirs) == stats["n_output_files"]
+    for d in bucket_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        assert len(files) == 1, (d, files)
+    back = spark.read.parquet(out).drop("compact_bucket")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
 def test_observed_metrics_equal_truth(spark):
     """Folded per-batch observe() telemetry == direct batch aggregation."""
     row = _run(spark, "streaming_observed_metrics").collect()[0]
