@@ -74,6 +74,7 @@ def registry() -> dict[str, QuerySpec]:
             "sql_udf_pricing",
             "param_sql_topk",
             "compaction_execute",
+            "schema_merge_read",
             # (b) r2-era stragglers (missed the 50-wide r8 window)
             "nation_revenue",
             "join_left",

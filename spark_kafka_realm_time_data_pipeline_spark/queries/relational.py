@@ -1707,6 +1707,49 @@ FROM documents GROUP BY source
 """
 
 
+def q_schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION read: two parquet snapshots of the documents
+    table written under drifted schemas — an old snapshot (doc_id, lang,
+    source) and a new one that ADDED a column (+ n_chars) — scanned as one
+    dataset with ``mergeSchema=true``: Spark unions the file schemas and
+    null-fills the missing column for old files, which is exactly how a
+    100 TB lake absorbs additive schema changes without rewriting
+    history (column pruning and pushdown still apply per file footer).
+    Old/new split is doc_id parity; the oracle replays the union with an
+    explicit NULL for the old half's missing column."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+    ).hexdigest()[:12]
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    snap = os.path.join(root, f"schema_drift_{tag}")
+    if not os.path.exists(os.path.join(snap, "v2", "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "source"
+        ).write.mode("overwrite").parquet(os.path.join(snap, "v1"))
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "source", "n_chars"
+        ).write.mode("overwrite").parquet(os.path.join(snap, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(snap, "v1"), os.path.join(snap, "v2")
+    )
+    return merged.select("doc_id", "lang", "source", "n_chars")
+
+
+ORA_SCHEMA_MERGE_READ = """
+SELECT doc_id, lang, source, CAST(NULL AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
 def q_cdc_tombstone_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge WITH DELETES: each event carries a derived op (every
     event_id % 10 == 0 row is a tombstone); the materialized state keeps a
@@ -2646,6 +2689,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_anomaly_zscore,
         ORA_ANOMALY_ZSCORE,
         "daily volume anomaly monitor (portable IEEE z-score)",
+    ),
+    "schema_merge_read": QuerySpec(
+        q_schema_merge_read,
+        ORA_SCHEMA_MERGE_READ,
+        "mergeSchema read over drifted snapshots (additive evolution, null-fill)",
     ),
     "compaction_execute": QuerySpec(
         q_compaction_execute,
