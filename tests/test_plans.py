@@ -146,6 +146,47 @@ def test_no_python_row_udfs(spark):
         assert "BatchEvalPython" not in _plan(spark, name), name
 
 
+def test_sql_udf_inlines_to_jvm_expressions(spark):
+    """SQL-language UDFs must inline at analysis time: the pricing plan
+    contains no Python evaluation of any kind and still whole-stage
+    codegens — the zero-cost claim in q_sql_udf_pricing's docstring."""
+    plan = _plan(spark, "sql_udf_pricing")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # the UDF bodies appear as plain Catalyst arithmetic inside the
+    # (map-side-partial) aggregate, and the scan is column-pruned
+    assert "partial_sum" in plan and "(1 - d#" in plan, plan
+    assert "ReadSchema: struct<l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string>" in plan, plan
+
+
+def test_param_sql_binds_as_literals(spark):
+    """Parameterized SQL binds placeholders server-side: the top-k plan is
+    a TakeOrderedAndProject with the bound limit, not a full sort."""
+    plan = _plan(spark, "param_sql_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_schema_merge_read_null_fills_old_files(spark):
+    """mergeSchema union: rows from the old snapshot carry NULL n_chars,
+    rows from the new snapshot carry real values, and the merged schema
+    exposes the superset."""
+    import pyspark.sql.functions as F
+
+    df = registry()["schema_merge_read"].fn(spark, SF_DIR)
+    assert set(df.columns) == {"doc_id", "lang", "source", "n_chars"}
+    halves = {
+        (r.old, r.has_chars): r.n
+        for r in df.groupBy(
+            (F.col("doc_id") % 2 == 0).alias("old"),
+            F.col("n_chars").isNotNull().alias("has_chars"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert halves.get((True, False), 0) > 0  # old files: null-filled
+    assert halves.get((False, True), 0) > 0  # new files: real values
+    assert (True, True) not in halves and (False, False) not in halves
+
+
 def test_salted_join_splits_planted_hot_key(spark):
     """Planted-skew fixture: one user owns 30% of a 50k-row fact table.
     Unsalted, that key's rows collapse onto ONE reducer (max task share >=
