@@ -98,6 +98,14 @@ QUERIES = [
     "streaming_observed_metrics",
     "envelope_pyds_roundtrip",
     "dedup_agreement_report",
+    # late-round-9 additions
+    "sql_udf_pricing",
+    "param_sql_topk",
+    "compaction_execute",
+    "schema_merge_read",
+    "state_store_inspect",
+    "envelope_pyds_sink",
+    "envelope_pyds_stream",
 ]
 
 
