@@ -178,6 +178,10 @@ HEADLINE += [
     "streaming_full_outer_join",
     "streaming_observed_metrics",
     "envelope_pyds_roundtrip",
+    "bucketed_join",
+    "lm_perplexity_filter",
+    # apply_in_arrow stays out of the bench slice with the rest of the
+    # grouped-map UDF family (same per-key Python call shape) — see below.
     # cogroup_apply_in_pandas stays out of the bench slice like the other
     # grouped-map UDFs (apply_in_pandas, python_udtf): the family is
     # represented by pandas_udf_scalar + multimodal_features, and per-key

@@ -336,6 +336,86 @@ WHERE n >= {LM_MIN_COUNT}
 """
 
 
+# --- bigram-LM perplexity filter ---------------------------------------------
+
+# Keep threshold in milli-bits of average per-bigram surprisal: docs whose
+# mean floor(log2(1/P(w2|w1))) exceeds this read as LM-implausible (noise,
+# boilerplate soup, wrong-language shards) and are dropped.  4300 sits in
+# the upper half of every test corpus's score distribution (centers drift
+# down as the corpus grows — more data, lower perplexity — from ~4.33
+# bits at sf0.001 to ~4.14 at sf0.1), so both verdicts occur at every SF;
+# production would tune this on a held-out set exactly like CCNet does.
+PPL_KEEP_MILLI_BITS = 4300
+
+
+def lm_perplexity_filter(docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity quality filter, self-scored: train the bigram
+    model on the corpus (ngram_lm_counts' shape, unfloored so every observed
+    bigram has a probability), then score each doc by its average per-bigram
+    surprisal and keep the low-perplexity side of the threshold.
+
+    Surprisal is BIT-QUANTIZED — floor(log2(ctx_n / n)) computed as
+    length(bin(ctx_n div n)) - 1, pure integer arithmetic — so the score is
+    hash-exact across engines (the repo's no-libm discipline: ln() differs
+    by ulps between JVM and C libm).  Production swaps in a KenLM scorer via
+    mapInPandas; the Spark shape is identical either way: one explode pass
+    to train (vocab-bounded shuffle after map-side combine), one explode
+    pass to score joined against the vocab-bounded model (broadcastable
+    when the vocab head is small; a key-shuffle join otherwise), one per-doc
+    aggregate.  At 100 TB the model is a maintained table — train once,
+    score every shard."""
+    from .dedup import fan_out
+
+    big = fan_out(docs).select(
+        "doc_id", F.explode(_word_ngrams(n=2)).alias("bigram")
+    )
+    counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    with_ctx = counts.withColumn("w1", F.split("bigram", " ")[0])
+    ctx = with_ctx.groupBy("w1").agg(F.sum("n").cast("bigint").alias("ctx_n"))
+    model = with_ctx.join(ctx, "w1").select(
+        "bigram",
+        (F.length(F.bin(F.expr("ctx_n div n"))) - 1).cast("bigint").alias("bits"),
+    )
+    scored = big.join(model, "bigram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").cast("bigint").alias("total_bits"),
+    )
+    avg_milli = F.expr("(1000 * total_bits) div n_bigrams")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        avg_milli.cast("bigint").alias("avg_milli_bits"),
+        (avg_milli <= PPL_KEEP_MILLI_BITS).alias("keep"),
+    )
+
+
+ORA_LM_PERPLEXITY = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), big AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 1), ' ') AS bigram
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+), counts AS (
+  SELECT bigram, COUNT(*) AS n, split_part(bigram, ' ', 1) AS w1
+  FROM big GROUP BY bigram
+), ctx AS (
+  SELECT w1, CAST(SUM(n) AS BIGINT) AS ctx_n FROM counts GROUP BY w1
+), model AS (
+  SELECT bigram, length(bin(CAST(ctx_n // n AS BIGINT))) - 1 AS bits
+  FROM counts JOIN ctx USING (w1)
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits) AS BIGINT) AS total_bits
+  FROM big JOIN model USING (bigram) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, total_bits,
+       CAST((1000 * total_bits) // n_bigrams AS BIGINT) AS avg_milli_bits,
+       (1000 * total_bits) // n_bigrams <= {PPL_KEEP_MILLI_BITS} AS keep
+FROM scored
+"""
+
+
 # --- URL canonicalization dedup ---------------------------------------------
 
 

@@ -65,6 +65,9 @@ def registry() -> dict[str, QuerySpec]:
         n
         for n in (
             # (a) new in r9 — never driver-checked
+            "bucketed_join",
+            "apply_in_arrow",
+            "lm_perplexity_filter",
             "envelope_pyds_roundtrip",
             "envelope_pyds_stream",
             "envelope_pyds_sink",

@@ -44,6 +44,10 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.ngram_lm_counts(_docs(spark, sf_dir))
 
 
+def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.lm_perplexity_filter(_docs(spark, sf_dir))
+
+
 def q_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.url_host_dedup(_docs(spark, sf_dir))
 
@@ -144,6 +148,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_ngram_lm_counts,
         C.ORA_NGRAM_LM_COUNTS,
         "bigram LM counts + conditional probabilities",
+    ),
+    "lm_perplexity_filter": QuerySpec(
+        q_lm_perplexity_filter,
+        C.ORA_LM_PERPLEXITY,
+        "bigram-LM perplexity quality filter (bit-quantized surprisal, no libm)",
     ),
     "url_host_dedup": QuerySpec(
         q_url_host_dedup,

@@ -1707,6 +1707,104 @@ FROM documents GROUP BY source
 """
 
 
+# Bucketed tables staged once per (session, corpus): key -> (orders_tbl,
+# lineitem_tbl) catalog names.  Same maintained-table pattern as the dedup
+# pair graph — locally a session-scratch external table, on a cluster the
+# published bucketed layout the ingest pipeline maintains.
+_BUCKETED_TABLES: dict[str, tuple[str, str]] = {}
+
+# Bucket count is a LAYOUT property, fixed at write time.  8 buckets keeps
+# the local staging cheap; a cluster layout sizes it to executor count
+# (e.g. 4096) — the query code is unchanged, only the maintained table's
+# DDL differs.
+_N_BUCKETS = 8
+
+
+def _staged_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """orders + lineitem as BUCKETED, SORTED catalog tables (bucketBy on the
+    join key, same bucket count both sides) — the layout that makes the
+    fact-fact join shuffle-FREE: each task reads bucket i of both tables and
+    merge-joins in place.  At 100 TB this is the single biggest join
+    optimization available (the shuffle it deletes is the dominant cost),
+    which is why warehouses maintain bucketed layouts for their hottest join
+    keys.  Writer detail: repartition(N, key) before bucketBy(N, key) uses
+    the same hash, so each task holds exactly one bucket -> one file per
+    bucket (no small-file explosion, and the sorted property holds
+    per-file)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = f"{id(spark._jsparkSession)}:{sf_dir}"
+    names = _BUCKETED_TABLES.get(key)
+    if names is None:
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        o_tbl, l_tbl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+        scratch = tempfile.mkdtemp(prefix="bucketed_")
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .repartition(_N_BUCKETS, "o_orderkey")
+            .write.mode("overwrite")
+            .option("path", os.path.join(scratch, "orders"))
+            .bucketBy(_N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(o_tbl)
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .repartition(_N_BUCKETS, "l_orderkey")
+            .write.mode("overwrite")
+            .option("path", os.path.join(scratch, "lineitem"))
+            .bucketBy(_N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(l_tbl)
+        )
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        _BUCKETED_TABLES[key] = names = (o_tbl, l_tbl)
+    return spark.table(names[0]), spark.table(names[1])
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join over the maintained BUCKETED layout
+    (§2.4's 100 TB answer to the reference's default-shuffled join): both
+    scans are bucket-pruned reads, the SortMergeJoin consumes the bucketed
+    distribution directly — the plan's ONLY exchange is the final 5-group
+    aggregate.  The merge hint pins SMJ so the proof (no exchange on the
+    join key, pinned in tests/test_plans.py) is stats-independent; at real
+    scale neither side broadcasts anyway.  Oracle checks the revenue
+    aggregate, so "bucketed layout preserves join semantics" is the
+    hash-verified property."""
+    o, li = _staged_bucketed_tables(spark, sf_dir)
+    revenue = (
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount", 4, 2))
+    ).cast("decimal(18,4)")
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORA_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema EVOLUTION read: two parquet snapshots of the documents
     table written under drifted schemas — an old snapshot (doc_id, lang,
@@ -2699,6 +2797,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_compaction_execute,
         ORA_COMPACTION_EXECUTE,
         "small-files compaction executor (one-shuffle rewrite preserves every row)",
+    ),
+    "bucketed_join": QuerySpec(
+        q_bucketed_join,
+        ORA_BUCKETED_JOIN,
+        "shuffle-free fact-fact join over a maintained bucketed layout",
     ),
     "compaction_plan": QuerySpec(
         q_compaction_plan,

@@ -235,6 +235,45 @@ SELECT event_id, value * 2.0 AS value_x2 FROM events
 """
 
 
+# --- applyInArrow: grouped map without pandas --------------------------------
+
+
+def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(...).applyInArrow — the Spark 4 GROUPED twin of mapInArrow:
+    one shuffle on the key, then each group arrives as a raw pyarrow Table
+    (no pandas materialization, no index/copy overhead — the fast path when
+    the per-group compute is itself Arrow-native).  Reductions here are
+    min/max/count: order-insensitive, so the result is bit-stable however
+    Spark packs the group's batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def spread(table: pa.Table) -> pa.Table:
+        v = table.column("value")
+        return pa.table(
+            {
+                "event_type": pa.array([table.column("event_type")[0].as_py()], pa.string()),
+                "vmin": pa.array([pc.min(v).as_py()], pa.float64()),
+                "vmax": pa.array([pc.max(v).as_py()], pa.float64()),
+                "n": pa.array([table.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInArrow(spread, "event_type string, vmin double, vmax double, n long")
+        .orderBy("event_type")
+    )
+
+
+ORA_APPLY_IN_ARROW = """
+SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --- UDTF: table function ----------------------------------------------------
 
 
@@ -357,6 +396,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "map_in_arrow": QuerySpec(
         q_map_in_arrow, ORA_MAP_IN_ARROW, "raw Arrow RecordBatch transform"
+    ),
+    "apply_in_arrow": QuerySpec(
+        q_apply_in_arrow, ORA_APPLY_IN_ARROW, "grouped applyInArrow (pandas-free grouped map)"
     ),
     "map_functions": QuerySpec(
         q_map_functions, ORA_MAP_FUNCTIONS, "MapType create/concat/access"

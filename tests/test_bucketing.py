@@ -83,3 +83,27 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert {tuple(r) for r in bucketed.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_registry_bucketed_join_plan_and_layout(spark):
+    """The driver-facing bucketed_join query: its staged layout must give
+    the shuffle-free join plan AND exactly one file per bucket (the
+    repartition(N, key)-before-bucketBy(N, key) writer property — without
+    it every write task emits a file per bucket it touches and the layout
+    degrades into a small-files problem)."""
+    from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+    from spark_kafka_realm_time_data_pipeline_spark.queries.relational import (
+        _N_BUCKETS,
+        _staged_bucketed_tables,
+    )
+
+    df = registry()["bucketed_join"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    o, li = _staged_bucketed_tables(spark, SF_DIR)
+    for frame in (o, li):
+        files = frame.inputFiles()
+        assert len(files) == _N_BUCKETS, files

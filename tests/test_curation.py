@@ -241,3 +241,17 @@ def test_bpe_ops_tolerate_empty_and_degenerate_corpora(spark):
     assert bpe_merge_steps(degenerate).collect() == []
     out = bpe_encode(degenerate).collect()[0]
     assert out["n_bpe_tokens"] == 3 == out["n_base_syms"], out
+
+
+def test_lm_perplexity_filter_scores_every_multiword_doc(spark):
+    """Every doc with >= 2 words gets a score; the milli-bit average is
+    exactly the integer identity of its parts; and the fixed threshold
+    actually splits the corpus (both verdicts occur)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = C.lm_perplexity_filter(docs).collect()
+    n_multi = docs.filter(F.size(F.split("text", " ")) >= 2).count()
+    assert len(out) == n_multi
+    assert {r["keep"] for r in out} == {True, False}
+    for r in out:
+        assert r["avg_milli_bits"] == (1000 * r["total_bits"]) // r["n_bigrams"]
+        assert r["keep"] == (r["avg_milli_bits"] <= C.PPL_KEEP_MILLI_BITS)

@@ -106,6 +106,8 @@ QUERIES = [
     "state_store_inspect",
     "envelope_pyds_sink",
     "envelope_pyds_stream",
+    "bucketed_join",
+    "lm_perplexity_filter",
 ]
 
 
