@@ -180,6 +180,9 @@ HEADLINE += [
     "envelope_pyds_roundtrip",
     "bucketed_join",
     "lm_perplexity_filter",
+    "dpp_prune_join",
+    # transpose_metrics is correctness-only: it inlines to the same scan +
+    # tiny-agg machinery pricing_summary already times (sql_udf_pricing rule).
     # apply_in_arrow stays out of the bench slice with the rest of the
     # grouped-map UDF family (same per-key Python call shape) — see below.
     # cogroup_apply_in_pandas stays out of the bench slice like the other

@@ -46,9 +46,12 @@ def registry() -> dict[str, QuerySpec]:
             merged[name] = spec
     # Round-9 rotation (the driver checks the first ~50).  Composition:
     # (a) the queries NEW in r9 — never driver-checked, so they must sit
-    #     inside the window (test_registry enforces this): the Python
-    #     Data Source envelope pair, the stream-stream full-outer join,
-    #     and the observed-metrics query;
+    #     inside the window (test_registry enforces this): DPP, the
+    #     df.transpose shape, the bucketed join, grouped applyInArrow,
+    #     the LM perplexity filter, the Python Data Source envelope
+    #     family, the stream-stream full-outer join, observed metrics,
+    #     the state-store reader, SQL UDFs, parameterized SQL, the
+    #     compaction executor, and the mergeSchema read;
     # (b) the 7 r2-era names whose latest driver proof predates two
     #     corpus regenerations and which sat at positions 50-54 last
     #     round (they would have missed a 50-wide window AGAIN), then
@@ -65,6 +68,8 @@ def registry() -> dict[str, QuerySpec]:
         n
         for n in (
             # (a) new in r9 — never driver-checked
+            "dpp_prune_join",
+            "transpose_metrics",
             "bucketed_join",
             "apply_in_arrow",
             "lm_perplexity_filter",

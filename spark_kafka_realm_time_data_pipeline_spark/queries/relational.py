@@ -1768,6 +1768,86 @@ def _staged_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
     return spark.table(names[0]), spark.table(names[1])
 
 
+# DPP layout staged once per (session, corpus): key -> (fact_path, dim_path).
+_DPP_LAYOUT: dict[str, tuple[str, str]] = {}
+
+
+def _staged_dpp_layout(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """events re-laid-out as a HIVE-PARTITIONED fact (partitionBy the join
+    key) plus a small per-type dim table with a MATERIALIZED priority
+    attribute — the layout that exercises dynamic partition pruning.  The
+    priority is written as its own column (not derived in the query) so
+    Catalyst cannot statically rewrite the dim filter in terms of the
+    partition key: the only way to know which partitions survive is to RUN
+    the dim scan, which is exactly the runtime-pruning contract."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = f"{id(spark._jsparkSession)}:{sf_dir}"
+    paths = _DPP_LAYOUT.get(key)
+    if paths is None:
+        import os
+
+        root = tempfile.mkdtemp(prefix="dpp_layout_")
+        fact_path = os.path.join(root, "fact")
+        dim_path = os.path.join(root, "dim")
+        ev = load_table(spark, sf_dir, "events")
+        ev.select("event_id", "event_type").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(fact_path)
+        (
+            ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_total"))
+            .withColumn("priority", F.substring(F.md5("event_type"), 1, 1))
+            .write.mode("overwrite")
+            .parquet(dim_path)
+        )
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _DPP_LAYOUT[key] = paths = (fact_path, dim_path)
+    return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
+
+
+def q_dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING over the maintained hive-partitioned
+    layout: the dim-side filter is on a stored non-key attribute, so which
+    fact partitions survive is unknowable at plan time — Spark runs the
+    broadcast dim scan first and injects its surviving keys as a runtime
+    ``dynamicpruningexpression`` into the fact scan's PartitionFilters
+    (pinned in tests/test_plans.py).  THE optimizer feature for the
+    date-dim ⋈ fact shape at 100 TB: the fact side never lists, let alone
+    reads, the pruned partitions' files.  Broadcast here reuses the join's
+    exchange (zero extra work); on a non-broadcast plan Spark falls back
+    to executing the dim subquery separately when stats say pruning pays."""
+    fact, dim = _staged_dpp_layout(spark, sf_dir)
+    dimf = dim.filter(F.col("priority") >= "8")
+    return (
+        fact.join(F.broadcast(dimf), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("n_total").alias("n_total"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORA_DPP_PRUNE_JOIN = """
+WITH dim AS (
+  SELECT event_type, COUNT(*) AS n_total,
+         substr(md5(event_type), 1, 1) AS priority
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n_events, MAX(d.n_total) AS n_total,
+       MIN(e.event_id) AS min_event, MAX(e.event_id) AS max_event
+FROM events e JOIN dim d USING (event_type)
+WHERE d.priority >= '8'
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free fact-fact join over the maintained BUCKETED layout
     (§2.4's 100 TB answer to the reference's default-shuffled join): both
@@ -1845,6 +1925,56 @@ FROM documents WHERE doc_id % 2 = 0
 UNION ALL
 SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+def q_transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``df.transpose()`` — the report-shaping pivot of a SMALL
+    aggregate: per-returnflag metrics computed distributed (scan + 3-group
+    hash aggregate), then the |groups| x |metrics| frame is transposed so
+    metrics become rows and flags become columns.  Transpose collects the
+    index column to name the output columns, so it belongs strictly AFTER
+    aggregation — on aggregate-sized frames only, never on a fact table
+    (the same discipline as toPandas; the heavy lifting stays in the
+    distributed agg).  Ordered index -> deterministic column order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return agg.transpose()
+
+
+ORA_TRANSPOSE_METRICS = """
+WITH a AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         MAX(l_extendedprice) AS max_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'n_rows' AS key,
+       MAX(CASE WHEN l_returnflag = 'A' THEN n_rows END) AS "A",
+       MAX(CASE WHEN l_returnflag = 'N' THEN n_rows END) AS "N",
+       MAX(CASE WHEN l_returnflag = 'R' THEN n_rows END) AS "R"
+FROM a
+UNION ALL
+SELECT 'sum_qty',
+       MAX(CASE WHEN l_returnflag = 'A' THEN sum_qty END),
+       MAX(CASE WHEN l_returnflag = 'N' THEN sum_qty END),
+       MAX(CASE WHEN l_returnflag = 'R' THEN sum_qty END)
+FROM a
+UNION ALL
+SELECT 'max_price',
+       MAX(CASE WHEN l_returnflag = 'A' THEN max_price END),
+       MAX(CASE WHEN l_returnflag = 'N' THEN max_price END),
+       MAX(CASE WHEN l_returnflag = 'R' THEN max_price END)
+FROM a
 """
 
 
@@ -2802,6 +2932,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_bucketed_join,
         ORA_BUCKETED_JOIN,
         "shuffle-free fact-fact join over a maintained bucketed layout",
+    ),
+    "dpp_prune_join": QuerySpec(
+        q_dpp_prune_join,
+        ORA_DPP_PRUNE_JOIN,
+        "dynamic partition pruning (runtime dim-driven fact-partition skip)",
+    ),
+    "transpose_metrics": QuerySpec(
+        q_transpose_metrics,
+        ORA_TRANSPOSE_METRICS,
+        "Spark 4 df.transpose() report shaping over an aggregate-sized frame",
     ),
     "compaction_plan": QuerySpec(
         q_compaction_plan,

@@ -438,3 +438,19 @@ def test_verify_arrays_equals_join_verify(spark):
     j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_verify(pairs, toks, 0.1).collect()}
     a = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_verify_arrays(pairs, toks, 0.1).collect()}
     assert j == a, {k: (j.get(k), a.get(k)) for k in set(j) ^ set(a) | {k for k in j if j[k] != a.get(k)}}
+
+
+def test_dpp_prune_join_injects_runtime_partition_filter(spark):
+    """Dynamic partition pruning must be the load-bearing prune: the fact
+    scan's PartitionFilters carry a runtime dynamicpruningexpression fed by
+    the broadcast dim subquery — and NO static IN-list on the key (the dim
+    filter is on a stored non-key attribute precisely so constraint
+    propagation cannot pre-resolve the surviving partitions)."""
+    plan = _plan(spark, "dpp_prune_join")
+    assert "dynamicpruningexpression" in plan, plan
+    fact_scan = next(
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "dynamicpruningexpression" in l
+    )
+    static_part = fact_scan.split("dynamicpruningexpression")[0]
+    assert " IN (" not in static_part, fact_scan

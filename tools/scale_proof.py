@@ -108,6 +108,7 @@ QUERIES = [
     "envelope_pyds_stream",
     "bucketed_join",
     "lm_perplexity_filter",
+    "dpp_prune_join",
 ]
 
 
