@@ -364,17 +364,36 @@ def lm_perplexity_filter(docs: DataFrame) -> DataFrame:
     when the vocab head is small; a key-shuffle join otherwise), one per-doc
     aggregate.  At 100 TB the model is a maintained table — train once,
     score every shard."""
+    return lm_score_docs(docs, lm_bigram_model(docs))
+
+
+def lm_bigram_model(docs: DataFrame) -> DataFrame:
+    """The (bigram, bits) surprisal model lm_perplexity_filter trains:
+    bigram counts, per-context totals, bits = floor(log2(ctx_n div n)).
+    Vocab-bounded — at 100 TB this is the maintained model table the
+    training pipeline refreshes, not something recomputed per scoring
+    pass (see queries/curation.staged_ppl_model)."""
+    from .dedup import fan_out
+
+    big = fan_out(docs).select(F.explode(_word_ngrams(n=2)).alias("bigram"))
+    counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    with_ctx = counts.withColumn("w1", F.split("bigram", " ")[0])
+    ctx = with_ctx.groupBy("w1").agg(F.sum("n").cast("bigint").alias("ctx_n"))
+    return with_ctx.join(ctx, "w1").select(
+        "bigram",
+        (F.length(F.bin(F.expr("ctx_n div n"))) - 1).cast("bigint").alias("bits"),
+    )
+
+
+def lm_score_docs(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Score docs against a (bigram, bits) model: one explode, one join
+    against the vocab-bounded model, one per-doc aggregate.  Shared by the
+    batch filter (model = same corpus) and the streaming gate (model = the
+    staged table; each micro-batch pays only its own explode+join)."""
     from .dedup import fan_out
 
     big = fan_out(docs).select(
         "doc_id", F.explode(_word_ngrams(n=2)).alias("bigram")
-    )
-    counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
-    with_ctx = counts.withColumn("w1", F.split("bigram", " ")[0])
-    ctx = with_ctx.groupBy("w1").agg(F.sum("n").cast("bigint").alias("ctx_n"))
-    model = with_ctx.join(ctx, "w1").select(
-        "bigram",
-        (F.length(F.bin(F.expr("ctx_n div n"))) - 1).cast("bigint").alias("bits"),
     )
     scored = big.join(model, "bigram").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),

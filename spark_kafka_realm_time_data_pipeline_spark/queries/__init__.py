@@ -70,6 +70,7 @@ def registry() -> dict[str, QuerySpec]:
             # (a) new in r9 — never driver-checked
             "dpp_prune_join",
             "transpose_metrics",
+            "streaming_ppl_gate",
             "bucketed_join",
             "apply_in_arrow",
             "lm_perplexity_filter",

@@ -48,6 +48,31 @@ def q_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.lm_perplexity_filter(_docs(spark, sf_dir))
 
 
+# Staged (bigram, bits) surprisal model: key -> parquet path.  Trained once
+# per (session, corpus) and read by the streaming gate's every micro-batch —
+# the train-batch / score-stream split of a production perplexity filter.
+_PPL_MODEL_DIRS: dict[str, str] = {}
+
+
+def staged_ppl_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram surprisal model as a MAINTAINED TABLE (same session-
+    staging pattern as the dedup pair graph / base index): on a cluster
+    this is the published model table the training pipeline refreshes;
+    locally a scratch parquet staged once."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = f"{id(spark._jsparkSession)}:{sf_dir}"
+    path = _PPL_MODEL_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ppl_model_")
+        C.lm_bigram_model(_docs(spark, sf_dir)).write.mode("overwrite").parquet(path)
+        _PPL_MODEL_DIRS[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def q_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.url_host_dedup(_docs(spark, sf_dir))
 

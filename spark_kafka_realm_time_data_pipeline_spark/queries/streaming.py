@@ -1299,6 +1299,50 @@ def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(gated, spark, output_mode="append")
 
 
+def q_streaming_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity gating ON THE STREAM — the train-batch / score-stream
+    split of a production CCNet-style filter: the bigram surprisal model
+    is a STAGED TABLE (trained once batch-side,
+    queries/curation.staged_ppl_model), and each arriving micro-batch pays
+    only its own explode + vocab-bounded model join + per-doc aggregate
+    inside foreachBatch — never a model retrain, never cross-batch state.
+    Kept docs append to the sink; availableNow drains the bounded source
+    so the result equals the batch filter's keep-side exactly, and the
+    oracle IS the batch SQL restricted to keep.
+
+    Same local[]-only sink caveat as streaming_dedup_incremental: on a
+    cluster the parquet sink dir must be shared storage."""
+    import shutil
+
+    from ..operators.curation import lm_score_docs
+    from ..streaming.sinks import foreach_batch_sink
+    from .curation import staged_ppl_model
+
+    docs = stream_table(spark, sf_dir, "documents")
+    model = staged_ppl_model(spark, sf_dir)
+    out_dir = _scratch_dir("stream_ppl_")
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kept = lm_score_docs(batch_df, model).filter("keep").drop("keep")
+        kept.write.mode("append").parquet(out_dir)
+
+    try:
+        query = foreach_batch_sink(docs, score_batch, output_mode="append")
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError("ppl-gate stream replay did not finish in 300s")
+            input_rows = sum(
+                int(p["numInputRows"]) for p in (query.recentProgress or []) if p
+            )
+        finally:
+            query.stop()
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        out.stream_input_rows = input_rows
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly monitoring ON THE STREAM: per (event_type, day)
     counts as complete-mode state (bounded by |types| x |days|, COUNT
@@ -1346,6 +1390,18 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ingest count forwarded from the drained stream (see streaming_quantile)
     out.stream_input_rows = getattr(drained, "stream_input_rows", 0)
     return out
+
+
+# The streaming gate's oracle IS the batch perplexity filter's SQL
+# restricted to its keep-side: train + score on the same corpus, so the
+# bounded replay (staged model + per-batch scoring) must reproduce it
+# row-for-row.
+from ..operators.curation import ORA_LM_PERPLEXITY as _ORA_LM_PPL
+
+ORA_STREAMING_PPL_GATE = f"""
+SELECT doc_id, n_bigrams, total_bits, avg_milli_bits
+FROM ({_ORA_LM_PPL}) WHERE keep
+"""
 
 
 # Shares the milli-unit feature formulas and weights with ORA_QUALITY_LOGIT
@@ -1442,6 +1498,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_quality_gate,
         ORA_STREAMING_QUALITY_GATE,
         "stateless streaming quality-classifier gate (append mode)",
+    ),
+    "streaming_ppl_gate": QuerySpec(
+        q_streaming_ppl_gate,
+        ORA_STREAMING_PPL_GATE,
+        "streaming perplexity gate (staged batch-trained model, foreachBatch scoring)",
     ),
     "streaming_anomaly": QuerySpec(
         q_streaming_anomaly,

@@ -197,3 +197,29 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # resurrected duplicate window row); [11:00,12:00) closed with n=1; the
     # [12:00,13:00) window is still open at final watermark and withheld
     assert got == {("2024-01-01 10:00:00", 2), ("2024-01-01 11:00:00", 1)}
+
+
+def test_streaming_ppl_gate_equals_batch_keep_side(spark):
+    """The staged-model streaming gate must reproduce the batch filter's
+    keep-side exactly: same docs kept, same integer scores — the bounded
+    replay's per-batch scoring is the batch plan partitioned in time."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.curation import (
+        lm_perplexity_filter,
+    )
+    from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+    from spark_kafka_realm_time_data_pipeline_spark.sources.files import load_table
+
+    from conftest import SF_DIR
+
+    got = {
+        (r["doc_id"], r["n_bigrams"], r["total_bits"], r["avg_milli_bits"])
+        for r in registry()["streaming_ppl_gate"].fn(spark, SF_DIR).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_bigrams"], r["total_bits"], r["avg_milli_bits"])
+        for r in lm_perplexity_filter(load_table(spark, SF_DIR, "documents"))
+        .filter("keep")
+        .collect()
+    }
+    assert got == want
+    assert got  # non-degenerate: the gate actually keeps something

@@ -109,6 +109,7 @@ QUERIES = [
     "bucketed_join",
     "lm_perplexity_filter",
     "dpp_prune_join",
+    "streaming_ppl_gate",
 ]
 
 
