@@ -71,6 +71,7 @@ def registry() -> dict[str, QuerySpec]:
             "dpp_prune_join",
             "transpose_metrics",
             "streaming_ppl_gate",
+            "python_udtf_table_arg",
             "bucketed_join",
             "apply_in_arrow",
             "lm_perplexity_filter",

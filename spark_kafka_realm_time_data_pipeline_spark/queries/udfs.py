@@ -317,6 +317,69 @@ FROM exploded WHERE tok LIKE 'a%'
 """
 
 
+# --- UDTF with TABLE argument: per-partition stateful table function ---------
+
+
+class _ProfileDocsUDTF:
+    """TABLE-argument UDTF (Spark 4): the whole relation is the argument —
+    `profile_docs(TABLE(v) PARTITION BY source ORDER BY doc_id)` — and one
+    class INSTANCE consumes each partition's rows in order, emitting its
+    summary from terminate().  The API for ordered per-group stateful
+    passes that SQL aggregates express poorly (legal-hold scans, session
+    reconstruction, sequence validation); here deliberately
+    aggregate-expressible so the result has an exact oracle.  Scale shape:
+    one shuffle on the PARTITION BY key (exactly a grouped map), state is
+    one accumulator per key, Arrow-batched row delivery."""
+
+    def __init__(self) -> None:
+        self.src = None
+        self.n = 0
+        self.chars = 0
+        self.first = None
+        self.last = None
+
+    def eval(self, row):
+        self.src = row["source"]
+        self.n += 1
+        self.chars += row["n_chars"]
+        if self.first is None:
+            self.first = row["doc_id"]
+        self.last = row["doc_id"]
+
+    def terminate(self):
+        if self.src is not None:
+            yield self.src, self.n, self.chars, self.first, self.last
+
+
+def q_python_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register + call the table-argument UDTF: PARTITION BY routes each
+    source's rows to one instance, ORDER BY makes first/last deterministic."""
+    from pyspark.sql.functions import udtf
+
+    profile = udtf(
+        _ProfileDocsUDTF,
+        returnType=(
+            "source string, n_docs long, sum_chars long, "
+            "first_doc long, last_doc long"
+        ),
+    )
+    spark.udtf.register("profile_docs", profile)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "docs_for_table_udtf"
+    )
+    return spark.sql(
+        "SELECT * FROM profile_docs(TABLE(docs_for_table_udtf) "
+        "PARTITION BY source ORDER BY doc_id) ORDER BY source"
+    )
+
+
+ORA_PYTHON_UDTF_TABLE_ARG = """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # --- map-typed functions -----------------------------------------------------
 
 
@@ -393,6 +456,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "python_udtf": QuerySpec(
         q_python_udtf, ORA_PYTHON_UDTF, "Python UDTF via LATERAL call"
+    ),
+    "python_udtf_table_arg": QuerySpec(
+        q_python_udtf_table_arg,
+        ORA_PYTHON_UDTF_TABLE_ARG,
+        "TABLE-argument UDTF (PARTITION BY / ORDER BY per-group stateful pass)",
     ),
     "map_in_arrow": QuerySpec(
         q_map_in_arrow, ORA_MAP_IN_ARROW, "raw Arrow RecordBatch transform"
