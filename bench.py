@@ -182,6 +182,7 @@ HEADLINE += [
     "lm_perplexity_filter",
     "dpp_prune_join",
     "streaming_ppl_gate",
+    "streaming_chained_windows",
     # transpose_metrics is correctness-only: it inlines to the same scan +
     # tiny-agg machinery pricing_summary already times (sql_udf_pricing rule).
     # apply_in_arrow stays out of the bench slice with the rest of the

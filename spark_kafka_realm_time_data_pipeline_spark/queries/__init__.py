@@ -72,6 +72,7 @@ def registry() -> dict[str, QuerySpec]:
             "transpose_metrics",
             "streaming_ppl_gate",
             "python_udtf_table_arg",
+            "streaming_chained_windows",
             "bucketed_join",
             "apply_in_arrow",
             "lm_perplexity_filter",

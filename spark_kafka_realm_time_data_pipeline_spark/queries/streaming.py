@@ -1299,6 +1299,75 @@ def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(gated, spark, output_mode="append")
 
 
+def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query (Spark 3.4+
+    multiple time-window aggregations): hour-grain window counts are
+    re-aggregated into 6-hour rollups downstream — both stages stateful,
+    both watermark-evicted, append mode.  The fine window becomes the
+    coarse stage\'s event time via ``window_time()``; epoch-aligned windows
+    nest exactly, so the chained rollup must equal the direct coarse
+    aggregate — which IS the oracle.  Both stages flush in the same
+    trailing no-data batch (verified per-batch: the final watermark evicts
+    the fine windows AND the coarse windows they roll into).
+
+    The flush SENTINEL (one row +1 year, marker event_type) advances the
+    final watermark past every real window.  CRITICAL: the marker filter
+    must run on the RETURNED BATCH frame, not inside the streaming plan —
+    event_type is a grouping key of both aggregates, so Catalyst pushes an
+    in-plan filter down THROUGH them to the source scan, beheading the
+    sentinel before the EventTimeWatermark node ever sees it (measured:
+    watermark stuck at real-max - 1h, final 6-hour window stranded in
+    state).  In-plan, the sentinel\'s own windows never emit anyway (they
+    sit +1 year beyond the watermark), so the batch-side filter is
+    belt-and-braces.
+
+    At 100 TB this is the pre-aggregation cascade pattern: the fine agg
+    collapses the stream once; the coarse agg runs on |windows| rows, not
+    events — the same reason sketches win (state is geometry-bounded)."""
+    ev = stream_table(spark, sf_dir, "events")
+    real = ev.select("ts", "event_type", "value")
+    flush = ev.filter(F.col("event_id") == 0).select(
+        (F.col("ts") + F.expr("INTERVAL 1 YEAR")).alias("ts"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    src = real.unionByName(flush).withWatermark("ts", "1 hour")
+    fine = src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # decimal-exact partial sums (repo discipline): re-summed exactly
+        # in the coarse stage, cast to double only at the very end
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_dec"),
+    )
+    coarse = fine.groupBy(
+        F.window(F.window_time("w"), "6 hours").alias("w6"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").cast("double").alias("sum_value"),
+    )
+    out = coarse.select(
+        F.col("w6.start").alias("window_start"),
+        F.col("w6.end").alias("window_end"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value",
+    )
+    res = run_to_memory(out, spark, output_mode="append")
+    kept = res.filter(F.col("event_type") != "__flush__")
+    kept.stream_input_rows = res.stream_input_rows
+    return kept
+
+
+ORA_STREAMING_CHAINED_WINDOWS = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       time_bucket(INTERVAL '6 hours', ts) + INTERVAL 6 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def q_streaming_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity gating ON THE STREAM — the train-batch / score-stream
     split of a production CCNet-style filter: the bigram surprisal model
@@ -1498,6 +1567,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_quality_gate,
         ORA_STREAMING_QUALITY_GATE,
         "stateless streaming quality-classifier gate (append mode)",
+    ),
+    "streaming_chained_windows": QuerySpec(
+        q_streaming_chained_windows,
+        ORA_STREAMING_CHAINED_WINDOWS,
+        "chained stateful window aggregations (hour -> 6-hour rollup, one query)",
     ),
     "streaming_ppl_gate": QuerySpec(
         q_streaming_ppl_gate,

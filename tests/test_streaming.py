@@ -223,3 +223,32 @@ def test_streaming_ppl_gate_equals_batch_keep_side(spark):
     }
     assert got == want
     assert got  # non-degenerate: the gate actually keeps something
+
+
+def test_streaming_chained_windows_equals_direct_rollup(spark):
+    """Chained hour->6-hour stateful aggregation must equal the direct
+    6-hour batch aggregate (epoch-aligned windows nest exactly).  Also
+    guards the sentinel-pushdown trap: the marker filter lives on the
+    RETURNED batch frame because an in-plan filter on the grouping key
+    gets pushed below the watermark node and beheads the flush sentinel
+    (the failure mode was the final 6-hour window stranded in state)."""
+    from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+    from spark_kafka_realm_time_data_pipeline_spark.sources.files import load_table
+
+    from conftest import SF_DIR
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in registry()["streaming_chained_windows"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        (str(r["ws"]), r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.window("ts", "6 hours").alias("w6"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w6.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == want

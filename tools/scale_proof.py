@@ -110,6 +110,7 @@ QUERIES = [
     "lm_perplexity_filter",
     "dpp_prune_join",
     "streaming_ppl_gate",
+    "streaming_chained_windows",
 ]
 
 
