@@ -183,6 +183,11 @@ HEADLINE += [
     "dpp_prune_join",
     "streaming_ppl_gate",
     "streaming_chained_windows",
+    "agg_moments",
+    "binaryfile_source",
+    "streaming_rate_source",
+    # set_except_all / set_intersect_all are correctness-only: they time the
+    # same single-shuffle hash-agg machinery set_except already benches.
     # transpose_metrics is correctness-only: it inlines to the same scan +
     # tiny-agg machinery pricing_summary already times (sql_udf_pricing rule).
     # apply_in_arrow stays out of the bench slice with the rest of the

@@ -68,6 +68,15 @@ def registry() -> dict[str, QuerySpec]:
         n
         for n in (
             # (a) new in r9 — never driver-checked
+            "bitmap_distinct",
+            "try_arithmetic",
+            "csv_column_roundtrip",
+            "collation_group",
+            "agg_moments",
+            "set_except_all",
+            "set_intersect_all",
+            "binaryfile_source",
+            "streaming_rate_source",
             "dpp_prune_join",
             "transpose_metrics",
             "streaming_ppl_gate",

@@ -1038,6 +1038,105 @@ SELECT user_id AS k FROM events
 """
 
 
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics difference (``df.exceptAll``): each key keeps
+    max(count_A - count_B, 0) copies — the multiset algebra `EXCEPT`
+    can't express (it collapses to distinct).  Both inputs genuinely
+    carry duplicates (orders customer keys vs the priority-1 subset),
+    so multiplicity arithmetic is actually exercised.  At scale this is
+    one hash aggregation per side + a merge on the key — Spark plans it
+    as a single shuffle on `k`, no row-by-row anti semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderpriority").startswith("1")).select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.exceptAll(b)
+
+
+ORA_SET_EXCEPT_ALL = """
+SELECT o_custkey AS k FROM orders
+EXCEPT ALL
+SELECT o_custkey AS k FROM orders WHERE o_orderpriority LIKE '1%'
+"""
+
+
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics intersection (``df.intersectAll``): each key keeps
+    min(count_A, count_B) copies.  Same dup-carrying inputs as
+    `set_except_all` so both sides have multiplicity > 1."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderpriority").startswith("1")).select(
+        F.col("o_custkey").alias("k")
+    )
+    return a.intersectAll(b)
+
+
+ORA_SET_INTERSECT_ALL = """
+SELECT o_custkey AS k FROM orders
+INTERSECT ALL
+SELECT o_custkey AS k FROM orders WHERE o_orderpriority LIKE '1%'
+"""
+
+
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment / bivariate aggregate family in ONE grouped pass:
+    median, stddev_samp, var_samp, skewness, kurtosis, corr, covar_samp,
+    covar_pop.  Cross-engine trap this query pins down: Spark's
+    `skewness`/`kurtosis` are POPULATION moments (m3/m2^1.5, m4/m2^2-3)
+    while DuckDB's builtins are bias-corrected SAMPLE statistics — so the
+    oracle replays Spark's definition from explicit central moments
+    (two-pass: group mean join, then AVG((x-mx)^k)) instead of calling
+    DuckDB's skewness()/kurtosis().  Both sides round at 6 dp: the
+    streaming moment-merge (Spark) and the closed-form replay (oracle)
+    agree to ~1e-10 relative, far inside the rounding.  All eight stats
+    come from one shuffle on the group key — Spark's ImperativeAggregate
+    moment states merge associatively, so the map-side combine does most
+    of the work at 100 TB (median is the one exception: exact percentile
+    collects per-group value buffers, which is why it's grouped by a
+    3-value key here, not a high-cardinality one)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median(x), 6).alias("median_qty"),
+        F.round(F.stddev_samp(x), 6).alias("stddev_qty"),
+        F.round(F.var_samp(x), 6).alias("var_qty"),
+        F.round(F.skewness(x), 6).alias("skew_qty"),
+        F.round(F.kurtosis(x), 6).alias("kurt_qty"),
+        F.round(F.corr(x, y), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(x, y), 6).alias("covar_samp_qty_price"),
+        F.round(F.covar_pop(x, y), 6).alias("covar_pop_qty_price"),
+    )
+
+
+ORA_AGG_MOMENTS = """
+WITH b AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y
+    FROM lineitem
+), m AS (
+    SELECT l_returnflag, AVG(x) AS mx FROM b GROUP BY l_returnflag
+)
+SELECT b.l_returnflag,
+       ROUND(MEDIAN(x), 6) AS median_qty,
+       ROUND(STDDEV_SAMP(x), 6) AS stddev_qty,
+       ROUND(VAR_SAMP(x), 6) AS var_qty,
+       -- Spark definition: population central moments, no bias correction
+       ROUND(AVG(POW(x - m.mx, 3)) / POW(AVG(POW(x - m.mx, 2)), 1.5), 6)
+           AS skew_qty,
+       ROUND(AVG(POW(x - m.mx, 4)) / POW(AVG(POW(x - m.mx, 2)), 2) - 3, 6)
+           AS kurt_qty,
+       ROUND(CORR(x, y), 6) AS corr_qty_price,
+       ROUND(COVAR_SAMP(x, y), 6) AS covar_samp_qty_price,
+       ROUND(COVAR_POP(x, y), 6) AS covar_pop_qty_price
+FROM b JOIN m USING (l_returnflag)
+GROUP BY b.l_returnflag, m.mx
+"""
+
+
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select("user_id", "event_type").distinct()
@@ -1917,6 +2016,226 @@ def q_schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(snap, "v1"), os.path.join(snap, "v2")
     )
     return merged.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via the bitmap aggregate family (Spark
+    3.5+): `bitmap_bucket_number` / `bitmap_bit_position` shard the key
+    space into 32k-bit buckets, `bitmap_construct_agg` ORs each bucket's
+    positions into one binary bitmap, and `SUM(bitmap_count(...))` folds
+    the buckets — COUNT(DISTINCT) with NO expand + two-phase-agg blowup.
+    At 100 TB this is the exact-distinct plan of choice: the first
+    aggregation map-side-combines bitmaps (fixed 4 KB state per bucket,
+    OR is associative+commutative), the second sums small ints; contrast
+    with COUNT(DISTINCT)'s expand which doubles the shuffle volume per
+    distinct column.  Oracle: plain COUNT(DISTINCT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag", F.bitmap_bucket_number("l_partkey").alias("bucket")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias("bm")
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct_parts")
+    )
+
+
+ORA_BITMAP_DISTINCT = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe `try_*` expression family: `try_divide` (NULL on /0 —
+    planted: every l_quantity=17 row), `try_add` (NULL on BIGINT
+    overflow — planted: keys within 8 of Long.MAX overflow), and
+    `try_cast` (NULL on malformed string — planted: odd keys get a
+    non-numeric prefix).  This is the 100 TB posture for dirty data:
+    errors become NULLs INSIDE whole-stage codegen instead of killing
+    the 900th task of a 1000-task stage; the oracle replays each NULL
+    rule explicitly (DuckDB's strict arithmetic would error, its
+    TRY_CAST mirrors Spark's)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+    messy = F.when(
+        F.col("l_orderkey") % 2 == 1,
+        F.concat(F.lit("k"), F.col("l_orderkey").cast("string")),
+    ).otherwise(F.col("l_orderkey").cast("string"))
+    near_max = F.lit(9223372036854775800) - (F.col("l_linenumber") % 4)
+    return li.withColumn("messy", messy).select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw IEEE division, NO round: the same double operands divide to
+        # bit-identical results in both engines, while ROUND(x, 6) diverges
+        # on exact .5 ties (power-of-two divisors here make those common)
+        F.try_divide(price, qty - F.lit(17.0)).alias("unit_price_17"),
+        F.try_add(near_max, F.col("l_orderkey")).alias("overflow_add"),
+        F.col("messy").try_cast("bigint").alias("parsed_key"),
+    )
+
+
+ORA_TRY_ARITHMETIC = """
+SELECT l_orderkey,
+       l_linenumber,
+       CASE WHEN l_quantity = 17.0 THEN NULL
+            ELSE l_extendedprice / (l_quantity - 17.0)
+       END AS unit_price_17,
+       CASE WHEN l_orderkey > 7 + (l_linenumber % 4) THEN NULL
+            ELSE 9223372036854775800 - (l_linenumber % 4) + l_orderkey
+       END AS overflow_add,
+       TRY_CAST(CASE WHEN l_orderkey % 2 = 1
+                     THEN 'k' || CAST(l_orderkey AS VARCHAR)
+                     ELSE CAST(l_orderkey AS VARCHAR) END AS BIGINT)
+           AS parsed_key
+FROM lineitem
+"""
+
+
+def q_csv_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-in-a-column codec pair: `to_csv(struct(...))` renders typed
+    rows to embedded CSV, `from_csv` parses them back under an explicit
+    schema — the Kafka-value analog of the reference's JSON envelope
+    chain (reference sparkpykafkajoin: from_json over value strings),
+    exercised for the delimiter-framed wire instead.  Round-trip law
+    oracled: the re-parsed typed fields must equal the originals and the
+    wire string must equal the hand-concatenated form.  Integer/string
+    fields only — float rendering is engine-specific (the same reason
+    `serialize_json` is rows-only) so the law stays exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_returnflag",
+    )
+    wired = src.withColumn(
+        "csv", F.to_csv(F.struct("l_orderkey", "l_linenumber", "qty", "l_returnflag"))
+    )
+    parsed = wired.withColumn(
+        "back",
+        F.from_csv(
+            "csv", "l_orderkey BIGINT, l_linenumber INT, qty BIGINT, l_returnflag STRING"
+        ),
+    )
+    return parsed.select(
+        "csv",
+        F.col("back.l_orderkey").alias("k"),
+        F.col("back.l_linenumber").alias("ln"),
+        F.col("back.qty").alias("qty"),
+        F.col("back.l_returnflag").alias("flag"),
+    )
+
+
+ORA_CSV_COLUMN_ROUNDTRIP = """
+SELECT CAST(l_orderkey AS VARCHAR) || ',' || CAST(l_linenumber AS VARCHAR)
+           || ',' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+           || ',' || l_returnflag AS csv,
+       l_orderkey AS k,
+       l_linenumber AS ln,
+       CAST(l_quantity AS BIGINT) AS qty,
+       l_returnflag AS flag
+FROM lineitem
+"""
+
+
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collated strings): market
+    segments are case-mangled per row (even keys UPPER, odd keys lower),
+    then grouped under the `UTF8_LCASE` collation — ONE group per
+    segment despite the binary representations differing.  Binary
+    (default UTF8_BINARY) grouping would return 2x the groups; the
+    pinning test asserts exactly that split.  The output key is
+    `lower()`-normalized because a collated group's representative is
+    whichever variant a task saw first — nondeterministic across
+    shuffles, another thing the oracle hash would catch if left raw.
+    DuckDB oracle replays with explicit lower() grouping."""
+    c = load_table(spark, sf_dir, "customer")
+    mangled = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        ).otherwise(F.lower("c_mktsegment")).alias("seg"),
+        "c_acctbal",
+    )
+    grouped = mangled.groupBy(
+        F.collate(F.col("seg"), "UTF8_LCASE").alias("seg_ci")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+    )
+    return grouped.select(
+        F.lower(F.col("seg_ci")).cast("string").alias("segment"),
+        "n_customers",
+        "sum_acctbal",
+    )
+
+
+ORA_COLLATION_GROUP = f"""
+SELECT lower(CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END) AS segment,
+       COUNT(*) AS n_customers,
+       {ORA_DSUM.format(c='c_acctbal')} AS sum_acctbal
+FROM customer
+GROUP BY 1
+"""
+
+
+def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured-blob ingestion via the `binaryFile` format — the
+    idiomatic Spark entry point for raw multimodal payloads (images,
+    audio, model shards): each file becomes one row of (path,
+    modificationTime, length, content BINARY).  The blob corpus is
+    STAGED from the documents table (one file per doc via a
+    partitionBy text write — a fully declarative distributed file
+    emission, no driver loops), then re-read with binaryFile +
+    recursiveFileLookup + pathGlobFilter, doc identity recovered from
+    the hive-style path.  The oracle replays byte length (+1 for the
+    text sink's trailing newline) and md5 from the source table, so the
+    whole write → scan → checksum loop is value-proven.  At 100 TB the
+    same plan holds: binaryFile splits by FILE (never inside a blob),
+    pathGlobFilter prunes at listing time, and the checksum runs
+    JVM-side (`F.md5` over binary) — no Python in the loop."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+    ).hexdigest()[:12]
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    blobs = os.path.join(root, f"doc_blobs_{tag}")
+    if not os.path.exists(os.path.join(blobs, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.filter((F.col("doc_id") < 128) & F.col("text").isNotNull())
+            .select("doc_id", "text")
+            .repartition(8)
+            .write.partitionBy("doc_id")
+            .mode("overwrite")
+            .text(blobs)
+        )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .load(blobs)
+    )
+    return bf.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+ORA_BINARYFILE_SOURCE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+       md5(text || chr(10)) AS content_md5
+FROM documents
+WHERE doc_id < 128 AND text IS NOT NULL
+"""
 
 
 ORA_SCHEMA_MERGE_READ = """
@@ -2923,6 +3242,31 @@ QUERIES: dict[str, QuerySpec] = {
         ORA_SCHEMA_MERGE_READ,
         "mergeSchema read over drifted snapshots (additive evolution, null-fill)",
     ),
+    "bitmap_distinct": QuerySpec(
+        q_bitmap_distinct,
+        ORA_BITMAP_DISTINCT,
+        "exact distinct via bitmap_construct_agg buckets (no expand)",
+    ),
+    "try_arithmetic": QuerySpec(
+        q_try_arithmetic,
+        ORA_TRY_ARITHMETIC,
+        "try_divide/try_add/try_cast NULL-on-error family (planted failures)",
+    ),
+    "csv_column_roundtrip": QuerySpec(
+        q_csv_column_roundtrip,
+        ORA_CSV_COLUMN_ROUNDTRIP,
+        "to_csv/from_csv embedded-wire round trip (law-oracled)",
+    ),
+    "collation_group": QuerySpec(
+        q_collation_group,
+        ORA_COLLATION_GROUP,
+        "UTF8_LCASE collated grouping over case-mangled keys",
+    ),
+    "binaryfile_source": QuerySpec(
+        q_binaryfile_source,
+        ORA_BINARYFILE_SOURCE,
+        "binaryFile blob ingestion: staged per-doc files -> path/length/md5",
+    ),
     "compaction_execute": QuerySpec(
         q_compaction_execute,
         ORA_COMPACTION_EXECUTE,
@@ -3082,6 +3426,19 @@ QUERIES: dict[str, QuerySpec] = {
     "set_union": QuerySpec(q_set_union, ORA_SET_UNION, "UNION"),
     "set_intersect": QuerySpec(q_set_intersect, ORA_SET_INTERSECT, "INTERSECT"),
     "set_except": QuerySpec(q_set_except, ORA_SET_EXCEPT, "EXCEPT"),
+    "set_except_all": QuerySpec(
+        q_set_except_all, ORA_SET_EXCEPT_ALL, "bag-semantics EXCEPT ALL (exceptAll)"
+    ),
+    "set_intersect_all": QuerySpec(
+        q_set_intersect_all,
+        ORA_SET_INTERSECT_ALL,
+        "bag-semantics INTERSECT ALL (intersectAll)",
+    ),
+    "agg_moments": QuerySpec(
+        q_agg_moments,
+        ORA_AGG_MOMENTS,
+        "median/stddev/var/skewness/kurtosis/corr/covar family, one grouped pass",
+    ),
     "distinct_pairs": QuerySpec(q_distinct, ORA_DISTINCT, "DISTINCT"),
     "pivot_events": QuerySpec(q_pivot, ORA_PIVOT, "pivot"),
     "unpivot_measures": QuerySpec(q_unpivot, ORA_UNPIVOT, "unpivot/stack"),

@@ -1368,6 +1368,56 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic event PRODUCER via the built-in `rate-micro-batch`
+    generator source — the Spark-idiomatic analog of the reference's
+    Python producer loops (reference sparkpykafkajoin repo: the
+    kafka-console / faker producers feeding redis-server and
+    stedi-events).  Where the reference emits ~0.5 events/s from a
+    driver-side loop, this source manufactures rows IN the engine,
+    per-partition and offset-tracked: with a pinned `startTimestamp`
+    and `rowsPerBatch`, an availableNow replay yields exactly `value`
+    in [0, rowsPerBatch) — fully deterministic, so the downstream
+    aggregation is value-oracled (DuckDB replays the generator with
+    `range()`).  `sf_dir` is unused: a generator source has no input
+    corpus.  At scale this is the load-harness pattern: numPartitions
+    generator tasks produce in parallel and the complete-mode agg
+    holds |shards| rows of state."""
+    gen = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 5000)
+        .option("numPartitions", 8)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    ev = gen.select(
+        "value",
+        (F.col("value") % 5).alias("shard"),
+        ((F.col("value") * 37 + 11) % 1000).alias("amount"),
+    )
+    agg = ev.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("amount").alias("sum_amount"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    # complete-mode agg emits during the data batch; no watermark state to
+    # flush, so the trailing no-data batch is pure overhead.
+    return run_to_memory(agg, spark, output_mode="complete", no_data_batches=False)
+
+
+ORA_STREAMING_RATE_SOURCE = """
+SELECT value % 5 AS shard,
+       COUNT(*) AS n_events,
+       CAST(SUM((value * 37 + 11) % 1000) AS BIGINT) AS sum_amount,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM range(0, 5000) t(value)
+GROUP BY 1
+"""
+
+
 def q_streaming_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity gating ON THE STREAM — the train-batch / score-stream
     split of a production CCNet-style filter: the bigram surprisal model
@@ -1567,6 +1617,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_quality_gate,
         ORA_STREAMING_QUALITY_GATE,
         "stateless streaming quality-classifier gate (append mode)",
+    ),
+    "streaming_rate_source": QuerySpec(
+        q_streaming_rate_source,
+        ORA_STREAMING_RATE_SOURCE,
+        "rate-micro-batch generator source -> complete-mode shard rollup",
     ),
     "streaming_chained_windows": QuerySpec(
         q_streaming_chained_windows,

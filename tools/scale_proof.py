@@ -111,6 +111,8 @@ QUERIES = [
     "dpp_prune_join",
     "streaming_ppl_gate",
     "streaming_chained_windows",
+    "agg_moments",
+    "streaming_rate_source",
 ]
 
 
