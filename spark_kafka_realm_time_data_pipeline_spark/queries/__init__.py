@@ -44,82 +44,26 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Round-9 rotation (the driver checks the first ~50).  Composition:
-    # (a) the queries NEW in r9 — never driver-checked, so they must sit
-    #     inside the window (test_registry enforces this): DPP, the
-    #     df.transpose shape, the bucketed join, grouped applyInArrow,
-    #     the LM perplexity filter, the Python Data Source envelope
-    #     family, the stream-stream full-outer join, observed metrics,
-    #     the state-store reader, SQL UDFs, parameterized SQL, the
-    #     compaction executor, and the mergeSchema read;
-    # (b) the 7 r2-era names whose latest driver proof predates two
-    #     corpus regenerations and which sat at positions 50-54 last
-    #     round (they would have missed a 50-wide window AGAIN), then
-    # (c) the 24 r3-era names (text/multimodal/similarity/UDF/map
-    #     families and friends) — after this round every oracled name's
-    #     latest driver proof is r4 or newer;
-    # (d) queries whose PLAN or oracle-facing expression changed this
-    #     round (staged-index streaming dedup + the jaccard_verify doc_a
-    #     prune reaching the whole MinHash family, the agreement-report
-    #     zero-row coalesce, xml nullif, fk audit refactor) — re-proven
-    #     by the local sf0.01 sweep, rotated here in case the window is
-    #     wider than 50.
+    # Round-11 rotation (the driver checks the first ~50).  Composition:
+    # (a) queries NEW in r11 — never driver-checked, so they must sit
+    #     inside the window (test_registry enforces this);
+    # (b) the 8 names whose latest driver proof is still r3 (they sat at
+    #     positions 50-57 — just outside a 50-wide window — for three
+    #     consecutive rounds: the pandas/arrow UDF and map families plus
+    #     the theta band join);
+    # (c) the 35 names whose latest driver proof is r5 (dedup/stat
+    #     utilities, 9 TPC-H shapes, and the 17 curation names).
+    #     8 + 35 = 43, leaving 7 window slots for (a).  After this round
+    #     every oracled name's latest driver proof is r6 or newer.
     front = [
         n
         for n in (
-            # (a) new in r9 — never driver-checked
-            "bitmap_distinct",
-            "try_arithmetic",
-            "csv_column_roundtrip",
-            "collation_group",
-            "agg_moments",
-            "set_except_all",
-            "set_intersect_all",
-            "binaryfile_source",
-            "streaming_rate_source",
-            "dpp_prune_join",
-            "transpose_metrics",
-            "streaming_ppl_gate",
-            "python_udtf_table_arg",
-            "streaming_chained_windows",
-            "bucketed_join",
-            "apply_in_arrow",
-            "lm_perplexity_filter",
-            "envelope_pyds_roundtrip",
-            "envelope_pyds_stream",
-            "envelope_pyds_sink",
-            "streaming_full_outer_join",
-            "streaming_observed_metrics",
-            "state_store_inspect",
-            "sql_udf_pricing",
-            "param_sql_topk",
-            "compaction_execute",
-            "schema_merge_read",
-            # (b) r2-era stragglers (missed the 50-wide r8 window)
-            "nation_revenue",
-            "join_left",
-            "join_range",
-            "cdc_upsert_latest",
-            "time_rollup",
-            "distinct_pairs",
-            "unpivot_measures",
-            # (c) r3-era
-            "scalar_math",
-            "tpch_q14_promo",
-            "dedup_simhash_hamming",
-            "dedup_embedding",
-            "sim_bruteforce_topk",
-            "sim_lsh_topk",
-            "text_quality",
-            "text_tokens",
-            "text_langid",
-            "text_fingerprint",
-            "text_repetition",
-            "multimodal_meta",
-            "multimodal_frames",
-            "multimodal_resize",
-            "embedding_stats",
-            "pandas_udf_scalar",
+            # (a) new in r11 — never driver-checked
+            "join_skew_aqe",
+            "streaming_idempotent_sink",
+            "pii_redact_v2",
+            # (b) r3-era (stuck at positions 50-57 since r8)
+            "join_theta_band",
             "pandas_udf_grouped_agg",
             "apply_in_pandas",
             "python_udf_scalar",
@@ -127,17 +71,42 @@ def registry() -> dict[str, QuerySpec]:
             "map_in_arrow",
             "map_functions",
             "map_entries_explode",
-            "join_theta_band",
-            # (d) r9 plan / expression changes (local sf0.01 re-proof)
-            "streaming_dedup_incremental",
-            "dedup_incremental",
-            "dedup_incremental_indexed",
-            "dedup_minhash_lsh",
-            "dedup_minhash_ngram",
-            "dedup_agreement_report",
-            "xml_roundtrip",
-            "fk_integrity_audit",
-            "mixture_cap_sample",
+            # (c) r5-era
+            "dedup_exact",
+            "dedup_simhash",
+            "zorder_stats",
+            "pii_redact",
+            "heavy_hitters",
+            "merge_upsert",
+            "tpch_q10_returned",
+            "tpch_q11_important_stock",
+            "tpch_q12_shipmode",
+            "tpch_q13_cust_distribution",
+            "tpch_q16_parts_supplier",
+            "tpch_q17_small_qty",
+            "tpch_q19_discounted",
+            "tpch_q20_potential_promo",
+            "tpch_q22_global_sales",
+            "text_normalize",
+            "quality_filter_pipeline",
+            "length_histogram",
+            "url_host_dedup",
+            "window_dedup_rank",
+            "stratified_sample",
+            "pack_sequences",
+            "token_budget_split",
+            "curriculum_buckets",
+            "domain_mix_weights",
+            "doc_chunk_overlap",
+            "vocab_coverage",
+            "ngram_lm_counts",
+            "bpe_pair_counts",
+            "rlhf_pair_stats",
+            "embedding_normalize",
+            "quantize_embeddings",
+            "semdedup_representatives",
+            "ann_ivf_centroids",
+            "curation_pipeline_e2e",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]
