@@ -327,6 +327,12 @@ def main() -> None:
         # second when the runner recorded the engine's numInputRows (an
         # aggregating stream emits 20 rows from millions processed — the
         # output count measures the sketch's geometry, not throughput).
+        # Denominator: the engine-reported processing time (sum of
+        # triggerExecution durations — Spark's own processedRowsPerSecond
+        # definition) when the query captured it, else the fn wall time.
+        # Wall includes per-QUERY fixed cost (stream start/stop, staged-
+        # index fingerprint check, driver read-back) that doesn't scale
+        # with rows; triggerExecution is the per-row processing path.
         # Falls back to output-row count for paths without progress
         # capture (foreachBatch sinks); the drained memory-sink table
         # makes that count a cheap local scan, not a stream re-execution.
@@ -335,7 +341,8 @@ def main() -> None:
                 n_rows = getattr(last_df, "stream_input_rows", None)
                 if not n_rows:
                     n_rows = last_df.count()
-                rows_per_sec[name] = round(n_rows / med, 1)
+                denom = getattr(last_df, "stream_processing_secs", None) or med
+                rows_per_sec[name] = round(n_rows / denom, 1)
             except Exception as exc:  # noqa: BLE001
                 print(f"rows/s {name} failed: {exc!r}", file=sys.stderr)
 

@@ -182,6 +182,28 @@ def doc_shingles(corpus: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def doc_shingle_arrays(corpus: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, arr) — each doc's DISTINCT shingle set as one array row:
+    exactly doc_shingles before its explode.  The narrow form is the
+    per-micro-batch intermediate of choice: one row per doc, checkpointed
+    once, feeds both the signature chain (re-explode) and the exact-Jaccard
+    verify (broadcast of the array rows) without retokenizing."""
+    codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
+
+    def gram_hash(i):
+        h = F.coalesce(F.get(F.col("codes"), i - 1), F.lit(0)).cast("long")
+        for k in range(1, n):
+            c = F.coalesce(F.get(F.col("codes"), i - 1 + k), F.lit(0)).cast("long")
+            h = (h * SHINGLE_B + c) % SHINGLE_P
+        return h
+
+    positions = F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+    return corpus.withColumn("codes", codes).select(
+        "doc_id",
+        F.array_distinct(F.transform(positions, gram_hash)).alias("arr"),
+    )
+
+
 # Prime modulus for the Carter-Wegman hash family (< 2^28 so the affine
 # combination below never overflows a signed 64-bit int).
 MINHASH_PRIME = 268435399
@@ -689,12 +711,20 @@ def stage_base_index(base: DataFrame, path: str, max_bucket: int = MAX_BUCKET) -
     - ``{path}/toks``: the (doc_id, tok) shingle sets the exact-Jaccard
       verify intersects (precomputed — the delta path never re-tokenizes
       base text);
-    - ``{path}/sizes``: (doc_id, n_toks) for the Jaccard union term.
+    - ``{path}/sizes``: (doc_id, n_toks) for the Jaccard union term;
+    - ``{path}/toks_arr``: the same shingle sets as ONE sorted array row
+      per doc — the layout the per-micro-batch streaming verify reads:
+      fetching the few candidate base docs touches n_docs narrow rows
+      (semi-filtered by a broadcast id list) instead of the full exploded
+      (doc, tok) frame, and the intersection runs as JVM array_intersect
+      with no shuffle at all.
 
     The cap is applied at build time among base docs only (lowest doc_ids
     win), matching the non-indexed operator's base-side cap.  On a cluster
     ``path`` is a shared-FS table location; extending the index for a new
-    day's accepted docs is an append of the same three frames."""
+    day's accepted docs is an append of the same frames.  ``toks_arr`` is
+    written LAST, so its _SUCCESS marker doubles as the whole-index
+    completeness flag (pre-r11 indexes without it restage)."""
     from pyspark import StorageLevel
 
     b = base.select("doc_id", "text")
@@ -713,6 +743,9 @@ def stage_base_index(base: DataFrame, path: str, max_bucket: int = MAX_BUCKET) -
             f"{path}/sizes"
         )
         toks.write.mode("overwrite").parquet(f"{path}/toks")
+        toks.groupBy("doc_id").agg(
+            F.array_sort(F.collect_set("tok")).alias("arr")
+        ).write.mode("overwrite").parquet(f"{path}/toks_arr")
     finally:
         sigs.unpersist()
         toks.unpersist()
@@ -777,6 +810,94 @@ def incremental_near_dup_indexed(
     finally:
         dsigs.unpersist()
         dtoks.unpersist()
+
+
+def incremental_near_dup_batch(
+    spark: SparkSession,
+    index_path: str,
+    delta: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Per-MICRO-BATCH twin of incremental_near_dup_indexed, shaped for the
+    foreachBatch hot loop where the delta is small relative to the base
+    and the call runs once per trigger, so fixed per-call cost (extra
+    shuffles, checkpoints, wide scans) dominates wall time:
+
+    - the delta bands are BROADCAST into the band join, so the staged
+      base band table never shuffles — a parquet scan plus a broadcast
+      hash join per batch, instead of re-exchanging n_base x n_bands rows
+      on every trigger;
+    - verification reads the staged ``toks_arr`` per-doc shingle ARRAYS
+      (one narrow row per base doc, semi-filtered by the broadcast
+      candidate-id list) and intersects with JVM array_intersect — the
+      full exploded base (doc, tok) frame is never scanned, let alone
+      shuffled;
+    - no output localCheckpoint: the caller writes the frame straight to
+      its sink in the same pass.
+
+    Value-identical to incremental_near_dup_indexed on the same (index,
+    delta) when the delta arrives in one batch: same build-time base cap,
+    same within-batch delta cap, same exact-Jaccard over the same shingle
+    sets (``size(array)`` of a distinct-set array == the staged n_toks) —
+    so it shares that operator's oracle verbatim.  At cluster scale the
+    broadcast bound is the delta batch's band table (n_delta x n_bands
+    8-byte keys); a batch too large to broadcast belongs on the shuffling
+    indexed path instead."""
+    base_bands = spark.read.parquet(f"{index_path}/bands").select(
+        F.col("doc_id").alias("base_id"), "band_id", "band_key"
+    )
+    base_arrs = spark.read.parquet(f"{index_path}/toks_arr")
+
+    # A micro-batch frame arrives with SOURCE-split parallelism (often a
+    # handful of file splits); fan the compact (doc_id, text) rows out to
+    # the session's width BEFORE the shingle explode — and hash by doc_id,
+    # so the signature groupBy(doc_id) is satisfied by the incoming
+    # partitioning and needs NO exchange of the exploded token frame.
+    target = delta.sparkSession.sparkContext.defaultParallelism
+    d = delta.select("doc_id", "text").repartition(target, "doc_id")
+    # The delta's per-doc shingle-set arrays are the ONE materialized
+    # intermediate (n_delta narrow rows, eager localCheckpoint — no
+    # persist lifecycle to manage across the lazy return): the signature
+    # chain re-explodes it, the verify join broadcasts it.
+    darr = doc_shingle_arrays(d).localCheckpoint(eager=True)
+    dsigs = minhash_signatures(
+        darr.select("doc_id", F.explode("arr").alias("tok")),
+        tok_hashed=True,
+        with_size=True,
+    )
+    delta_bands = capped_buckets(signature_bands(dsigs), max_bucket).select(
+        F.col("doc_id").alias("delta_id"), "band_id", "band_key"
+    )
+    cands = (
+        base_bands.join(F.broadcast(delta_bands), ["band_id", "band_key"])
+        .select("delta_id", "base_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny pair list; broadcast below
+    )
+    # Linear verify: ONE distributed scan of the staged array table, with
+    # the pair list and the delta arrays both broadcast onto it — the base
+    # side stays a scan at any scale, and no shuffle of array payloads.
+    n_inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = n_inter.cast("double") / (
+        F.size("arr_a") + F.size("arr_b") - n_inter
+    ).cast("double")
+    return (
+        base_arrs.join(
+            F.broadcast(cands), base_arrs["doc_id"] == cands["base_id"]
+        )
+        .select("delta_id", "base_id", F.col("arr").alias("arr_a"))
+        .join(
+            F.broadcast(
+                darr.select(
+                    F.col("doc_id").alias("delta_id"), F.col("arr").alias("arr_b")
+                )
+            ),
+            "delta_id",
+        )
+        .select("delta_id", "base_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def editdistance_near_dup(

@@ -503,9 +503,10 @@ def staged_base_index(spark: SparkSession, sf_dir: str) -> str:
     ).hexdigest()[:12]
     root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
     idx = os.path.join(root, f"dedup_base_idx_{tag}")
-    # toks is written LAST in stage_base_index, so its _SUCCESS marker
-    # means the whole index is complete
-    if not os.path.exists(os.path.join(idx, "toks", "_SUCCESS")):
+    # toks_arr is written LAST in stage_base_index, so its _SUCCESS marker
+    # means the whole index is complete (and pre-r11 indexes lacking the
+    # array frame restage)
+    if not os.path.exists(os.path.join(idx, "toks_arr", "_SUCCESS")):
         D.stage_base_index(base, idx)
     return idx
 

@@ -1041,10 +1041,12 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     full-corpus re-dedup, and — since r9 — never a base re-tokenize: the
     hook reads the STAGED band/shingle/size index `stage_base_index`
     materializes once per corpus, the same index the batch
-    `dedup_incremental_indexed` query reads).  The batch hook reuses the
-    exact incremental_near_dup_indexed operator, so the codegen'd explode
-    + groupBy signature path runs per micro-batch instead of a (10-100x
-    slower) per-row interpreted-lambda MinHash on the stream.  availableNow
+    `dedup_incremental_indexed` query reads).  The batch hook runs the
+    per-micro-batch incremental_near_dup_batch operator — delta bands
+    BROADCAST against the staged band table (the base side never shuffles
+    per trigger) and exact-Jaccard via the staged per-doc shingle ARRAYS
+    (JVM array_intersect over the few candidate docs, never a scan of the
+    exploded base token frame) — zero per-row Python either way.  availableNow
     drains the bounded source in one deterministic micro-batch, which
     makes the result value-identical to the batch twin — and the oracle
     IS the batch twin's SQL.
@@ -1086,8 +1088,14 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     out_dir = _scratch_dir("stream_incdedup_")
 
     def match_batch(batch_df: DataFrame, batch_id: int) -> None:
-        matches = D.incremental_near_dup_indexed(spark, idx, batch_df, threshold=0.8)
-        matches.write.mode("append").parquet(out_dir)
+        matches = D.incremental_near_dup_batch(spark, idx, batch_df, threshold=0.8)
+        # repartition(1), NOT coalesce(1): matches are a few-k-row frame and
+        # one file per trigger keeps the append sink from accreting tiny
+        # files — but coalesce would propagate the 1-partition constraint UP
+        # the (linear, shuffle-free) verify plan and single-thread the whole
+        # base scan; the repartition exchange is a barrier that keeps the
+        # scan parallel and moves only the final tiny rows.
+        matches.repartition(1).write.mode("append").parquet(out_dir)
 
     try:
         query = foreach_batch_sink(delta, match_batch, output_mode="append")
@@ -1096,8 +1104,16 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
                 raise TimeoutError(
                     "incremental-dedup stream replay did not finish in 300s"
                 )
-            input_rows = sum(
-                int(p["numInputRows"]) for p in (query.recentProgress or []) if p
+            progress = [p for p in (query.recentProgress or []) if p]
+            input_rows = sum(int(p["numInputRows"]) for p in progress)
+            # engine-reported processing time: sum of per-trigger
+            # triggerExecution durations — the denominator Spark's own
+            # processedRowsPerSecond uses.  Excludes stream start/stop and
+            # the driver-side read-back below, which are per-QUERY setup,
+            # not per-row cost (bench divides by this when present).
+            proc_ms = sum(
+                int(p.get("durationMs", {}).get("triggerExecution", 0))
+                for p in progress
             )
         finally:
             query.stop()
@@ -1105,6 +1121,8 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         # ingest throughput for bench rows/s (matches found says nothing
         # about how many delta docs were processed)
         out.stream_input_rows = input_rows
+        if proc_ms > 0:
+            out.stream_processing_secs = proc_ms / 1000.0
         return out
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
