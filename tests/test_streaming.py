@@ -252,3 +252,30 @@ def test_streaming_chained_windows_equals_direct_rollup(spark):
         .collect()
     }
     assert got == want
+
+
+def test_rocksdb_replay_results_identical(spark):
+    """RocksDB state-store pin: the session DEFAULT provider is RocksDB
+    (session.py), but every bounded registry replay runs the HDFS-backed
+    override (runner.REPLAY_STATE_PROVIDER) for speed.  Prove the override
+    is purely an execution-strategy choice: the chained stateful window
+    query — two stacked watermark aggregations, the deepest state user in
+    the suite — must produce byte-identical rows under
+    RocksDBStateStoreProvider."""
+    from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+    from spark_kafka_realm_time_data_pipeline_spark.streaming import runner
+
+    from conftest import SF_DIR
+
+    fn = registry()["streaming_chained_windows"].fn
+    hdfs_rows = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    orig = runner.REPLAY_STATE_PROVIDER
+    runner.REPLAY_STATE_PROVIDER = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        rocks_rows = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    finally:
+        runner.REPLAY_STATE_PROVIDER = orig
+    assert rocks_rows == hdfs_rows
+    assert len(rocks_rows) > 0
