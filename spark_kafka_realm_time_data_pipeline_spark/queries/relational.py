@@ -746,6 +746,59 @@ GROUP BY c_mktsegment
 """
 
 
+def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE-native skew join — the zero-code runtime alternative to
+    salted_join: ~2/3 of the fact rows are remapped onto ONE hot join key,
+    the join is hinted MERGE (the dim stands in for a side too large to
+    broadcast — the scenario where skew actually bites), and
+    ``spark.sql.adaptive.skewJoin`` (on session-wide, session.py) splits
+    the oversized shuffle partition into per-mapper chunks at runtime,
+    replicating the matching dim rows per chunk.  No salt column, no dim
+    replication factor to tune, and the split only happens when runtime
+    stats say the partition IS skewed.
+
+    Two planted-demo shapes matter at any scale and are pinned in
+    tests/test_plans.py::test_aqe_skew_join_splits_planted_hot_key:
+
+    - the fact is fanned out (repartition) BEFORE the join so the hot
+      key's rows arrive from MANY map tasks: AQE splits a skewed reduce
+      partition at mapper-chunk granularity, so a hot partition written
+      by a single mapper (the local single-row-group parquet scan) is
+      unsplittable no matter its size.  On a real cluster the fact side
+      of a shuffle always has thousands of mappers and this repartition
+      is a no-op in spirit;
+    - the plan must show ``SortMergeJoin(skew=true)`` with an
+      ``AQEShuffleRead ... skewed`` reader under test-scale thresholds.
+
+    Result is identical to the plain (unhinted, unsplit) join — which is
+    the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    fanout = spark.sparkContext.defaultParallelism
+    f = ev.repartition(fanout).select(
+        F.when(F.col("event_id") % 3 != 0, F.lit(7))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    d = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    return (
+        f.join(d.hint("merge"), "k")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+ORA_JOIN_SKEW_AQE = f"""
+SELECT c_mktsegment, COUNT(*) AS n_events, {ORA_DSUM.format(c='value')} AS sum_value
+FROM (SELECT CASE WHEN event_id % 3 <> 0 THEN 7 ELSE user_id END AS k, value
+      FROM events) f
+JOIN customer ON f.k = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark lacks a native one): for each 'error' event, the
     most recent 'click' by the same user at-or-before it.  Implemented as a
@@ -3395,6 +3448,9 @@ QUERIES: dict[str, QuerySpec] = {
     "join_theta_band": QuerySpec(q_join_theta_band, ORA_JOIN_THETA, "theta band join"),
     "join_skew_salted": QuerySpec(
         q_join_skew_salted, ORA_JOIN_SKEW_SALTED, "salted skew-mitigated equi-join"
+    ),
+    "join_skew_aqe": QuerySpec(
+        q_join_skew_aqe, ORA_JOIN_SKEW_AQE, "AQE runtime-split skew join"
     ),
     "cdc_upsert_latest": QuerySpec(
         q_cdc_upsert_latest, ORA_CDC_UPSERT, "CDC upsert -> latest state via max_by"

@@ -454,3 +454,63 @@ def test_dpp_prune_join_injects_runtime_partition_filter(spark):
     )
     static_part = fact_scan.split("dynamicpruningexpression")[0]
     assert " IN (" not in static_part, fact_scan
+
+
+def test_aqe_skew_join_splits_planted_hot_key(spark):
+    """AQE-native skew split pin: the registry query join_skew_aqe (2/3 of
+    events remapped onto one hot key, merge-hinted join) must, under
+    test-scale thresholds, produce a final adaptive plan whose join is
+    SortMergeJoin(skew=true) with a 'skewed' AQEShuffleRead — the runtime
+    partition split the manual salted_join implements by hand.  Thresholds
+    are lowered because the defaults (256MB skewed-partition floor) are
+    sized for production shuffles, not a ~500KB test fixture; the
+    MECHANISM under test is identical.  Results must equal the plain
+    unhinted join (the oracle's shape) — the split is result-neutral."""
+    from pyspark.sql import functions as SF
+
+    from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+    from spark_kafka_realm_time_data_pipeline_spark.sources.files import load_table
+
+    from conftest import SF_DIR
+
+    fn = registry()["join_skew_aqe"].fn
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1024",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "512",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = fn(spark, SF_DIR)
+        got = {tuple(r) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in plan, plan[:2000]
+    assert "skewed" in plan, plan[:2000]
+    ev = load_table(spark, SF_DIR, "events")
+    f = ev.select(
+        SF.when(SF.col("event_id") % 3 != 0, SF.lit(7))
+        .otherwise(SF.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    d = load_table(spark, SF_DIR, "customer").select(
+        SF.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    from spark_kafka_realm_time_data_pipeline_spark.queries.relational import dsum
+
+    want = {
+        tuple(r)
+        for r in f.join(d, "k")
+        .groupBy("c_mktsegment")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
+        )
+        .collect()
+    }
+    assert got == want
