@@ -186,6 +186,9 @@ HEADLINE += [
     "agg_moments",
     "binaryfile_source",
     "streaming_rate_source",
+    # round-11 additions
+    "join_skew_aqe",
+    "streaming_idempotent_sink",
     # set_except_all / set_intersect_all are correctness-only: they time the
     # same single-shuffle hash-agg machinery set_except already benches.
     # transpose_metrics is correctness-only: it inlines to the same scan +

@@ -1132,6 +1132,103 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 # deterministic availableNow micro-batch), so it shares that oracle verbatim
 from .llm import ORA_DEDUP_INCREMENTAL as _ORA_DEDUP_INCREMENTAL  # noqa: E402
 
+
+def q_streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE foreachBatch sink, crash-proven on every run: the
+    production pattern for parquet/JDBC/object-store targets that
+    Structured Streaming can only drive at-least-once.  foreachBatch
+    re-runs a batch whose offsets committed but whose epoch didn't — so a
+    plain append sink duplicates that batch's rows after any crash between
+    sink write and commit.  The fix is a batch_id-KEYED IDEMPOTENT
+    OVERWRITE: each micro-batch owns the partition directory
+    ``batch=<batch_id>`` and writes it with mode=overwrite, so a replayed
+    batch REPLACES its own previous (possibly partial) output instead of
+    appending next to it.  batch_id is deterministic across restarts from
+    the same checkpoint, which is exactly the contract the pattern leans
+    on (Structured Streaming programming guide, foreachBatch section).
+
+    The query does not merely document this — it KILLS the stream on every
+    execution: the first attempt's sink hook raises AFTER the parquet
+    write but BEFORE the trigger commits, the stream dies mid-epoch, and a
+    second start from the SAME checkpoint replays the batch into the same
+    partition.  The oracle is the plain batch SQL over the source — any
+    duplicate row from the crashed first attempt fails the value hash.
+
+    Same local[]-only sink caveat as streaming_dedup_incremental: on a
+    cluster, route ``SPARK_GRAFT_SCRATCH`` to a shared FS."""
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    rows = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.floor("value").cast("long").alias("value_floor"),
+        )
+    )
+    out_dir = _scratch_dir("stream_idem_")
+    ckpt = tempfile.mkdtemp(prefix="idem_ckpt_")
+    crash_once = {"armed": True}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        if crash_once.pop("armed", None):
+            raise RuntimeError(
+                "injected crash AFTER sink write, BEFORE offset commit"
+            )
+
+    def start():
+        return (
+            rows.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    try:
+        q1 = start()
+        crashed = False
+        try:
+            q1.awaitTermination(300)
+        except StreamingQueryException:
+            crashed = True
+        finally:
+            q1.stop()
+        if not crashed:
+            raise AssertionError(
+                "injected mid-epoch crash did not surface — the restart "
+                "below would not be exercising failure recovery"
+            )
+        q2 = start()
+        try:
+            if not q2.awaitTermination(300):
+                raise TimeoutError("idempotent-sink restart did not finish in 300s")
+        finally:
+            q2.stop()
+        out = (
+            spark.read.parquet(out_dir)
+            .select("event_id", "user_id", "value", "value_floor")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+ORA_STREAMING_IDEMPOTENT_SINK = """
+SELECT event_id, user_id, value, CAST(FLOOR(value) AS BIGINT) AS value_floor
+FROM events WHERE event_type = 'purchase'
+"""
+
 def q_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable histogram quantile sketch maintained AS A STREAM: the
     (source, bin) cell table of `quantile_sketch_merge` kept by a
@@ -1580,6 +1677,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_dedup_incremental,
         _ORA_DEDUP_INCREMENTAL,
         "foreachBatch ingest dedup: stream micro-batches vs static base index",
+    ),
+    "streaming_idempotent_sink": QuerySpec(
+        q_streaming_idempotent_sink,
+        ORA_STREAMING_IDEMPOTENT_SINK,
+        "exactly-once foreachBatch sink: batch_id-keyed overwrite, "
+        "crash-after-write + checkpoint restart proven on every run",
     ),
     "streaming_countmin": QuerySpec(
         q_streaming_countmin,
