@@ -153,6 +153,51 @@ def pii_redact(df: DataFrame, col: str, key_col: str) -> DataFrame:
     )
 
 
+# Dialect-portable PII patterns (identical semantics in Java regex and
+# DuckDB's RE2: ASCII classes, \b word boundaries, bounded quantifiers —
+# no lookaround, no unicode classes).  Order of redaction matters and is
+# fixed: EMAIL first (an email contains digit runs a later pass would
+# otherwise shred), then IP, then PHONE, then bare digit-run IDs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{2,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}\b"
+PII_ID_RE = r"[0-9]+"
+
+
+def pii_redact_v2(df: DataFrame, col: str, key_col: str) -> DataFrame:
+    """Broadened PII scrub (training-data hygiene): mask emails, IPv4
+    addresses, phone numbers, and remaining numeric-identifier runs with
+    typed placeholders, count each category's occurrences (counted on the
+    ORIGINAL text, each with its own pattern), and keep the stable md5
+    pseudonym so downstream joins survive redaction.
+
+    Same scale shape as pii_redact: one narrow codegen'd projection —
+    regexp_replace/regexp_extract_all/md5 are JVM expressions, zero
+    shuffles, zero Python — so the pass runs at scan speed on 100 TB.
+    The patterns are deliberately RE2-compatible so the DuckDB oracle
+    replays them byte-for-byte."""
+    c = F.col(col)
+
+    def n_matches(pat: str):
+        return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("bigint")
+
+    red = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IP_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    red = F.regexp_replace(red, PII_ID_RE, "<ID>")
+    return df.select(
+        key_col,
+        red.alias("redacted"),
+        n_matches(PII_EMAIL_RE).alias("n_emails"),
+        n_matches(PII_IP_RE).alias("n_ips"),
+        n_matches(PII_PHONE_RE).alias("n_phones"),
+        (F.length(c) - F.length(F.regexp_replace(c, "[0-9]", "")))
+        .cast("bigint")
+        .alias("digits_seen"),
+        F.substring(F.md5(c), 1, 8).alias("pseudo_id"),
+    )
+
+
 def heavy_hitters(docs: DataFrame, k: int = 20) -> DataFrame:
     """Corpus vocabulary heavy hitters: explode -> two-phase hash aggregate
     -> deterministic global top-k (count desc, word asc).

@@ -1446,6 +1446,64 @@ FROM customer
 """
 
 
+def q_pii_redact_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadened PII scrub (emails, IPv4s, phone formats, id runs) over a
+    synthetic per-customer contact blob — operators/text.py:pii_redact_v2.
+
+    The corpus customer dim carries no raw contact strings, so the blob is
+    DERIVED deterministically from (c_name, c_custkey): an email minted
+    from the lowercased name, a phone and an IPv4 minted from arithmetic
+    on the key.  Both engines build the identical blob, so the oracle
+    exercises the exact redaction regexes byte-for-byte — the planted-PII
+    masking proof lives in tests/test_text.py with literal strings."""
+    c = load_table(spark, sf_dir, "customer")
+    blob = F.expr(
+        "concat(c_name, ' <', replace(lower(c_name), '#', '.'), '@example.com> ',"
+        " cast(10 + c_custkey % 90 as string), '-',"
+        " cast(100 + (c_custkey * 7) % 900 as string), '-',"
+        " cast(100 + (c_custkey * 13) % 900 as string), '-',"
+        " cast(1000 + (c_custkey * 31) % 9000 as string),"
+        " ' ip=10.', cast(c_custkey % 256 as string),"
+        " '.', cast((c_custkey div 256) % 256 as string),"
+        " '.', cast(1 + c_custkey % 200 as string))"
+    )
+    return T.pii_redact_v2(
+        c.select("c_custkey", blob.alias("contact")), "contact", "c_custkey"
+    )
+
+
+ORA_PII_REDACT_V2 = f"""
+WITH blob AS (
+  SELECT c_custkey,
+         concat(c_name, ' <', replace(lower(c_name), '#', '.'), '@example.com> ',
+                CAST(10 + c_custkey % 90 AS VARCHAR), '-',
+                CAST(100 + (c_custkey * 7) % 900 AS VARCHAR), '-',
+                CAST(100 + (c_custkey * 13) % 900 AS VARCHAR), '-',
+                CAST(1000 + (c_custkey * 31) % 9000 AS VARCHAR),
+                ' ip=10.', CAST(c_custkey % 256 AS VARCHAR),
+                '.', CAST((c_custkey // 256) % 256 AS VARCHAR),
+                '.', CAST(1 + c_custkey % 200 AS VARCHAR)) AS contact
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(contact,
+           '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{T.PII_IP_RE}', '<IP>', 'g'),
+           '{T.PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{T.PII_ID_RE}', '<ID>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(contact, '{T.PII_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(contact, '{T.PII_IP_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(contact, '{T.PII_PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+       CAST(length(contact)
+            - length(regexp_replace(contact, '[0-9]', '', 'g')) AS BIGINT)
+           AS digits_seen,
+       substring(md5(contact), 1, 8) AS pseudo_id
+FROM blob
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters over the corpus —
     operators/text.py:heavy_hitters."""
@@ -1941,6 +1999,11 @@ QUERIES: dict[str, QuerySpec] = {
     "text_langid": QuerySpec(q_text_langid, _ora_langid(), "language-ID heuristic"),
     "pii_redact": QuerySpec(
         q_pii_redact, ORA_PII_REDACT, "PII masking + stable pseudonymous id"
+    ),
+    "pii_redact_v2": QuerySpec(
+        q_pii_redact_v2,
+        ORA_PII_REDACT_V2,
+        "typed PII masking: emails, IPv4s, phones, id runs + pseudonym",
     ),
     "heavy_hitters": QuerySpec(
         q_heavy_hitters, ORA_HEAVY_HITTERS, "vocabulary heavy hitters (bounded-shuffle top-k)"

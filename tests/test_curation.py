@@ -255,3 +255,41 @@ def test_lm_perplexity_filter_scores_every_multiword_doc(spark):
     for r in out:
         assert r["avg_milli_bits"] == (1000 * r["total_bits"]) // r["n_bigrams"]
         assert r["keep"] == (r["avg_milli_bits"] <= C.PPL_KEEP_MILLI_BITS)
+
+
+def test_pii_redact_v2_masks_planted_pii(spark):
+    """Planted-PII proof for the broadened scrub: literal emails, phone
+    formats, IPv4s, and bare id runs must each be replaced by their typed
+    placeholder (in the fixed EMAIL -> IP -> PHONE -> ID order), counts
+    must match what was planted, and PII-free text must pass through
+    unchanged."""
+    from pyspark.sql import functions as SF
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.text import (
+        pii_redact_v2,
+    )
+
+    rows = [
+        (1, "reach john.doe+x@mail.example.org or 25-989-741-2988 now"),
+        (2, "login from 192.168.0.1 with id 12345 and 172.16.254.3"),
+        (3, "no pii here, just words"),
+        (4, "a@b.io 10-123-456-7890 1.2.3.4 987654321"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "txt"])
+    got = {
+        r["k"]: r.asDict() for r in pii_redact_v2(df, "txt", "k").collect()
+    }
+    assert got[1]["redacted"] == "reach <EMAIL> or <PHONE> now"
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (1, 1, 0)
+    assert got[2]["redacted"] == "login from <IP> with id <ID> and <IP>"
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (0, 0, 2)
+    assert got[3]["redacted"] == "no pii here, just words"
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) == (0, 0, 0)
+    assert got[3]["digits_seen"] == 0
+    assert got[4]["redacted"] == "<EMAIL> <PHONE> <IP> <ID>"
+    assert (got[4]["n_emails"], got[4]["n_phones"], got[4]["n_ips"]) == (1, 1, 1)
+    # pseudonym is stable and derived from the ORIGINAL text
+    again = {
+        r["k"]: r["pseudo_id"] for r in pii_redact_v2(df, "txt", "k").collect()
+    }
+    assert all(again[k] == got[k]["pseudo_id"] for k in again)
