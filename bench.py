@@ -186,9 +186,12 @@ HEADLINE += [
     "agg_moments",
     "binaryfile_source",
     "streaming_rate_source",
-    # round-11 additions
+    # round-11 additions (agg_listagg is correctness-only: a 25-row dim
+    # aggregate that times the same broadcast-join + tiny-agg machinery
+    # agg_string_concat already benches)
     "join_skew_aqe",
     "streaming_idempotent_sink",
+    "rebalance_write",
     # set_except_all / set_intersect_all are correctness-only: they time the
     # same single-shuffle hash-agg machinery set_except already benches.
     # transpose_metrics is correctness-only: it inlines to the same scan +

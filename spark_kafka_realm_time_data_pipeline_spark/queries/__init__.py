@@ -62,6 +62,8 @@ def registry() -> dict[str, QuerySpec]:
             "join_skew_aqe",
             "streaming_idempotent_sink",
             "pii_redact_v2",
+            "rebalance_write",
+            "agg_listagg",
             # (b) r3-era (stuck at positions 50-57 since r8)
             "join_theta_band",
             "pandas_udf_grouped_agg",

@@ -799,6 +799,107 @@ GROUP BY c_mktsegment
 """
 
 
+def rebalanced_events_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-skew events frame with a REBALANCE(k) hint — shared by
+    the rebalance_write registry query and its plan/layout pytest.  Same
+    hot-key remap and pre-join fan-out rationale as q_join_skew_aqe (AQE
+    operates at mapper-chunk granularity)."""
+    ev = load_table(spark, sf_dir, "events")
+    fanout = spark.sparkContext.defaultParallelism
+    return (
+        ev.repartition(fanout)
+        .select(
+            F.when(F.col("event_id") % 3 != 0, F.lit(7))
+            .otherwise(F.col("user_id"))
+            .alias("k"),
+            "event_id",
+            "value",
+        )
+        .hint("rebalance", "k")
+    )
+
+
+def q_rebalance_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware WRITE rebalancing — the output-layout twin of
+    join_skew_aqe: a `REBALANCE(col)` hint plants a
+    REBALANCE_PARTITIONS_BY_COL exchange whose partitions AQE both
+    COALESCES (tiny ones merged up to the advisory size) and SPLITS
+    (OptimizeSkewInRebalancePartitions breaks a hot key's partition into
+    mapper-chunk pieces) — so the parquet files written downstream are
+    even-sized regardless of key skew.  Without it, one hot key = one
+    multi-GB output file that becomes the next job's straggler scan; at
+    100 TB this hint is the difference between a healthy file layout and
+    a hand-tuned repartition(n) that goes stale as volume grows.
+
+    The query writes the hinted frame to scratch parquet, reads it back,
+    and aggregates — value-identical to aggregating directly (the hint
+    is result-neutral by construction), which is what the oracle states.
+    tests/test_plans.py pins the plan (REBALANCE_PARTITIONS_BY_COL +
+    'coalesced and skewed' AQEShuffleRead) and the layout (no output
+    file holds the hot key's full 2/3 share)."""
+    import shutil
+    import tempfile
+
+    d = rebalanced_events_frame(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="rebal_write_")
+    try:
+        d.write.mode("overwrite").parquet(out)
+        return (
+            spark.read.parquet(out)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORA_REBALANCE_WRITE = f"""
+SELECT k, COUNT(*) AS n_events, {ORA_DSUM.format(c='value')} AS sum_value
+FROM (SELECT CASE WHEN event_id % 3 <> 0 THEN 7 ELSE user_id END AS k, value
+      FROM events) f
+GROUP BY k
+"""
+
+
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 LISTAGG (native in Spark 4.1): ordered, delimited string
+    aggregation with WITHIN GROUP (ORDER BY ...), in both plain and
+    DISTINCT forms — the standard spelling of what agg_string_concat
+    hand-rolls as array_join(array_sort(collect_list(...))).  The WITHIN
+    GROUP order key is what makes a string aggregate deterministic under
+    shuffle-order nondeterminism — the same guarantee the collect_list
+    idiom needs array_sort for.  DuckDB replays it as
+    string_agg(... ORDER BY ...).  Shape: broadcast dim join + a
+    |regions|-row sort-based aggregate; per-group state is bounded by the
+    group's member list, exactly like collect_list."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, '|') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations,
+               listagg(DISTINCT right(n.n_name, 1), '')
+                   WITHIN GROUP (ORDER BY right(n.n_name, 1)) AS last_digits
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+ORA_AGG_LISTAGG = """
+SELECT r.r_name,
+       string_agg(n.n_name, '|' ORDER BY n.n_name) AS nations,
+       string_agg(DISTINCT right(n.n_name, 1), '' ORDER BY right(n.n_name, 1))
+           AS last_digits
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark lacks a native one): for each 'error' event, the
     most recent 'click' by the same user at-or-before it.  Implemented as a
@@ -3451,6 +3552,16 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "join_skew_aqe": QuerySpec(
         q_join_skew_aqe, ORA_JOIN_SKEW_AQE, "AQE runtime-split skew join"
+    ),
+    "rebalance_write": QuerySpec(
+        q_rebalance_write,
+        ORA_REBALANCE_WRITE,
+        "REBALANCE-hinted skew-even parquet write + read-back aggregate",
+    ),
+    "agg_listagg": QuerySpec(
+        q_agg_listagg,
+        ORA_AGG_LISTAGG,
+        "SQL:2023 LISTAGG WITHIN GROUP, plain + DISTINCT",
     ),
     "cdc_upsert_latest": QuerySpec(
         q_cdc_upsert_latest, ORA_CDC_UPSERT, "CDC upsert -> latest state via max_by"

@@ -514,3 +514,54 @@ def test_aqe_skew_join_splits_planted_hot_key(spark):
         .collect()
     }
     assert got == want
+
+
+def test_rebalance_write_splits_hot_key_layout(spark, tmp_path):
+    """REBALANCE(col) write-layout pin: under fixture-scale advisory
+    sizes, the planted hot key (2/3 of rows on one key) must NOT land in
+    one output file — OptimizeSkewInRebalancePartitions splits the hot
+    partition into mapper-chunk pieces and coalesces the tiny ones, so
+    the plan shows a REBALANCE_PARTITIONS_BY_COL exchange under an
+    AQEShuffleRead that both coalesced and split ('skewed').  Also
+    asserts result parity: the hint must be result-neutral."""
+    import glob
+    import os
+
+    from spark_kafka_realm_time_data_pipeline_spark.queries.relational import (
+        rebalanced_events_frame,
+    )
+
+    from conftest import SF_DIR
+
+    confs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2048",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "512",
+        "spark.sql.adaptive.rebalancePartitionsSmallPartitionFactor": "0.2",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    out = str(tmp_path / "rebal")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        d = rebalanced_events_frame(spark, SF_DIR)
+        d.write.mode("overwrite").parquet(out)
+        # plan markers (collect the same frame — the write plan is the
+        # same tree plus the file-commit node)
+        d2 = rebalanced_events_frame(spark, SF_DIR)
+        d2.collect()
+        plan = d2._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "REBALANCE_PARTITIONS_BY_COL" in plan, plan[:2000]
+    assert "skewed" in plan, plan[:2000]
+    files = glob.glob(os.path.join(out, "part-*"))
+    sizes = [os.path.getsize(p) for p in files]
+    assert len(files) >= 4, files
+    # the hot key owns ~2/3 of all rows; a split layout means no single
+    # file holds anywhere near that share
+    assert max(sizes) < 0.5 * sum(sizes), sorted(sizes)
+    # result parity: read-back equals the unhinted source projection
+    back = spark.read.parquet(out).groupBy("k").count()
+    src = rebalanced_events_frame(spark, SF_DIR).groupBy("k").count()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
