@@ -379,6 +379,88 @@ FROM c
 """
 
 
+# --- fill-in-the-middle transform --------------------------------------------
+
+FIM_RATE_PCT = 50  # share of docs transformed (the public FIM paper's rate)
+FIM_HASH_A = 2654435761  # Knuth multiplicative constant — split-point hash
+FIM_HASH_P = 1000003
+
+
+def fim_transform(docs: DataFrame) -> DataFrame:
+    """Fill-in-the-middle (FIM) pretraining transform (Bavarian et al.
+    2022, "Efficient Training of Language Models to Fill in the Middle"):
+    each selected document is split at two points into (prefix, middle,
+    suffix) and re-serialized in PSM sentinel order
+    ``<PRE>prefix<SUF>suffix<MID>middle`` — the transform that teaches an
+    autoregressive model to infill.  FIM_RATE_PCT of docs are transformed;
+    the rest keep plain AR order, exactly the mixed regime the paper
+    trains on.
+
+    Everything is derived from integer hashes of doc_id — the transform
+    is REPRODUCIBLE and shard-independent (no RNG state to coordinate
+    across 1000 executors; re-running any shard yields the same bytes).
+    A narrow row-local projection: zero shuffles, zero Python, and the
+    identical arithmetic replays in the DuckDB oracle."""
+    L = F.length("text")
+    h1 = F.pmod(F.col("doc_id") * FIM_HASH_A + 97, F.lit(FIM_HASH_P))
+    h2 = F.pmod(F.col("doc_id") * FIM_HASH_A + 31337, F.lit(FIM_HASH_P))
+    c1 = F.pmod(h1, L + 1)
+    c2 = F.pmod(h2, L + 1)
+    lo = F.least(c1, c2)
+    hi = F.greatest(c1, c2)
+    is_fim = F.pmod(F.col("doc_id") * 31 + 7, F.lit(100)) < FIM_RATE_PCT
+    prefix = F.expr("substring(text, 1, __lo)")
+    middle = F.expr("substring(text, __lo + 1, __hi - __lo)")
+    suffix = F.expr("substring(text, __hi + 1)")
+    return (
+        docs.withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .select(
+            "doc_id",
+            is_fim.alias("is_fim"),
+            F.when(
+                is_fim,
+                F.concat(
+                    F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix,
+                    F.lit("<MID>"), middle,
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("sample"),
+            F.when(is_fim, F.col("__lo")).otherwise(L).cast("long").alias("n_prefix"),
+            F.when(is_fim, F.col("__hi") - F.col("__lo"))
+            .otherwise(0)
+            .cast("long")
+            .alias("n_middle"),
+            F.when(is_fim, L - F.col("__hi")).otherwise(0).cast("long").alias("n_suffix"),
+        )
+    )
+
+
+ORA_FIM_TRANSFORM = f"""
+WITH cuts AS (
+  SELECT doc_id, text, length(text) AS L,
+         (doc_id * {FIM_HASH_A} + 97) % {FIM_HASH_P} % (length(text) + 1) AS c1,
+         (doc_id * {FIM_HASH_A} + 31337) % {FIM_HASH_P} % (length(text) + 1) AS c2,
+         (doc_id * 31 + 7) % 100 < {FIM_RATE_PCT} AS is_fim
+  FROM documents
+), spans AS (
+  SELECT doc_id, text, L, is_fim,
+         least(c1, c2) AS lo, greatest(c1, c2) AS hi
+  FROM cuts
+)
+SELECT doc_id, is_fim,
+       CASE WHEN is_fim THEN concat('<PRE>', substring(text, 1, lo),
+                                    '<SUF>', substring(text, hi + 1),
+                                    '<MID>', substring(text, lo + 1, hi - lo))
+            ELSE text END AS sample,
+       CAST(CASE WHEN is_fim THEN lo ELSE L END AS BIGINT) AS n_prefix,
+       CAST(CASE WHEN is_fim THEN hi - lo ELSE 0 END AS BIGINT) AS n_middle,
+       CAST(CASE WHEN is_fim THEN L - hi ELSE 0 END AS BIGINT) AS n_suffix
+FROM spans
+"""
+
+
 # --- corpus profile ----------------------------------------------------------
 
 HIST_BUCKET = 100  # chars per histogram bucket

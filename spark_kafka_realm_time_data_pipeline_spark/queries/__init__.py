@@ -64,6 +64,7 @@ def registry() -> dict[str, QuerySpec]:
             "pii_redact_v2",
             "rebalance_write",
             "agg_listagg",
+            "fim_transform",
             # (b) r3-era (stuck at positions 50-57 since r8)
             "join_theta_band",
             "pandas_udf_grouped_agg",

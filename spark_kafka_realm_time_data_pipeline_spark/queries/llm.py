@@ -1789,6 +1789,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pretraining transform —
+    operators/training.py:fim_transform."""
+    return TR.fim_transform(load_table(spark, sf_dir, "documents"))
+
+
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.length_histogram(load_table(spark, sf_dir, "documents"))
 
@@ -1822,6 +1828,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_pack_sequences,
         TR.ORA_PACK_SEQUENCES,
         "concat-and-chunk sequence packing per source shard",
+    ),
+    "fim_transform": QuerySpec(
+        q_fim_transform,
+        TR.ORA_FIM_TRANSFORM,
+        "fill-in-the-middle PSM re-serialization, hash-deterministic splits",
     ),
     "length_histogram": QuerySpec(
         q_length_histogram, TR.ORA_LENGTH_HISTOGRAM, "doc-length histogram"
