@@ -65,6 +65,7 @@ def registry() -> dict[str, QuerySpec]:
             "rebalance_write",
             "agg_listagg",
             "fim_transform",
+            "runtime_bloom_join",
             # (b) r3-era (stuck at positions 50-57 since r8)
             "join_theta_band",
             "pandas_udf_grouped_agg",

@@ -865,6 +865,48 @@ GROUP BY k
 """
 
 
+def q_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZER-INJECTED runtime Bloom filter join (Spark 3.3+
+    InjectRuntimeFilter): a selective dim-side filter (1-URGENT orders)
+    makes Catalyst build a `bloom_filter_agg` over the surviving join
+    keys and inject `might_contain(...)` into the FACT scan's filters —
+    row-level semi-join pushdown that prunes fact rows BEFORE the
+    shuffle, the complement of dynamic partition pruning (which needs a
+    partitioned layout; the bloom filter works on any scan).  This is
+    the hand-built `bloom_prune_join`'s zero-code optimizer twin, the
+    same relationship join_skew_aqe has to join_skew_salted.
+
+    The merge hint models the production shape (a creation side too big
+    to broadcast — a broadcast join needs no bloom filter).  Injection
+    is gated by size thresholds tuned for clusters
+    (applicationSideScanSizeThreshold = 10 GB), so at local test scale
+    the filter only appears under lowered thresholds — pinned in
+    tests/test_plans.py::test_runtime_bloom_filter_injected.  Result is
+    threshold-independent (a Bloom filter admits false positives, and
+    the join discards them) — the oracle is the plain join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+ORA_RUNTIME_BLOOM_JOIN = f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+       {ORA_DSUM.format(c='l_extendedprice')} AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
 def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL:2023 LISTAGG (native in Spark 4.1): ordered, delimited string
     aggregation with WITHIN GROUP (ORDER BY ...), in both plain and
@@ -3562,6 +3604,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_agg_listagg,
         ORA_AGG_LISTAGG,
         "SQL:2023 LISTAGG WITHIN GROUP, plain + DISTINCT",
+    ),
+    "runtime_bloom_join": QuerySpec(
+        q_runtime_bloom_join,
+        ORA_RUNTIME_BLOOM_JOIN,
+        "optimizer-injected runtime Bloom filter on the fact scan",
     ),
     "cdc_upsert_latest": QuerySpec(
         q_cdc_upsert_latest, ORA_CDC_UPSERT, "CDC upsert -> latest state via max_by"

@@ -565,3 +565,38 @@ def test_rebalance_write_splits_hot_key_layout(spark, tmp_path):
     back = spark.read.parquet(out).groupBy("k").count()
     src = rebalanced_events_frame(spark, SF_DIR).groupBy("k").count()
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """InjectRuntimeFilter pin: under cluster-shaped thresholds (the
+    application-side floor lowered to fixture scale), the selective
+    1-URGENT orders filter must materialize as a bloom_filter_agg
+    subquery whose might_contain() lands in the lineitem scan's filters
+    — row-level semi-join pushdown ahead of the shuffle.  Results must
+    be identical with the feature disabled (false positives are
+    discarded by the join)."""
+    from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+
+    from conftest import SF_DIR
+
+    fn = registry()["runtime_bloom_join"].fn
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = fn(spark, SF_DIR)
+        with_bloom = {tuple(r) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    assert with_bloom == without and len(with_bloom) > 0
