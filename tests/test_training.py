@@ -104,3 +104,40 @@ def test_epoch_shuffle_is_reproducible_and_epoch_sensitive(spark):
         by_shard.setdefault(shard, []).append(pos)
     for shard, positions in by_shard.items():
         assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+
+def test_fim_transform_reassembles_and_mixes(spark):
+    """FIM invariants: (a) for transformed rows the PSM sample carries the
+    three sentinels and prefix+middle+suffix reassembles the ORIGINAL text
+    byte-for-byte; (b) span lengths always sum to the doc length; (c) the
+    AR passthrough keeps text unchanged; (d) both regimes occur (the
+    fim-rate mix is real)."""
+    from pyspark.sql import functions as SF
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.training import (
+        fim_transform,
+    )
+    from spark_kafka_realm_time_data_pipeline_spark.sources.files import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    orig = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    rows = fim_transform(docs).collect()
+    n_fim = sum(1 for r in rows if r["is_fim"])
+    assert 0 < n_fim < len(rows)
+    for r in rows:
+        text = orig[r["doc_id"]]
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == len(text), r
+        if not r["is_fim"]:
+            assert r["sample"] == text
+            continue
+        s = r["sample"]
+        assert s.startswith("<PRE>") and "<SUF>" in s and "<MID>" in s
+        body = s[len("<PRE>"):]
+        prefix, rest = body.split("<SUF>", 1)
+        suffix, middle = rest.split("<MID>", 1)
+        assert prefix + middle + suffix == text, r["doc_id"]
+        assert (len(prefix), len(middle), len(suffix)) == (
+            r["n_prefix"], r["n_middle"], r["n_suffix"],
+        )
