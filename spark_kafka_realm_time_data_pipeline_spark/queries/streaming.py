@@ -1211,6 +1211,12 @@ def q_streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             if not q2.awaitTermination(300):
                 raise TimeoutError("idempotent-sink restart did not finish in 300s")
+            progress = [p for p in (q2.recentProgress or []) if p]
+            input_rows = sum(int(p["numInputRows"]) for p in progress)
+            proc_ms = sum(
+                int(p.get("durationMs", {}).get("triggerExecution", 0))
+                for p in progress
+            )
         finally:
             q2.stop()
         out = (
@@ -1218,6 +1224,13 @@ def q_streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "value", "value_floor")
             .localCheckpoint(eager=True)
         )
+        # throughput accounting mirrors streaming_dedup_incremental: source
+        # rows ingested by the SUCCESSFUL run / engine-reported processing
+        # time (the crashed first attempt is failure-recovery theater, not
+        # steady-state throughput)
+        out.stream_input_rows = input_rows
+        if proc_ms > 0:
+            out.stream_processing_secs = proc_ms / 1000.0
         return out
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
