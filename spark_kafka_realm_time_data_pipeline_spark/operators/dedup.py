@@ -165,7 +165,13 @@ def doc_shingles(corpus: DataFrame, n: int = 5) -> DataFrame:
     3.9s -> 1.6s for the sf0.1 tokenize pass) and still replayed bit-for-bit
     by the DuckDB oracle, which md5 was needed for.  F.get (never
     element_at) for the tail positions: ANSI mode errors on out-of-bounds
-    element_at, get returns NULL."""
+    element_at, get returns NULL.
+
+    Deliberately NOT delegated through doc_shingle_arrays: pushing the
+    explode onto a separate arr projection defeats the generator's
+    projection collapse and ballooned the serialized plan (8 MiB task
+    binaries, 6x wall regression on the dedup family when tried in
+    r11)."""
     codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
 
     def gram_hash(i):
@@ -184,10 +190,12 @@ def doc_shingles(corpus: DataFrame, n: int = 5) -> DataFrame:
 
 def doc_shingle_arrays(corpus: DataFrame, n: int = 5) -> DataFrame:
     """(doc_id, arr) — each doc's DISTINCT shingle set as one array row:
-    exactly doc_shingles before its explode.  The narrow form is the
-    per-micro-batch intermediate of choice: one row per doc, checkpointed
-    once, feeds both the signature chain (re-explode) and the exact-Jaccard
-    verify (broadcast of the array rows) without retokenizing."""
+    exactly doc_shingles before its explode (same hash; see its docstring
+    for the shared rationale and why the two stay inlined separately).
+    The narrow form is the per-micro-batch intermediate of choice: one row
+    per doc, checkpointed once, feeds both the signature chain
+    (re-explode) and the exact-Jaccard verify (broadcast of the array
+    rows) without retokenizing."""
     codes = F.transform(F.split("text", ""), lambda c: F.ascii(c))
 
     def gram_hash(i):
