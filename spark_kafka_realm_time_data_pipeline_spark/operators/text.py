@@ -699,12 +699,17 @@ def retrieval_rrf_fusion(
     qterms = (
         toks.filter(F.col("doc_id") == query_doc_id).select("term").distinct()
     )
+    # Both ranker pools consume `matched`; uncheckpointed, its lineage
+    # (the tokenize-explode plus the tf/df/dl aggregate joins) sits as two
+    # subtrees of the ONE returned plan and runs twice.  Materialize the
+    # small matched frame (docs x query terms only) once.
     matched = (
         tf.join(F.broadcast(qterms), "term")
         .join(df_, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("doc_id") != query_doc_id)
+        .localCheckpoint(eager=True)
     )
     score_a = F.sum(
         F.expr("tf * (2 * n_docs - 2 * df + 1) * 1000 div (2 * df + 1)")
