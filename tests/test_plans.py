@@ -600,3 +600,18 @@ def test_runtime_bloom_filter_injected(spark):
     assert "might_contain" in plan, plan[:2000]
     assert "bloom_filter_agg" in plan, plan[:2000]
     assert with_bloom == without and len(with_bloom) > 0
+
+
+def test_rrf_fusion_materializes_lexical_pipeline_once(spark):
+    """retrieval_rrf_fusion regression pin: both ranker pools consume the
+    `matched` frame, and before r11 its lineage (tokenize explode +
+    tf/df/dl aggregate joins) sat as two subtrees of the ONE returned plan
+    with no ReusedExchange — 48 exchanges, the lexical pipeline executed
+    twice.  The eager localCheckpoint pins the fixed shape: the returned
+    plan reads the 50-ish-row checkpoint RDD, so it contains NO parquet
+    scan at all and only the handful of pool/fusion exchanges."""
+    df = registry()["retrieval_rrf_fusion"].fn(spark, SF_DIR)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert plan.count("Exchange") <= 10, plan[:2000]
