@@ -263,6 +263,12 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
+    # tf feeds both the score join and the df_ aggregate as two subtrees
+    # of one plan; a tf checkpoint was MEASURED r11 and rejected (1.52s ->
+    # 1.61s): materializing the doc x term frame costs as much as the one
+    # cheap re-aggregate it would save (PLANS.md checkpoint-barrier rule —
+    # contrast bm25_term_scores, where the same pin kills 3 extra
+    # tokenize passes and wins 25%).
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -313,8 +319,19 @@ def bm25_term_scores(docs: DataFrame, query_doc_id: int = 17) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # One tokenize, period: tf / df_ / dl / totals previously sat as four
+    # subtrees of ONE plan, each re-running the explode (no ReusedExchange).
+    # tf is checkpointed once (shuffle-sized executor blocks), df_ reads it,
+    # and dl is derived ALGEBRAICALLY from it — sum(tf) per doc IS the
+    # token count — so the exploded frame is never aggregated a second
+    # time.  Serial linear pipeline: the eager barrier costs nothing
+    # (PLANS.md r11 checkpoint-barrier rule).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     totals = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
