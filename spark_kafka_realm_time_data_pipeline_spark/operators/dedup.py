@@ -934,9 +934,14 @@ def editdistance_near_dup(
     rows, so the verification is value-oracled."""
     from pyspark.sql import Window
 
+    # The candidate stage is ID-ONLY: block keys derive from text, but the
+    # bucket window, the self-join and the pair dedup shuffle (doc_id, blk)
+    # rows — never document bodies.  Texts re-attach AFTER the pair set is
+    # deduped, via two equi-joins on doc_id, so each text crosses the wire
+    # once per side instead of riding every candidate pair (including the
+    # duplicates both block passes emit) through the dedup exchange.
     keyed = corpus.select(
         "doc_id",
-        "text",
         F.explode(
             F.array(
                 F.concat(F.lit("p:"), F.substring("text", 1, prefix_len)),
@@ -950,21 +955,30 @@ def editdistance_near_dup(
         .filter(F.col("rn") <= max_bucket)
         .drop("rn")
     )
-    a = capped.select(
-        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"), "blk"
-    )
-    b = capped.select(
-        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"), "blk"
-    )
-    return (
+    a = capped.select(F.col("doc_id").alias("doc_a"), "blk")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "blk")
+    pairs = (
         a.join(b, "blk")
         .filter(F.col("doc_a") < F.col("doc_b"))
         # a pair can surface in BOTH block passes (edit in the middle);
-        # dedupe on the pair key before paying the Levenshtein.  text_a/b
-        # are functionally determined by the ids, so first-row-wins is
-        # deterministic in value.
-        .select("doc_a", "doc_b", "text_a", "text_b")
+        # dedupe on the pair key before paying the text joins + Levenshtein.
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    texts = corpus.select("doc_id", "text")
+    return (
+        pairs.join(
+            texts.select(
+                F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+            ),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
