@@ -192,6 +192,9 @@ HEADLINE += [
     "join_skew_aqe",
     "streaming_idempotent_sink",
     "rebalance_write",
+    "runtime_bloom_join",
+    "pii_redact_v2",
+    "fim_transform",
     # set_except_all / set_intersect_all are correctness-only: they time the
     # same single-shuffle hash-agg machinery set_except already benches.
     # transpose_metrics is correctness-only: it inlines to the same scan +
