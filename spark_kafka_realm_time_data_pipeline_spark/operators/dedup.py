@@ -964,21 +964,28 @@ def editdistance_near_dup(
         # dedupe on the pair key before paying the text joins + Levenshtein.
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        # three consumers (two semi-filter key lists + the final join) —
+        # a pin here was MEASURED r11 and rejected (2.43s vs 1.95s at
+        # sf0.1): the id-only lineage is cheap to recompute and the eager
+        # barrier costs more than it saves (PLANS.md checkpoint rule).
     )
+    # Semi-filter each text side to docs that actually appear in a pair
+    # BEFORE the equi-join (the jaccard_verify pattern): without it the
+    # re-attach shuffles the FULL corpus text by doc_id twice, which the
+    # 10x proof measured at 2.3x the old plan's cost; with it only
+    # candidate docs' bodies cross the wire at all.
     texts = corpus.select("doc_id", "text")
+    docs_a = pairs.select(F.col("doc_a").alias("doc_id")).distinct()
+    docs_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    ta = texts.join(docs_a, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    tb = texts.join(docs_b, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
     return (
-        pairs.join(
-            texts.select(
-                F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            texts.select(
-                F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
-            ),
-            "doc_b",
-        )
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
