@@ -1,0 +1,93 @@
+"""Pins for the exhaustive plan audit (tools/plan_audit.py -> PLAN_AUDIT.json).
+
+The audit greps every batch registry query's physical plan for the shapes
+that do not survive 100 TB; these tests pin its flagged sets against the
+reviewed allowlists, so re-running the tool after a change that introduces
+a NEW cartesian product / row-UDF / nested-loop join fails CI while
+benign count drift (exchanges, scans) does not.
+"""
+
+import json
+import os
+
+from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+from spark_kafka_realm_time_data_pipeline_spark.session import get_spark
+
+from conftest import SF_DIR
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The one row-at-a-time Python UDF in the suite: the documented
+# inventory-parity entry (queries/udfs.py), never a hot path.
+ALLOWED_BATCH_EVAL = {"python_udf_scalar"}
+
+# Every BroadcastNestedLoopJoin below is against a k-row or 1-row frame
+# that is bounded by CONSTRUCTION, not by statistics: scalar-subquery
+# results (tpch_q11/q22), broadcast totals (bm25/tfidf/length_drift/
+# fk_integrity), k centroids or query vectors (kmeans/sim_*), a 1-row
+# bloom bitmap (bloom_prune_join).  A new name appearing here means a new
+# non-equi join whose build side must be proven bounded first.
+ALLOWED_BNLJ = {
+    "bloom_prune_join",
+    "bm25_term_scores",
+    "fk_integrity_audit",
+    "kmeans_embeddings",
+    "length_drift_report",
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_recall_report",
+    "tfidf_top_terms",
+    "tpch_q11_important_stock",
+    "tpch_q22_global_sales",
+}
+
+
+def _artifact():
+    with open(os.path.join(ROOT, "PLAN_AUDIT.json")) as fh:
+        return json.load(fh)
+
+
+def test_audit_artifact_covers_the_batch_registry():
+    out = _artifact()
+    reg = registry()
+    batch = {
+        n
+        for n in reg
+        if not n.startswith("streaming_")
+        and n not in ("envelope_pyds_stream", "envelope_pyds_sink", "state_store_inspect")
+    }
+    audited = set(out["queries"])
+    assert not out["errors"], sorted(out["errors"])
+    # every current batch query has an audit row (a rename/addition without
+    # a tool re-run surfaces here)
+    missing = batch - audited
+    assert not missing, f"re-run tools/plan_audit.py: unaudited {sorted(missing)}"
+
+
+def test_no_unreviewed_antipattern_flags():
+    out = _artifact()
+    flagged = out["flagged"]
+    assert flagged["CartesianProduct"] == [], flagged["CartesianProduct"]
+    assert set(flagged["BatchEvalPython"]) <= ALLOWED_BATCH_EVAL, flagged[
+        "BatchEvalPython"
+    ]
+    assert set(flagged["BroadcastNestedLoopJoin"]) <= ALLOWED_BNLJ, flagged[
+        "BroadcastNestedLoopJoin"
+    ]
+
+
+def test_audit_one_live_smoke(spark):
+    """Exercise the audit code path itself on one flagged and one clean
+    query so the artifact cannot drift from what the tool would measure."""
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from plan_audit import audit_one
+
+    reg = registry()
+    clean = audit_one(spark, "pricing_summary", reg["pricing_summary"].fn, SF_DIR)
+    assert clean["flags"] == [], clean
+    flagged = audit_one(
+        spark, "tpch_q22_global_sales", reg["tpch_q22_global_sales"].fn, SF_DIR
+    )
+    assert flagged["flags"] == ["BroadcastNestedLoopJoin"], flagged

@@ -1,0 +1,127 @@
+"""Automated physical-plan anti-pattern audit over the whole registry.
+
+The per-round VERDICT audits the most expensive bench lines by hand; this
+tool makes the same audit exhaustive and repeatable: it builds every BATCH
+registry query at a small SF, reads the physical plan, and flags the
+shapes that do not survive a 100 TB cluster:
+
+- ``CartesianProduct``      — an unconstrained cross product of two
+                              non-broadcast sides (always a defect);
+- ``BatchEvalPython``       — a row-at-a-time Python UDF in the plan (the
+                              pickling slow path; only the documented
+                              inventory-parity query may carry one);
+- ``BroadcastNestedLoopJoin`` — legitimate ONLY against a provably tiny
+                              broadcast side (k-row centroid/total frames);
+                              every occurrence must be on the reviewed
+                              allowlist below or it is a new non-equi join
+                              that would OOM/loop at scale.
+
+Exchange / scan / Python-eval node counts are recorded per query as
+informational context (they vary with stats and AQE, so they are reported,
+not asserted).  Streaming queries are skipped: their registry fn EXECUTES
+the stream and returns a memory-sink scan, so there is no logical plan
+left to audit (their plans are pinned individually in tests/test_plans.py
+and tests/test_streaming.py).
+
+Output: PLAN_AUDIT.json — {"queries": {name: {counts, flags}}, "flagged":
+{flag: [names]}, "skipped": [names]}.  tests/test_plan_audit.py pins the
+flagged sets against the reviewed allowlists so a re-run that surfaces a
+NEW cartesian/row-UDF/BNLJ fails CI, while count drift does not.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+from spark_kafka_realm_time_data_pipeline_spark.session import get_spark
+
+# Queries whose fn executes a stream (memory-sink replay or stream writer):
+# nothing batch-plan-shaped comes back.  streaming_* is skipped by prefix.
+EXECUTING_SKIP = {
+    "envelope_pyds_stream",
+    "envelope_pyds_sink",
+    "state_store_inspect",
+}
+
+FLAG_NODES = (
+    "CartesianProduct",
+    "BatchEvalPython",
+    "BroadcastNestedLoopJoin",
+)
+
+COUNT_NODES = (
+    "Exchange",
+    "BroadcastExchange",
+    "Scan parquet",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "BatchEvalPythonUDTF",
+)
+
+
+def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = {n: plan.count(n) for n in COUNT_NODES}
+    # "Exchange" substring-matches BroadcastExchange too; report shuffle
+    # exchanges separately.
+    counts["Exchange"] -= counts["BroadcastExchange"]
+    flags = [n for n in FLAG_NODES if n in plan]
+    # BatchEvalPythonUDTF is the standard (row-based) Python UDTF executor
+    # node, a first-class inventory surface — not the row-at-a-time scalar
+    # UDF slow path this flag exists to catch.  Only flag a plain
+    # BatchEvalPython occurrence that is NOT a UDTF node.
+    if "BatchEvalPython" in flags and plan.count("BatchEvalPython") == counts[
+        "BatchEvalPythonUDTF"
+    ]:
+        flags.remove("BatchEvalPython")
+    return {"counts": counts, "flags": flags}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark()
+    reg = registry()
+    out: dict = {"sf_dir": sf_dir, "queries": {}, "skipped": [], "errors": {}}
+    t0 = time.time()
+    for name, spec in reg.items():
+        if only and name not in only:
+            continue
+        if name.startswith("streaming_") or name in EXECUTING_SKIP:
+            out["skipped"].append(name)
+            continue
+        try:
+            out["queries"][name] = audit_one(spark, name, spec.fn, sf_dir)
+        except Exception:
+            out["errors"][name] = traceback.format_exc(limit=3)
+    flagged: dict[str, list[str]] = {n: [] for n in FLAG_NODES}
+    for name, row in sorted(out["queries"].items()):
+        for f in row["flags"]:
+            flagged[f].append(name)
+    out["flagged"] = flagged
+    out["elapsed_s"] = round(time.time() - t0, 1)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "PLAN_AUDIT.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(f"{len(out['queries'])} audited, {len(out['skipped'])} skipped, "
+          f"{len(out['errors'])} errors in {out['elapsed_s']}s")
+    for f, names in flagged.items():
+        print(f"{f}: {len(names)}" + (f" -> {names}" if names else ""))
+    if out["errors"]:
+        print("errors:", sorted(out["errors"]))
+
+
+if __name__ == "__main__":
+    main()
