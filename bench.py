@@ -285,14 +285,19 @@ def main() -> None:
         if partial:
             out["partial"] = True
         print(json.dumps(out), flush=True)
-        try:
-            with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_DETAIL.json"), "w"
-            ) as fh:
-                json.dump(out, fh)
-        except OSError:
-            pass
+        # Only a FULL headline run may own the committed detail artifact:
+        # tools/scale_proof.py shells this script with query subsets (and a
+        # different SF_DIR), and before this guard its last subset run
+        # silently replaced the 100+-query detail with a 1-query record.
+        if not only:
+            try:
+                with open(
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_DETAIL.json"), "w"
+                ) as fh:
+                    json.dump(out, fh)
+            except OSError:
+                pass
         print(compact_line(out), flush=True)
 
     # A terminated run (driver timeout, SIGTERM) must still leave an
