@@ -261,6 +261,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     rows_per_sec: dict[str, float] = {}
+    # Which denominator produced each rows/s figure: "engine" = the stream's
+    # summed triggerExecution durations (per-row processing path, the basis
+    # since r11), "wall" = fn wall time (all pre-r11 rounds).  Recorded so
+    # cross-round comparisons can normalize instead of guessing.
+    rows_per_sec_denom: dict[str, str] = {}
     wall0 = time.time()
 
     def emit(partial: bool = False) -> None:
@@ -280,6 +285,7 @@ def main() -> None:
         }
         if rows_per_sec:
             out["streaming_rows_per_sec"] = rows_per_sec
+            out["streaming_rows_per_sec_denominator"] = rows_per_sec_denom
         if errors:
             out["errors"] = errors
         if partial:
@@ -355,8 +361,10 @@ def main() -> None:
                 n_rows = getattr(last_df, "stream_input_rows", None)
                 if not n_rows:
                     n_rows = last_df.count()
-                denom = getattr(last_df, "stream_processing_secs", None) or med
+                proc = getattr(last_df, "stream_processing_secs", None)
+                denom = proc or med
                 rows_per_sec[name] = round(n_rows / denom, 1)
+                rows_per_sec_denom[name] = "engine" if proc else "wall"
             except Exception as exc:  # noqa: BLE001
                 print(f"rows/s {name} failed: {exc!r}", file=sys.stderr)
 

@@ -12,9 +12,11 @@ oracle can replay the stats analytically) and ``decode_bmp`` (a genuine
 pure-Python parser: file/info headers via struct, bottom-up row order,
 4-byte row stride padding).  Swapping in a JPEG/PNG decoder changes one
 function; the Spark plumbing — schema, batch iteration, partitioning — is
-identical.  Audio likewise decodes for real through a pure-Python WAV
-(RIFF / 16-bit PCM) codec; only compressed codecs (JPEG/PNG/MP3/AAC) and
-video remain env-blocked stubs.
+identical.  PNG decodes for real too — chunk walk + CRC32 validation +
+stdlib-zlib IDAT inflate + per-row filter reversal (Sub/Up/Average/Paeth).
+Audio likewise decodes through a pure-Python WAV (RIFF / 16-bit PCM)
+codec; only codecs needing non-stdlib libraries (JPEG/MP3/AAC) and video
+remain env-blocked stubs.
 """
 
 from __future__ import annotations
@@ -83,6 +85,152 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, b"".join(rows)
 
 
+# --- PNG (8-bit grayscale, zlib IDAT, all five row filters) ------------------
+#
+# PNG needs no imaging library: the container is chunks + CRC32 + a zlib
+# stream of filtered scanlines, all stdlib.  The encoder below writes a
+# standards-conforming file (any PNG reader opens it) and deliberately
+# cycles the row filter type 0..4 so the decoder's filter-reversal code
+# (Sub/Up/Average/Paeth) is genuinely exercised on every image, not just
+# filter-None.  Pixel byte j (top-down raster) is data[j % n], so the
+# DuckDB oracle replays decoded stats analytically, same law as BMP.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_W_BASE, PNG_W_MOD = 5, 11
+PNG_H_BASE, PNG_H_MOD = 3, 7
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of left/up/up-left to the
+    linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(data: bytes) -> bytes:
+    """Pack ``data`` into a REAL 8-bit grayscale PNG: pixel byte j (in
+    top-down raster order) is ``data[j % len(data)]`` (0x00 if empty),
+    geometry derives from the payload length, and each scanline is
+    filtered with filter type ``row % 5`` before the zlib deflate — so a
+    decoder must reverse None/Sub/Up/Average/Paeth to get the raster back.
+    Deterministic, so the DuckDB oracle computes decoded pixel stats
+    without parsing PNG at all."""
+    import zlib
+
+    n = len(data)
+    w = PNG_W_BASE + n % PNG_W_MOD
+    h = PNG_H_BASE + n % PNG_H_MOD
+    total = w * h
+    raster = bytes(data[j % n] for j in range(total)) if n else bytes(total)
+    prior = bytes(w)
+    filtered = bytearray()
+    for r in range(h):
+        row = raster[r * w : (r + 1) * w]
+        ftype = r % 5
+        filtered.append(ftype)
+        for x in range(w):
+            left = row[x - 1] if x else 0
+            up = prior[x]
+            upleft = prior[x - 1] if x else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, upleft)
+            filtered.append((row[x] - pred) & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray8, no interlace
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse an 8-bit grayscale PNG for real: validate the signature, walk
+    the chunk list verifying each CRC32, parse IHDR, inflate the
+    concatenated IDAT stream with stdlib zlib, and reverse the per-row
+    filters (None/Sub/Up/Average/Paeth, bpp=1).  Returns (width, height,
+    top-down raster bytes)."""
+    import zlib
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off, w = len(PNG_SIG), None
+    idat = bytearray()
+    while off + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + size)
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG variant: depth={depth} color={color} "
+                    f"interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        off += 12 + size
+    if w is None:
+        raise ValueError("missing IHDR chunk")
+    filtered = zlib.decompress(bytes(idat))
+    if len(filtered) != h * (w + 1):
+        raise ValueError("IDAT length does not match geometry")
+    prior = bytes(w)
+    rows = []
+    for r in range(h):
+        ftype = filtered[r * (w + 1)]
+        line = filtered[r * (w + 1) + 1 : (r + 1) * (w + 1)]
+        row = bytearray(w)
+        for x in range(w):
+            left = row[x - 1] if x else 0
+            up = prior[x]
+            upleft = prior[x - 1] if x else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            elif ftype == 4:
+                pred = _paeth(left, up, upleft)
+            else:
+                raise ValueError(f"bad filter type {ftype}")
+            row[x] = (line[x] + pred) & 0xFF
+        prior = bytes(row)
+        rows.append(prior)
+    return w, h, b"".join(rows)
+
+
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach the multimodal column pattern to the documents table: payload
     (binary) + metadata struct.  On a real corpus the payload comes off the
@@ -104,8 +252,10 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only BMP decodes without an imaging library; JPEG/PNG/audio/video "
+        "only BMP and PNG decode without an imaging library; JPEG/video "
         "decode requires libs not present in this environment"
     )
 
@@ -324,3 +474,37 @@ def extract_audio_features(binary_docs: DataFrame) -> DataFrame:
     round-trip per payload; swap the decoder for MP3/AAC and the plan is
     unchanged."""
     return _map_payload_batches(binary_docs, _wav_feature_batch, AUDIO_SCHEMA)
+
+
+def _png_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Encode each payload into a real PNG and decode it back with the
+    real parser — CRC-checked chunk walk, zlib inflate, five-filter
+    scanline reversal — then emit decoded pixel statistics.  The PNG
+    analog of _bmp_feature_batch (grayscale: 1 byte/pixel)."""
+    import pandas as pd
+
+    out = {"doc_id": [], "width": [], "height": [], "n_pixels": [], "pixel_sum": []}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        width, height, raster = decode_image(encode_png(payload or b""))
+        out["doc_id"].append(doc_id)
+        out["width"].append(width)
+        out["height"].append(height)
+        out["n_pixels"].append(width * height)
+        out["pixel_sum"].append(int(sum(raster)))
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"],
+            "width": pd.Series(out["width"], dtype="int32"),
+            "height": pd.Series(out["height"], dtype="int32"),
+            "n_pixels": pd.Series(out["n_pixels"], dtype="int32"),
+            "pixel_sum": pd.Series(out["pixel_sum"], dtype="int64"),
+        }
+    )
+
+
+def extract_png_features(binary_docs: DataFrame) -> DataFrame:
+    """Arrow-batched PNG feature extraction: a real compressed-container
+    round-trip per payload (deflate on encode, inflate + filter reversal
+    on decode) — the closest this sandbox gets to production image decode
+    without an imaging library."""
+    return _map_payload_batches(binary_docs, _png_feature_batch, FEATURE_SCHEMA)

@@ -44,73 +44,75 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Round-11 rotation (the driver checks the first ~50).  Composition:
-    # (a) queries NEW in r11 — never driver-checked, so they must sit
-    #     inside the window (test_registry enforces this);
-    # (b) the 8 names whose latest driver proof is still r3 (they sat at
-    #     positions 50-57 — just outside a 50-wide window — for three
-    #     consecutive rounds: the pandas/arrow UDF and map families plus
-    #     the theta band join);
-    # (c) the 35 names whose latest driver proof is r5 (dedup/stat
-    #     utilities, 9 TPC-H shapes, and the 17 curation names).
-    #     8 + 35 = 43, leaving 7 window slots for (a).  After this round
-    #     every oracled name's latest driver proof is r6 or newer.
+    # Round-12 rotation (the driver checks the first ~50).  Composition
+    # (executes the r11 verdict's queued window exactly):
+    # (a) positions 0-2: the three r11 PLAN-CHANGED queries whose current
+    #     physical plans have no driver proof (bm25 one-tokenize checkpoint,
+    #     rrf matched-frame materialization, editdistance id-only
+    #     candidates) — the r11 verdict's top item;
+    # (b) queries NEW in r12 — never driver-checked (test_registry
+    #     enforces these sit inside the window);
+    # (c) the 33 remaining names whose latest driver proof is r6;
+    # (d) the r7-proven tail, dedup funnel + streaming sketch families
+    #     first, filling the window to 50.  After this round every
+    #     oracled name's latest driver proof is r7 or newer.
     front = [
         n
         for n in (
-            # (a) new in r11 — never driver-checked
-            "join_skew_aqe",
-            "streaming_idempotent_sink",
-            "pii_redact_v2",
-            "rebalance_write",
-            "agg_listagg",
-            "fim_transform",
-            "runtime_bloom_join",
-            # (b) r3-era (stuck at positions 50-57 since r8)
-            "join_theta_band",
-            "pandas_udf_grouped_agg",
-            "apply_in_pandas",
-            "python_udf_scalar",
-            "python_udtf",
-            "map_in_arrow",
-            "map_functions",
-            "map_entries_explode",
-            # (c) r5-era
-            "dedup_exact",
-            "dedup_simhash",
-            "zorder_stats",
-            "pii_redact",
-            "heavy_hitters",
-            "merge_upsert",
-            "tpch_q10_returned",
-            "tpch_q11_important_stock",
-            "tpch_q12_shipmode",
-            "tpch_q13_cust_distribution",
-            "tpch_q16_parts_supplier",
-            "tpch_q17_small_qty",
-            "tpch_q19_discounted",
-            "tpch_q20_potential_promo",
-            "tpch_q22_global_sales",
-            "text_normalize",
-            "quality_filter_pipeline",
-            "length_histogram",
-            "url_host_dedup",
-            "window_dedup_rank",
-            "stratified_sample",
-            "pack_sequences",
-            "token_budget_split",
-            "curriculum_buckets",
-            "domain_mix_weights",
-            "doc_chunk_overlap",
-            "vocab_coverage",
-            "ngram_lm_counts",
-            "bpe_pair_counts",
-            "rlhf_pair_stats",
-            "embedding_normalize",
-            "quantize_embeddings",
-            "semdedup_representatives",
-            "ann_ivf_centroids",
-            "curation_pipeline_e2e",
+            # (a) r11 plan-changed, driver-unproven in current shape
+            "bm25_term_scores",
+            "retrieval_rrf_fusion",
+            "dedup_editdistance",
+            # (b) new in r12 — never driver-checked
+            "multimodal_png_stats",
+            "column_profile_approx",
+            # (c) r6-proven
+            "asof_join",
+            "contamination_overlap",
+            "countmin_sketch",
+            "filtered_revenue",
+            "funnel_stages",
+            "hll_registers",
+            "length_drift_report",
+            "ngram_decontaminate",
+            "orderby_limit",
+            "pivot_events",
+            "pricing_summary",
+            "scd2_intervals",
+            "sessionize",
+            "stedi_flagship",
+            "streaming_cdc_latest",
+            "streaming_dedup",
+            "streaming_dedup_watermark",
+            "streaming_foreachbatch_topk",
+            "streaming_late_window",
+            "streaming_outer_join",
+            "streaming_session_window",
+            "streaming_stateful_count",
+            "tfidf_top_terms",
+            "time_gapfill",
+            "topk_per_group",
+            "tpch_q3_shipping",
+            "tpch_q4_order_priority",
+            "tpch_q5_local_supplier",
+            "tpch_q6_forecast",
+            "tpch_q7_volume",
+            "window_range_frame",
+            "window_rank",
+            "window_running",
+            # (d) r7-proven tail: dedup funnel + streaming sketches first
+            "dedup_minhash_lsh",
+            "dedup_minhash_ngram",
+            "dedup_jaccard_prefix",
+            "dedup_components",
+            "dedup_pagerank",
+            "dedup_triangles",
+            "dedup_incremental",
+            "dedup_incremental_indexed",
+            "streaming_dedup_incremental",
+            "streaming_bloom",
+            "streaming_countmin",
+            "streaming_hll",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -1589,6 +1589,50 @@ FROM t
 """
 
 
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode (round 12): every payload is packed
+    into a genuine 8-bit grayscale PNG — zlib-deflated IDAT, row filters
+    cycling None/Sub/Up/Average/Paeth — and decoded back with the pure-
+    Python parser (CRC-checked chunk walk, stdlib-zlib inflate, per-row
+    filter reversal) inside Arrow-batched mapInPandas.  Emits decoded
+    pixel stats; the oracle replays them analytically (pixel bytes cycle
+    the text bytes: pixel_sum = full_cycles * text_byte_sum + prefix_sum,
+    1 byte/pixel) without parsing PNG — two independent routes to the
+    same numbers, so a filter-reversal bug cannot pass."""
+    return M.extract_png_features(
+        M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# Same analytic law as ORA_MULTIMODAL_FEATURES but grayscale (1 byte/pixel:
+# total = w*h) and the PNG geometry constants.
+_PNG_PREFIX_SUM = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, total % n + 1),"
+    " p -> CAST(ascii(substring(text, CAST(p AS INT), 1)) AS BIGINT))),"
+    " (a, x) -> a + x)"
+)
+ORA_MULTIMODAL_PNG_STATS = f"""
+WITH g AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         {M.PNG_W_BASE} + octet_length(encode(text)) % {M.PNG_W_MOD} AS w,
+         {M.PNG_H_BASE} + octet_length(encode(text)) % {M.PNG_H_MOD} AS h
+  FROM documents
+), t AS (
+  SELECT doc_id, text, n, w, h, w * h AS total FROM g
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS INT) AS n_pixels,
+       CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+            ELSE (total // n) * {_TEXT_SUM}
+                 + (CASE WHEN total % n = 0 THEN 0 ELSE {_PNG_PREFIX_SUM} END)
+       END AS pixel_sum
+FROM t
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (one-to-many mapInPandas)."""
     return M.sample_frames(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
@@ -2036,6 +2080,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_features": QuerySpec(
         q_multimodal_features, ORA_MULTIMODAL_FEATURES, "mapInPandas feature extraction"
+    ),
+    "multimodal_png_stats": QuerySpec(
+        q_multimodal_png_stats,
+        ORA_MULTIMODAL_PNG_STATS,
+        "real PNG round-trip (zlib IDAT + 5-filter reversal) via mapInPandas",
     ),
     "multimodal_frames": QuerySpec(
         q_multimodal_frames,

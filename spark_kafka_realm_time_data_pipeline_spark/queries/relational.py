@@ -3030,6 +3030,61 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE tier of ``column_profile``: identical single-scan wide
+    aggregate + stack() unpivot, but the nine exact multi-column
+    count_distincts — whose EXPAND rewrite multiplies every input row by
+    |distinct aggs|+1 and dominates the exact query's cost — are replaced
+    by approx_count_distinct (HLL++, rsd 0.05).  Nulls/min/max stay
+    exact.  At 100 TB the exact tier's EXPAND is the slowest line in the
+    whole bench; this is the profile a catalog would actually publish.
+
+    Rows-only oracle by design (HLL++ register layouts differ across
+    engines, same rationale as ``approx_distinct``);
+    tests/test_sketch_cluster.py bounds the per-column relative error
+    against the exact profile at sf0.001."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def mm(c: str) -> tuple[F.Column, F.Column]:
+        if c == "o_totalprice":
+            d = F.col(c).cast("decimal(12,2)")
+            return (
+                F.min(d).cast("string").alias(f"{c}__min"),
+                F.max(d).cast("string").alias(f"{c}__max"),
+            )
+        return (
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        )
+
+    aggs = []
+    for c in _PROFILE_COLS:
+        lo, hi = mm(c)
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            lo,
+            hi,
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_nulls, n_distinct_approx, min_val, max_val)"
+        )
+    ).select(
+        "col_name",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct_approx").cast("bigint").alias("n_distinct_approx"),
+        "min_val",
+        "max_val",
+    )
+
+
 def _ora_column_profile() -> str:
     parts = []
     for c in _PROFILE_COLS:
@@ -3517,6 +3572,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_column_profile,
         ORA_COLUMN_PROFILE,
         "single-scan table profiling (nulls/distinct/min/max per column)",
+    ),
+    "column_profile_approx": QuerySpec(
+        q_column_profile_approx,
+        None,
+        "scale-tier profiling: HLL++ distinct, exact nulls/min/max (rows-only)",
     ),
     "snapshot_diff": QuerySpec(
         q_snapshot_diff,

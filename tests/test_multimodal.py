@@ -1,8 +1,8 @@
-"""BMP codec tests — pure Python, no Spark session needed.
+"""BMP / PNG / WAV codec tests — pure Python, no Spark session needed.
 
-The decoder must be a real BMP parser, not merely the encoder's inverse:
-test 2 decodes a BMP hand-packed byte-by-byte in the test (independent
-writer), with a width whose row stride needs padding.
+Each decoder must be a real parser, not merely the encoder's inverse: the
+independent-writer tests decode files hand-packed byte-by-byte in the test
+(BMP with stride padding, PNG with a split IDAT stream).
 """
 
 import struct
@@ -50,6 +50,82 @@ def test_empty_payload_encodes_zero_pixels():
     assert (w, h) == (BMP_W_BASE, BMP_H_BASE)
     assert raster == bytes(3 * w * h)
     assert sum(raster) == 0
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        PNG_H_BASE,
+        PNG_H_MOD,
+        PNG_W_BASE,
+        PNG_W_MOD,
+        decode_png,
+        encode_png,
+    )
+
+    # len 44 -> h = 3 + 44 % 7 = 5 rows: filters None/Sub/Up/Average/Paeth
+    data = bytes((i * 37 + 11) % 256 for i in range(44))
+    n = len(data)
+    w, h, raster = decode_png(encode_png(data))
+    assert w == PNG_W_BASE + n % PNG_W_MOD
+    assert h == PNG_H_BASE + n % PNG_H_MOD == 5
+    assert raster == bytes(data[j % n] for j in range(w * h))
+
+
+def test_png_decode_handles_independent_writer_with_split_idat():
+    """A real PNG writer may split the zlib stream across several IDAT
+    chunks; hand-pack a 3x2 gray8 image (filter-None rows) that way."""
+    import zlib
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    raster = bytes(range(1, 7))
+    stream = zlib.compress(b"\x00" + raster[:3] + b"\x00" + raster[3:])
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    payload = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", stream[:4])
+        + chunk(b"IDAT", stream[4:])
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(payload) == (3, 2, raster)
+
+
+def test_png_decode_rejects_corrupt_crc_and_rgb_variant():
+    import re
+    import zlib
+
+    import pytest
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    tampered = bytearray(encode_png(b"tamper"))
+    tampered[len(tampered) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="bad CRC"):
+        decode_png(bytes(tampered))
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)  # color type 2 = RGB
+    rgb = (
+        PNG_SIG
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(ValueError, match=re.escape("unsupported PNG variant")):
+        decode_png(rgb)
 
 
 def test_wav_roundtrip_maps_bytes_to_samples():

@@ -212,3 +212,44 @@ def test_quantile_sketch_is_mergeable(spark):
         for r in quantile_sketch_merge(shard_a.unionAll(shard_b)).collect()
     }
     assert whole == merged
+
+
+def test_approx_distinct_hll_error_is_bounded(spark):
+    """The rows-only registry entry's accuracy claim, made checkable: at
+    HLL++ default rsd=0.05 every per-group estimate must sit within 3x the
+    claimed standard error (15% relative) of the exact distinct count."""
+    approx = {
+        r.event_type: r
+        for r in registry()["approx_distinct"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.count_distinct("event_id").alias("events"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys() and approx
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) <= max(0.15 * e.users, 1), (et, a, e)
+        assert abs(a.approx_events - e.events) <= max(0.15 * e.events, 1), (et, a, e)
+
+
+def test_column_profile_approx_matches_exact_tier(spark):
+    """The scale-tier profile must agree with the exact tier on every
+    exact column (nulls/min/max) and bound the HLL++ distinct estimate
+    within 15% relative error per column."""
+    reg = registry()
+    approx = {r.col_name: r for r in reg["column_profile_approx"].fn(spark, SF_DIR).collect()}
+    exact = {r.col_name: r for r in reg["column_profile"].fn(spark, SF_DIR).collect()}
+    assert approx.keys() == exact.keys() and approx
+    for col, a in approx.items():
+        e = exact[col]
+        assert (a.n_nulls, a.min_val, a.max_val) == (e.n_nulls, e.min_val, e.max_val)
+        assert abs(a.n_distinct_approx - e.n_distinct) <= max(0.15 * e.n_distinct, 1), (
+            col, a, e,
+        )
