@@ -195,6 +195,29 @@ HEADLINE += [
     "runtime_bloom_join",
     "pii_redact_v2",
     "fim_transform",
+    # round-12 additions (column_profile_approx is the HLL++ scale tier of
+    # the slowest batch line; multimodal_png_stats is a full compressed-
+    # container round-trip per payload — both are real per-row work)
+    "multimodal_png_stats",
+    "column_profile_approx",
+    # round-12 coverage-rule sweep: every registry query was timed once at
+    # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
+    # the headline nor BENCH_sf1 — now headline-tracked every round.  The
+    # sweep also exposed try_arithmetic at 15 s (exception-per-row planted
+    # errors, fixed this round to a 1/1000 dirty rate, now 0.56 s).
+    "try_arithmetic",
+    "dedup_embedding",
+    "cogroup_apply_in_pandas",
+    "dedup_simhash_hamming",
+    "streaming_outer_join",
+    "streaming_foreachbatch_topk",
+    "apply_in_pandas",
+    "streaming_stedi_unbounded",
+    "streaming_session_window",
+    "serialize_json",
+    "streaming_dedup",
+    "streaming_dedup_watermark",
+    "streaming_stateful_count",
     # set_except_all / set_intersect_all are correctness-only: they time the
     # same single-shuffle hash-agg machinery set_except already benches.
     # transpose_metrics is correctness-only: it inlines to the same scan +

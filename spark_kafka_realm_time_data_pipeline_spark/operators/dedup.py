@@ -95,7 +95,13 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     compute saved (measured on heavy_hitters at sf0.1: width 32 = 0.42 s,
     width 4 = 0.22 s, no fan-out = 0.30 s), so light callers pass a small
     width and heavy ones (MinHash signatures, shingling) take the
-    default."""
+    default.
+
+    Streaming frames pass through untouched: partition count is a
+    micro-batch-time property there (``df.rdd`` is illegal pre-start), and
+    the source's trigger sizing already governs batch parallelism."""
+    if df.isStreaming:
+        return df
     if target is None:
         target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

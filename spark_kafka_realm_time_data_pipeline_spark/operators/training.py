@@ -400,15 +400,30 @@ def fim_transform(docs: DataFrame) -> DataFrame:
     is REPRODUCIBLE and shard-independent (no RNG state to coordinate
     across 1000 executors; re-running any shard yields the same bytes).
     A narrow row-local projection: zero shuffles, zero Python, and the
-    identical arithmetic replays in the DuckDB oracle."""
+    identical arithmetic replays in the DuckDB oracle.
+
+    Overflow discipline: doc_id is reduced mod the hash modulus BEFORE the
+    Knuth multiply — value-identical for every doc_id by modular identity
+    ((d mod P)*A ≡ d*A (mod P)) and keeps the product under
+    (P-1)*A ≈ 2.7e15 < 2^63, so the arithmetic can never wrap in Spark
+    nor raise in DuckDB (which errors on BIGINT overflow where Spark
+    silently wraps) on any id a 100 TB corpus could hold.
+
+    NULL-text assumption: `sample` concatenates sentinel literals with
+    text slices, where Spark's concat returns NULL if ANY argument is
+    NULL while DuckDB's skips NULLs — the corpus guard
+    (tests/test_corpus_assumptions.py) asserts documents.text is never
+    NULL, so the divergence is unreachable; on a nullable corpus add
+    coalesce(text, '') before this transform."""
     L = F.length("text")
-    h1 = F.pmod(F.col("doc_id") * FIM_HASH_A + 97, F.lit(FIM_HASH_P))
-    h2 = F.pmod(F.col("doc_id") * FIM_HASH_A + 31337, F.lit(FIM_HASH_P))
+    did = F.pmod(F.col("doc_id"), F.lit(FIM_HASH_P))
+    h1 = F.pmod(did * FIM_HASH_A + 97, F.lit(FIM_HASH_P))
+    h2 = F.pmod(did * FIM_HASH_A + 31337, F.lit(FIM_HASH_P))
     c1 = F.pmod(h1, L + 1)
     c2 = F.pmod(h2, L + 1)
     lo = F.least(c1, c2)
     hi = F.greatest(c1, c2)
-    is_fim = F.pmod(F.col("doc_id") * 31 + 7, F.lit(100)) < FIM_RATE_PCT
+    is_fim = F.pmod(F.pmod(F.col("doc_id"), F.lit(100)) * 31 + 7, F.lit(100)) < FIM_RATE_PCT
     prefix = F.expr("substring(text, 1, __lo)")
     middle = F.expr("substring(text, __lo + 1, __hi - __lo)")
     suffix = F.expr("substring(text, __hi + 1)")
@@ -440,9 +455,11 @@ def fim_transform(docs: DataFrame) -> DataFrame:
 ORA_FIM_TRANSFORM = f"""
 WITH cuts AS (
   SELECT doc_id, text, length(text) AS L,
-         (doc_id * {FIM_HASH_A} + 97) % {FIM_HASH_P} % (length(text) + 1) AS c1,
-         (doc_id * {FIM_HASH_A} + 31337) % {FIM_HASH_P} % (length(text) + 1) AS c2,
-         (doc_id * 31 + 7) % 100 < {FIM_RATE_PCT} AS is_fim
+         (doc_id % {FIM_HASH_P} * {FIM_HASH_A} + 97) % {FIM_HASH_P}
+           % (length(text) + 1) AS c1,
+         (doc_id % {FIM_HASH_P} * {FIM_HASH_A} + 31337) % {FIM_HASH_P}
+           % (length(text) + 1) AS c2,
+         (doc_id % 100 * 31 + 7) % 100 < {FIM_RATE_PCT} AS is_fim
   FROM documents
 ), spans AS (
   SELECT doc_id, text, L, is_fim,

@@ -66,6 +66,13 @@ def registry() -> dict[str, QuerySpec]:
             # (b) new in r12 — never driver-checked
             "multimodal_png_stats",
             "column_profile_approx",
+            # (b') plan/value-changed in r12 (translate()-based char
+            # counting; packed-aggregate pretokenize; broadened phone
+            # pattern) — re-proof before the tail
+            "regex_pretokenize",
+            "quality_logit_score",
+            "pii_redact_v2",
+            "try_arithmetic",
             # (c) r6-proven
             "asof_join",
             "contamination_overlap",
@@ -108,11 +115,7 @@ def registry() -> dict[str, QuerySpec]:
             "dedup_pagerank",
             "dedup_triangles",
             "dedup_incremental",
-            "dedup_incremental_indexed",
             "streaming_dedup_incremental",
-            "streaming_bloom",
-            "streaming_countmin",
-            "streaming_hll",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

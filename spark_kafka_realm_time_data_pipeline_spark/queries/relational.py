@@ -2245,21 +2245,36 @@ FROM lineitem GROUP BY l_returnflag
 def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe `try_*` expression family: `try_divide` (NULL on /0 —
     planted: every l_quantity=17 row), `try_add` (NULL on BIGINT
-    overflow — planted: keys within 8 of Long.MAX overflow), and
-    `try_cast` (NULL on malformed string — planted: odd keys get a
-    non-numeric prefix).  This is the 100 TB posture for dirty data:
-    errors become NULLs INSIDE whole-stage codegen instead of killing
-    the 900th task of a 1000-task stage; the oracle replays each NULL
-    rule explicitly (DuckDB's strict arithmetic would error, its
-    TRY_CAST mirrors Spark's)."""
+    overflow — planted: keys ≡ 999 mod 1000 get a near-Long.MAX addend),
+    and `try_cast` (NULL on malformed string — planted: keys ≡ 499 mod
+    1000 get a non-numeric prefix).  This is the 100 TB posture for dirty
+    data: errors become NULLs INSIDE whole-stage codegen instead of
+    killing the 900th task of a 1000-task stage; the oracle replays each
+    NULL rule explicitly (DuckDB's strict arithmetic would error, its
+    TRY_CAST mirrors Spark's).
+
+    The planted-error RATE is deliberately ~1/1000, the dirty-data
+    regime these expressions exist for: Spark implements try_add overflow
+    and try_cast parse failure by catching a per-row JVM exception, so a
+    corpus where MOST rows error runs two orders of magnitude slower than
+    the happy path (measured at sf0.1: 100%-overflow try_add alone 10.6 s
+    for 600k rows ≈ 18 us/row vs ~0.1 s exception-free; the r11 shape of
+    this query — half the corpus malformed, all rows overflowing — was
+    the slowest line in the whole registry at 15 s).  try_* is the right
+    posture only because errors are RARE; a mostly-dirty column should be
+    cleansed with when()/regexp gates, never fed through an
+    exception-per-row path."""
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity")
     price = F.col("l_extendedprice")
+    key_mod = F.col("l_orderkey") % 1000
     messy = F.when(
-        F.col("l_orderkey") % 2 == 1,
+        key_mod == 499,
         F.concat(F.lit("k"), F.col("l_orderkey").cast("string")),
     ).otherwise(F.col("l_orderkey").cast("string"))
-    near_max = F.lit(9223372036854775800) - (F.col("l_linenumber") % 4)
+    addend = F.when(key_mod == 999, F.lit(9223372036854775800)).otherwise(
+        F.lit(1000000)
+    ) - (F.col("l_linenumber") % 4)
     return li.withColumn("messy", messy).select(
         "l_orderkey",
         "l_linenumber",
@@ -2267,7 +2282,7 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bit-identical results in both engines, while ROUND(x, 6) diverges
         # on exact .5 ties (power-of-two divisors here make those common)
         F.try_divide(price, qty - F.lit(17.0)).alias("unit_price_17"),
-        F.try_add(near_max, F.col("l_orderkey")).alias("overflow_add"),
+        F.try_add(addend, F.col("l_orderkey")).alias("overflow_add"),
         F.col("messy").try_cast("bigint").alias("parsed_key"),
     )
 
@@ -2278,10 +2293,13 @@ SELECT l_orderkey,
        CASE WHEN l_quantity = 17.0 THEN NULL
             ELSE l_extendedprice / (l_quantity - 17.0)
        END AS unit_price_17,
-       CASE WHEN l_orderkey > 7 + (l_linenumber % 4) THEN NULL
-            ELSE 9223372036854775800 - (l_linenumber % 4) + l_orderkey
+       CASE WHEN l_orderkey % 1000 = 999 THEN
+                 CASE WHEN l_orderkey > 7 + (l_linenumber % 4) THEN NULL
+                      ELSE 9223372036854775800 - (l_linenumber % 4) + l_orderkey
+                 END
+            ELSE 1000000 - (l_linenumber % 4) + l_orderkey
        END AS overflow_add,
-       TRY_CAST(CASE WHEN l_orderkey % 2 = 1
+       TRY_CAST(CASE WHEN l_orderkey % 1000 = 499
                      THEN 'k' || CAST(l_orderkey AS VARCHAR)
                      ELSE CAST(l_orderkey AS VARCHAR) END AS BIGINT)
            AS parsed_key

@@ -26,3 +26,17 @@ def test_documents_text_is_ascii_at_all_tested_sfs():
         )
         checked += 1
     assert checked >= 2, "expected at least sf0.001 and sf0.01 corpora"
+
+
+def test_documents_text_is_never_null():
+    """fim_transform's sample column concatenates text slices with sentinel
+    literals; Spark concat returns NULL if any argument is NULL while
+    DuckDB concat skips NULLs — an engine divergence that is unreachable
+    only while the corpus guarantees non-NULL text (on a nullable corpus,
+    coalesce(text, '') first)."""
+    checked = 0
+    for path in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+        col = pq.read_table(path, columns=["text"]).column("text")
+        assert col.null_count == 0, f"NULL text in {path}"
+        checked += 1
+    assert checked >= 2

@@ -274,6 +274,9 @@ def test_pii_redact_v2_masks_planted_pii(spark):
         (2, "login from 192.168.0.1 with id 12345 and 172.16.254.3"),
         (3, "no pii here, just words"),
         (4, "a@b.io 10-123-456-7890 1.2.3.4 987654321"),
+        # 3-group NANP form (r12 broadened pattern) + unseparated 10-digit
+        # run, which deliberately types as <ID> (no separator signal)
+        (5, "call 555-123-4567 or 5551234567"),
     ]
     df = spark.createDataFrame(rows, ["k", "txt"])
     got = {
@@ -288,6 +291,8 @@ def test_pii_redact_v2_masks_planted_pii(spark):
     assert got[3]["digits_seen"] == 0
     assert got[4]["redacted"] == "<EMAIL> <PHONE> <IP> <ID>"
     assert (got[4]["n_emails"], got[4]["n_phones"], got[4]["n_ips"]) == (1, 1, 1)
+    assert got[5]["redacted"] == "call <PHONE> or <ID>"
+    assert (got[5]["n_emails"], got[5]["n_phones"], got[5]["n_ips"]) == (0, 1, 0)
     # pseudonym is stable and derived from the ORIGINAL text
     again = {
         r["k"]: r["pseudo_id"] for r in pii_redact_v2(df, "txt", "k").collect()

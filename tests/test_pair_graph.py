@@ -50,3 +50,31 @@ def test_trio_reads_staged_graph_without_tokenize(spark):
     df = llm.q_dedup_triangles(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan, "trio plan re-reads raw corpus text"
+
+
+def test_shingle_arrays_stay_in_sync_with_exploded_shingles(spark):
+    """doc_shingle_arrays deliberately duplicates doc_shingles' hash body
+    (inlining rationale in doc_shingles' docstring); this pins the two
+    implementations value-equal — covering the empty-text and
+    shorter-than-n tail positions — so an edit to one cannot silently
+    desynchronize the streaming batch-dedup path from every other shingle
+    consumer."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, ""),            # empty: single position-1 whole-text shingle
+            (3, "abc"),         # shorter than n=5: zero-padded tail
+            (4, "aaaaaaaaaa"),  # degenerate repeats: array_distinct path
+        ],
+        "doc_id long, text string",
+    )
+    exploded = {
+        (r.doc_id, r.tok) for r in D.doc_shingles(docs).collect()
+    }
+    from_arrays = {
+        (r.doc_id, r.tok)
+        for r in D.doc_shingle_arrays(docs)
+        .select("doc_id", F.explode("arr").alias("tok"))
+        .collect()
+    }
+    assert exploded == from_arrays and len(exploded) > 4

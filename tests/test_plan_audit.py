@@ -64,6 +64,24 @@ def test_audit_artifact_covers_the_batch_registry():
     assert not missing, f"re-run tools/plan_audit.py: unaudited {sorted(missing)}"
 
 
+def test_audit_artifact_matches_current_source():
+    """A plan regression edited into an EXISTING query must not ride a
+    stale artifact through CI: the artifact records a fingerprint of every
+    package .py at audit time, and this asserts it equals the working
+    tree's — any source change requires re-running tools/plan_audit.py."""
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from plan_audit import source_hash
+
+    out = _artifact()
+    assert "source_hash" in out, "re-run tools/plan_audit.py (no source_hash)"
+    assert out["source_hash"] == source_hash(ROOT), (
+        "package source changed since the committed audit — re-run "
+        "tools/plan_audit.py"
+    )
+
+
 def test_no_unreviewed_antipattern_flags():
     out = _artifact()
     flagged = out["flagged"]

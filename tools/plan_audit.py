@@ -88,6 +88,27 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
     return {"counts": counts, "flags": flags}
 
 
+def source_hash(root: str) -> str:
+    """Fingerprint of every .py under the package: a plan can only change
+    if some source file changed, so tests/test_plan_audit.py asserting the
+    artifact's hash equals the working tree's proves the committed audit
+    was run against the CURRENT plans (an edit without a tool re-run fails
+    CI instead of silently keeping the stale audit green)."""
+    import hashlib
+
+    pkg = os.path.join(root, "spark_kafka_realm_time_data_pipeline_spark")
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                h.update(os.path.relpath(p, root).encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -112,6 +133,7 @@ def main() -> None:
     out["flagged"] = flagged
     out["elapsed_s"] = round(time.time() - t0, 1)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out["source_hash"] = source_hash(root)
     path = os.path.join(root, "PLAN_AUDIT.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
