@@ -200,6 +200,10 @@ HEADLINE += [
     # container round-trip per payload — both are real per-row work)
     "multimodal_png_stats",
     "column_profile_approx",
+    # round-12 dedup-surface additions: directed containment (asymmetric
+    # prefix filter) and passage-level dedup with reassembly
+    "dedup_containment",
+    "dedup_passages",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The

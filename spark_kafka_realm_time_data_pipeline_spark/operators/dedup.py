@@ -1370,6 +1370,215 @@ def prefix_filter_pairs(
         toks.unpersist()
 
 
+def containment_pairs(
+    corpus: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    tokenizer=doc_shingles,
+    max_posting: int = PREFIX_CAP,
+) -> DataFrame:
+    """Directed shingle-CONTAINMENT self-join: emit (doc_a, doc_b) where
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| >= t — the asymmetric
+    complement to the Jaccard tiers.  Jaccard divides by the UNION, so a
+    short document quoted verbatim inside a much longer one scores near
+    |A|/|B| ≈ 0 and every symmetric tier misses it; containment divides by
+    |A| alone and flags exactly that inclusion (quotes, mirrored articles
+    with added chrome, boilerplate-wrapped reposts) — the dedup direction
+    corpus curation needs when deciding which SIDE to drop.
+
+    Blocking is the asymmetric prefix filter: a pair with containment >= t
+    must share a token between A's first |A| - ceil(t*|A|) + 1 tokens in
+    the global df-ascending order and B's FULL token set (if no prefix
+    token of A hits B, the overlap is at most ceil(t*|A|) - 1 < t*|A|).
+    So A probes only its rarest-token prefix while B is indexed on every
+    token — both sides under the per-token posting cap (``max_posting``,
+    lowest doc_ids win), the same deterministic degenerate-token guard as
+    the Jaccard prefix tier, replayed exactly by the oracle.  One exact
+    prune before the verify: |B| >= ceil(t*|A|) (the intersection can
+    never exceed |B|).  All thresholds are integer arithmetic; the score
+    ships as integer milli-units — no IEEE rounding anywhere.
+
+    Scale shape: df/sizes are map-side-combinable groupBys; the prefix and
+    index windows are each one shuffle over the (doc, tok) frame; the
+    candidate join touches capped postings only; the verify joins per-doc
+    token ARRAYS onto the distinct candidate pairs (array_intersect,
+    JVM-side).  No reference-file counterpart (the reference ships no
+    similarity join); SURVEY.md §2 LLM-pipeline dedup rows."""
+    from pyspark.sql import Window
+
+    corpus = fan_out(corpus)
+    toks = tokenizer(corpus).persist()
+    try:
+        df = toks.groupBy("tok").agg(F.count("*").alias("df"))
+        sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+        w = Window.partitionBy("doc_id").orderBy("df", "tok")
+        # eager checkpoint: BOTH the prefix probe and the full index read
+        # ranked; uncheckpointed, its 3-shuffle lineage (df join + window +
+        # sizes join) re-runs per consumer and the duplicated subtree
+        # bloats the single candidate-join plan (measured 15.8 s -> ~2 s
+        # at sf0.001 — the checkpoint-barrier rule in PLANS.md).
+        ranked = (
+            toks.join(df, "tok")
+            .withColumn("p", F.row_number().over(w))
+            .join(sizes, "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        prefix_len = (
+            F.col("n_toks")
+            - F.expr(
+                f"({threshold_num} * n_toks + {threshold_den} - 1) div {threshold_den}"
+            )
+            + F.lit(1)
+        )
+        wt = Window.partitionBy("tok").orderBy("doc_id")
+        pref = (
+            ranked.filter(F.col("p") <= prefix_len)
+            .withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") <= max_posting)
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                "tok",
+                F.col("p").alias("pa"),
+                F.col("n_toks").alias("n_a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # the B index ranks over the UNFILTERED token frame — containment
+        # places no prefix condition on the containing side
+        idx = (
+            ranked.withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") <= max_posting)
+            .select(
+                F.col("doc_id").alias("doc_b"),
+                "tok",
+                F.col("p").alias("pb"),
+                F.col("n_toks").alias("n_b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # positional prune (PPJoin adapted to the asymmetric bound): with
+        # the earliest OBSERVED match at doc-local ranks (fa, fb), overlap
+        # <= 1 + min(n_a - fa, n_b - fb), which must reach ceil(t * n_a).
+        # Under the posting cap the observed minimum can overestimate the
+        # true first-match rank — the same bounded-recall trade as the cap
+        # itself, replayed exactly by the oracle.
+        grouped = (
+            pref.join(idx, "tok")
+            .filter(
+                (F.col("doc_a") != F.col("doc_b"))
+                & (threshold_den * F.col("n_b") >= threshold_num * F.col("n_a"))
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.min("pa").alias("fa"),
+                F.min("pb").alias("fb"),
+                F.first("n_a").alias("n_a"),
+                F.first("n_b").alias("n_b"),
+            )
+        )
+        need = F.expr(
+            f"({threshold_num} * n_a + {threshold_den} - 1) div {threshold_den}"
+        )
+        ub = F.lit(1) + F.least(
+            F.col("n_a") - F.col("fa"), F.col("n_b") - F.col("fb")
+        )
+        cands = (
+            grouped.filter(ub >= need)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        arrs = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("arr"))
+        a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+        b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+        n_a = F.size("arr_a").cast("bigint")
+        n_b = F.size("arr_b").cast("bigint")
+        n_inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint")
+        scored = (
+            cands.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                n_a.alias("n_a"),
+                n_b.alias("n_b"),
+                n_inter.alias("n_inter"),
+            )
+        )
+        return (
+            scored.withColumn(
+                "containment_milli", F.expr("(1000 * n_inter) div n_a")
+            )
+            .filter(
+                threshold_den * F.col("n_inter") >= threshold_num * F.col("n_a")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        toks.unpersist()
+
+
+PASSAGE_WORDS = 16
+
+
+def passage_dedup(corpus: DataFrame) -> DataFrame:
+    """Global PASSAGE-level dedup with document reassembly — the
+    intra-document tier every doc-level tier above ignores: split each
+    document into fixed ``PASSAGE_WORDS``-word passages (the stand-in for
+    paragraph boundaries on a corpus without newlines; on a real crawl the
+    splitter is '\\n\\n'), keep exactly the FIRST occurrence of every
+    distinct passage corpus-wide (ordered by doc_id, then position), and
+    reassemble each document from its surviving passages in original
+    order.  This is the repeated-paragraph removal stage (MassiveText /
+    RefinedWeb style) that doc-level dedup cannot express: a document that
+    shares half its paragraphs with another is kept by every doc tier, yet
+    still trains on the duplicate half.
+
+    Per doc: passage count, survivor count, and the md5 of the
+    reassembled clean text (compact proof of byte-exact reassembly; a
+    production pipeline would ship the text column itself).
+
+    Scale shape: one narrow map (split + chunk + posexplode), ONE shuffle
+    on the passage hash for the keep-first window (32-byte keys, never
+    passage text), one groupBy(doc_id) to reassemble — each passage row is
+    bounded by PASSAGE_WORDS words, so state never exceeds the corpus in
+    flight.  Keep-first by (doc_id, pos) is deterministic and
+    shard-independent.  No reference-file counterpart; SURVEY.md §2
+    LLM-pipeline dedup rows."""
+    from pyspark.sql import Window
+
+    words = F.split("text", " ")
+    n_chunks = F.expr(
+        f"(size(split(text, ' ')) + {PASSAGE_WORDS - 1}) div {PASSAGE_WORDS}"
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * PASSAGE_WORDS + 1, PASSAGE_WORDS), " "
+        ),
+    )
+    paras = fan_out(corpus.select("doc_id", "text")).select(
+        "doc_id", F.posexplode(chunks).alias("pos", "para")
+    )
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
+    flagged = paras.withColumn("kept", F.row_number().over(w) == 1)
+    clean = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.when(F.col("kept"), F.struct("pos", "para")))
+            ),
+            lambda x: x["para"],
+        ),
+        " ",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.coalesce(F.sum(F.col("kept").cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
 def dup_triangles(pairs: DataFrame) -> DataFrame:
     """Triangle counts per node over the near-dup pair graph — the local
     clustering signal that separates a true duplicate CLUSTER (mutually

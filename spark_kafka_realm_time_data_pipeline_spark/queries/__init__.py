@@ -66,6 +66,8 @@ def registry() -> dict[str, QuerySpec]:
             # (b) new in r12 — never driver-checked
             "multimodal_png_stats",
             "column_profile_approx",
+            "dedup_containment",
+            "dedup_passages",
             # (b') plan/value-changed in r12 (translate()-based char
             # counting; packed-aggregate pretokenize; broadened phone
             # pattern) — re-proof before the tail

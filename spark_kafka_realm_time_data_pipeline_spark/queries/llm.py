@@ -241,6 +241,105 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) 
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment self-join at t=0.9: pairs where A's
+    shingle set is >=90% inside B's — the quote/inclusion direction every
+    symmetric Jaccard tier misses on size-mismatched pairs.  Asymmetric
+    prefix filter (A probes its rarest-token prefix into B's full capped
+    index), integer milli-unit scores; see operators/dedup.containment_pairs."""
+    return D.containment_pairs(D.planted_corpus(spark, sf_dir))
+
+
+# Replays the asymmetric prefix-filtered containment join exactly: the
+# df-ascending global token order, A-side prefix n - ceil(9n/10) + 1 via
+# (9n+9)//10, the per-token posting cap on BOTH the prefix and the full
+# index, the |B| >= ceil(0.9*|A|) size prune (as 10*n_b >= 9*n_a), and the
+# integer milli-unit verify 10*inter >= 9*n_a.
+ORA_DEDUP_CONTAINMENT = f"""
+WITH {D.ORA_CORPUS},
+{ORA_SHINGLES},
+df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+sizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+ranked AS (
+  SELECT t.doc_id, t.tok, s.n_toks,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS p
+  FROM toks t JOIN df d USING (tok) JOIN sizes s USING (doc_id)
+),
+pref AS (
+  SELECT doc_id, tok, p, n_toks FROM ranked
+  WHERE p <= n_toks - (9 * n_toks + 9) // 10 + 1
+  QUALIFY row_number() OVER (PARTITION BY tok ORDER BY doc_id) <= {D.PREFIX_CAP}
+),
+idx AS (
+  SELECT doc_id, tok, p, n_toks FROM ranked
+  QUALIFY row_number() OVER (PARTITION BY tok ORDER BY doc_id) <= {D.PREFIX_CAP}
+),
+g AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         MIN(a.p) AS fa, MIN(b.p) AS fb,
+         ANY_VALUE(a.n_toks) AS n_a, ANY_VALUE(b.n_toks) AS n_b
+  FROM pref a JOIN idx b USING (tok)
+  WHERE a.doc_id <> b.doc_id AND 10 * b.n_toks >= 9 * a.n_toks
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT doc_a, doc_b FROM g
+  WHERE 1 + least(n_a - fa, n_b - fb) >= (9 * n_a + 9) // 10
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(sa.n_toks AS BIGINT) AS n_a,
+       CAST(sb.n_toks AS BIGINT) AS n_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST((1000 * n_inter) // sa.n_toks AS BIGINT) AS containment_milli
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 10 * n_inter >= 9 * sa.n_toks
+"""
+
+
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global passage-level dedup with document reassembly: fixed 16-word
+    passages, keep-first-occurrence corpus-wide by (doc_id, pos), per-doc
+    survivor counts + md5 of the reassembled clean text.  The
+    intra-document tier doc-level dedup cannot express; see
+    operators/dedup.passage_dedup."""
+    return D.passage_dedup(D.planted_corpus(spark, sf_dir))
+
+
+ORA_DEDUP_PASSAGES = f"""
+WITH {D.ORA_CORPUS},
+base AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+paras AS (
+  SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, (len(words) + {D.PASSAGE_WORDS - 1}) // {D.PASSAGE_WORDS}),
+             i -> struct_pack(pos := i,
+                              para := array_to_string(list_slice(words, i * {D.PASSAGE_WORDS} + 1,
+                                                                 i * {D.PASSAGE_WORDS} + {D.PASSAGE_WORDS}), ' ')))) AS u
+    FROM base
+  )
+),
+flagged AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) = 1 AS kept
+  FROM paras
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(coalesce(SUM(CASE WHEN kept THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(para, ' ' ORDER BY pos) FILTER (WHERE kept), '')) AS clean_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
 def q_dedup_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tier dedup AGREEMENT report: the pair sets found by the two
     independent blocking strategies — MinHash-LSH signatures (probabilistic
@@ -1903,6 +2002,16 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_jaccard_prefix,
         ORA_DEDUP_JACCARD_PREFIX,
         "exact-verify Jaccard self-join via capped prefix index (full recall under the posting cap)",
+    ),
+    "dedup_containment": QuerySpec(
+        q_dedup_containment,
+        ORA_DEDUP_CONTAINMENT,
+        "directed shingle-containment self-join (asymmetric prefix filter, milli-unit scores)",
+    ),
+    "dedup_passages": QuerySpec(
+        q_dedup_passages,
+        ORA_DEDUP_PASSAGES,
+        "global passage-level dedup with document reassembly (keep-first by doc, pos)",
     ),
     "dedup_components": QuerySpec(
         q_dedup_components,

@@ -1,0 +1,89 @@
+"""Semantics fixtures for the r12 dedup additions: directed shingle
+containment (the asymmetric inclusion Jaccard misses on size-mismatched
+pairs) and global passage-level dedup with document reassembly."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from spark_kafka_realm_time_data_pipeline_spark.operators import dedup as D
+
+
+def test_containment_flags_quote_inclusion_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment
+    (A->B) = 1000 while Jaccard is far below any near-dup threshold — the
+    exact pair class the symmetric tiers are blind to."""
+    short = "the quick brown fox jumps over the lazy dog tonight"
+    long_ = (
+        short
+        + " and then a very large amount of entirely unrelated trailing"
+        + " commentary follows the quotation for many more words"
+        + " diluting the union far below any symmetric threshold"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment_milli
+        for r in D.containment_pairs(docs).collect()
+    }
+    assert got.get((1, 2)) == 1000, got
+    # the reverse direction is NOT contained (long in short)
+    assert (2, 1) not in got
+    # and symmetric Jaccard on the same pair is low: |A| / |B| bound
+    toks = D.doc_shingles(docs)
+    n = {r.doc_id: r.n for r in toks.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert n[1] / n[2] < 0.5  # union-based score can't reach 0.9
+
+
+def test_containment_threshold_excludes_partial_overlap(spark):
+    """Two docs sharing only a clause stay below t=0.9 and emit nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma completely different ending here now"),
+        ],
+        "doc_id long, text string",
+    )
+    assert D.containment_pairs(docs).count() == 0
+
+
+def test_passage_dedup_keeps_first_and_reassembles(spark):
+    """Keep-first by (doc_id, pos) corpus-wide; reassembly md5 is the md5
+    of the surviving passages joined in original order."""
+    w = [f"w{i}" for i in range(D.PASSAGE_WORDS)]
+    p1 = " ".join(w)
+    p2 = " ".join(f"x{i}" for i in range(D.PASSAGE_WORDS))
+    p3 = " ".join(f"y{i}" for i in range(D.PASSAGE_WORDS))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {p2}"),      # owns both passages
+            (2, f"{p1} {p3}"),      # p1 duplicate -> keeps p3 only
+            (3, f"{p1} {p2}"),      # exact copy of doc 1 -> keeps nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in D.passage_dedup(docs).collect()}
+    assert (got[1].n_paras, got[1].n_kept) == (2, 2)
+    assert (got[2].n_paras, got[2].n_kept) == (2, 1)
+    assert (got[3].n_paras, got[3].n_kept) == (2, 0)
+    assert got[1].clean_md5 == hashlib.md5(f"{p1} {p2}".encode()).hexdigest()
+    assert got[2].clean_md5 == hashlib.md5(p3.encode()).hexdigest()
+    # zero survivors reassemble to the empty string, not NULL
+    assert got[3].clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_passage_dedup_ragged_tail_and_short_doc(spark):
+    """Docs shorter than one passage form a single ragged passage; the
+    ragged tail is its own passage, deduped like any other."""
+    tail = "short trailing bit"
+    p1 = " ".join(f"w{i}" for i in range(D.PASSAGE_WORDS))
+    docs = spark.createDataFrame(
+        [(1, tail), (2, f"{p1} {tail}")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in D.passage_dedup(docs).collect()}
+    assert (got[1].n_paras, got[1].n_kept) == (1, 1)
+    # doc 2's ragged tail duplicates doc 1's whole text -> dropped
+    assert (got[2].n_paras, got[2].n_kept) == (2, 1)
+    assert got[2].clean_md5 == hashlib.md5(p1.encode()).hexdigest()
