@@ -68,6 +68,8 @@ def registry() -> dict[str, QuerySpec]:
             "column_profile_approx",
             "dedup_containment",
             "dedup_passages",
+            "recursive_cte_closure",
+            "sql_script_histogram",
             # (b') plan/value-changed in r12 (translate()-based char
             # counting; packed-aggregate pretokenize; broadened phone
             # pattern) — re-proof before the tail

@@ -489,6 +489,51 @@ SELECT doc_id, component_id FROM comp
 """
 
 
+def q_recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE executing a data-driven graph recursion —
+    the transitive closure (with min hop depth) of the near-dup pair
+    graph.  The components oracle has replayed Spark's ITERATIVE
+    min-label loop with DuckDB's WITH RECURSIVE since r6; this query is
+    the inversion: Spark itself runs `WITH RECURSIVE` (new in Spark 4.0)
+    and DuckDB replays it CTE-for-CTE.  The edge list is oriented
+    doc_a < doc_b (a DAG — staged pairs are already low->high), so UNION
+    ALL recursion terminates; a depth guard (< 20) additionally bounds the
+    recursion on any corpus, the 100 TB posture for unknown graph shapes
+    (Spark's own spark.sql.cte.recursion.level.limit backstops at 100).
+    Reads the staged pair-graph table like the rest of the graph trio."""
+    pg = _staged_pair_graph(spark, sf_dir)
+    pg.select("doc_a", "doc_b").createOrReplaceTempView("dup_edges_rcte")
+    return spark.sql(
+        """
+WITH RECURSIVE reach(src, dst, depth) AS (
+  SELECT doc_a, doc_b, 1 FROM dup_edges_rcte
+  UNION ALL
+  SELECT r.src, e.doc_b, r.depth + 1
+  FROM reach r JOIN dup_edges_rcte e ON r.dst = e.doc_a
+  WHERE r.depth < 20
+)
+SELECT src AS doc_a, dst AS doc_b, CAST(MIN(depth) AS BIGINT) AS min_depth
+FROM reach GROUP BY src, dst
+"""
+    )
+
+
+ORA_RECURSIVE_CTE_CLOSURE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORA_DEDUP_MINHASH_NGRAM}) t
+),
+reach(src, dst, depth) AS (
+  SELECT doc_a, doc_b, 1 FROM pairs
+  UNION ALL
+  SELECT r.src, e.doc_b, r.depth + 1
+  FROM reach r JOIN pairs e ON r.dst = e.doc_a
+  WHERE r.depth < 20
+)
+SELECT src AS doc_a, dst AS doc_b, CAST(MIN(depth) AS BIGINT) AS min_depth
+FROM reach GROUP BY src, dst
+"""
+
+
 def q_dedup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the near-dup funnel: the kept corpus.  Every doc that is a
     non-canonical member of a duplicate component (component_id != doc_id)
@@ -2017,6 +2062,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_components,
         ORA_DEDUP_COMPONENTS,
         "connected components over near-dup pairs (min-label fixpoint)",
+    ),
+    "recursive_cte_closure": QuerySpec(
+        q_recursive_cte_closure,
+        ORA_RECURSIVE_CTE_CLOSURE,
+        "Spark 4 WITH RECURSIVE transitive closure of the dup pair graph (depth-guarded)",
     ),
     "dedup_keep_corpus": QuerySpec(
         q_dedup_keep_corpus,

@@ -2307,6 +2307,70 @@ FROM lineitem
 """
 
 
+def q_sql_script_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN ... END, DECLARE, WHILE/SET) running a
+    DATA-DEPENDENT control loop: adaptively double a histogram bucket
+    width until the bucket count fits a display budget (<= 32), then emit
+    the final histogram — the iterate-until-converged pattern (bisection,
+    adaptive binning, retry-with-coarser-grain) expressed entirely in SQL
+    with no driver-side Python loop.  Each WHILE probe is one distributed
+    COUNT(DISTINCT) job; the loop runs log2(spread) times.  Prices are
+    floored to integer cents BEFORE bucketing (double*100 is inexact and
+    Spark's double->bigint cast truncates while DuckDB's rounds — floor()
+    is the engine-portable form).  The loop SEED is the spread's integer
+    floor-log2 (the libm-free length(bin(k))-1 trick both engines agree
+    on; pow(2, e) is dyadic-exact so the cast matches bit-for-bit) — a
+    width-1 seed would burn ~21 sequential one-job doublings re-counting
+    what one aggregate already knows (measured 14.7 s -> ~2 s); the WHILE
+    loop then runs the last few data-dependent refinements.  The oracle
+    replays seed AND loop as a DuckDB recursive CTE over the same width
+    sequence, so loop semantics — not just the final frame — are
+    value-proven."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    return spark.sql(
+        """
+BEGIN
+  DECLARE width BIGINT DEFAULT 1;
+  SET width = (
+    SELECT CAST(pow(2, length(bin(greatest(
+             CAST(max(floor(o_totalprice * 100)) - min(floor(o_totalprice * 100)) AS BIGINT)
+             DIV 64, CAST(1 AS BIGINT)))) - 1) AS BIGINT)
+    FROM orders_script);
+  WHILE (SELECT COUNT(DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT) DIV width)
+         FROM orders_script) > 32 DO
+    SET width = width * 2;
+  END WHILE;
+  SELECT width AS bucket_width,
+         CAST(floor(o_totalprice * 100) AS BIGINT) DIV width AS bucket,
+         COUNT(*) AS n_orders
+  FROM orders_script GROUP BY ALL;
+END
+"""
+    )
+
+
+ORA_SQL_SCRIPT_HISTOGRAM = """
+WITH RECURSIVE seed AS (
+  SELECT CAST(pow(2, length(bin(greatest(
+           CAST(max(floor(o_totalprice * 100)) - min(floor(o_totalprice * 100)) AS BIGINT)
+           // 64, CAST(1 AS BIGINT)))) - 1) AS BIGINT) AS w0
+  FROM orders
+),
+w(width) AS (
+  SELECT w0 FROM seed
+  UNION ALL
+  SELECT width * 2 FROM w
+  WHERE (SELECT COUNT(DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT) // width)
+         FROM orders) > 32
+),
+f AS (SELECT MAX(width) AS width FROM w)
+SELECT f.width AS bucket_width,
+       CAST(floor(o_totalprice * 100) AS BIGINT) // f.width AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders, f GROUP BY 1, 2
+"""
+
+
 def q_csv_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV-in-a-column codec pair: `to_csv(struct(...))` renders typed
     rows to embedded CSV, `from_csv` parses them back under an explicit
@@ -3520,6 +3584,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_try_arithmetic,
         ORA_TRY_ARITHMETIC,
         "try_divide/try_add/try_cast NULL-on-error family (planted failures)",
+    ),
+    "sql_script_histogram": QuerySpec(
+        q_sql_script_histogram,
+        ORA_SQL_SCRIPT_HISTOGRAM,
+        "SQL-scripting WHILE loop: adaptive bucket-width histogram (loop replayed as recursive CTE)",
     ),
     "csv_column_roundtrip": QuerySpec(
         q_csv_column_roundtrip,
