@@ -207,6 +207,9 @@ HEADLINE += [
     # round-12 Spark 4 SQL-surface additions: recursive CTE + SQL scripting
     "recursive_cte_closure",
     "sql_script_histogram",
+    # containment funnel end (staged-pairs read + anti-join; staging cost
+    # is paid once per session by the first consumer)
+    "dedup_keep_containment",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The

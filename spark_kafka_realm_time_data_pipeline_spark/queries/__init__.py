@@ -70,6 +70,7 @@ def registry() -> dict[str, QuerySpec]:
             "dedup_passages",
             "recursive_cte_closure",
             "sql_script_histogram",
+            "dedup_keep_containment",
             # (b') plan/value-changed in r12 (translate()-based char
             # counting; packed-aggregate pretokenize; broadened phone
             # pattern) — re-proof before the tail

@@ -489,6 +489,75 @@ SELECT doc_id, component_id FROM comp
 """
 
 
+_CONTAINMENT_DIRS: dict[str, str] = {}
+
+
+def _staged_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The directed containment pair table, staged once per (session,
+    corpus) — same maintained-table pattern as _staged_pair_graph: the
+    derivation (operators/dedup.containment_pairs) is deterministic, so
+    downstream consumers read a parquet table instead of re-running the
+    prefix/index/verify pipeline per query."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = f"{id(spark._jsparkSession)}:{sf_dir}"
+    path = _CONTAINMENT_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="containment_pairs_")
+        D.containment_pairs(D.planted_corpus(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _CONTAINMENT_DIRS[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+def q_dedup_keep_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the CONTAINMENT funnel: the kept corpus after dropping
+    contained documents — the actionable step the directed pair list
+    enables (Jaccard tiers cannot say WHICH side to drop; containment
+    can: the contained one).  Policy: a doc is dropped iff it is >=90%
+    contained in another doc, EXCEPT mutual containment (exact/near-exact
+    twins appear as both (a,b) and (b,a)) where the lower doc_id survives
+    — so every duplicate class keeps exactly one representative and
+    chains (A ⊂ B ⊂ C) keep only the outermost C.  One self-join of the
+    (tiny) pair table + one anti-join against the corpus — the corpus
+    itself is never shuffled.  Reads the staged containment-pairs table
+    (one prefix/index/verify pass per session, the trio pattern)."""
+    corpus = D.planted_corpus(spark, sf_dir)
+    p = _staged_containment_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    rev = p.select(
+        F.col("doc_a").alias("doc_b"), F.col("doc_b").alias("doc_a")
+    ).withColumn("mutual", F.lit(1))
+    drops = (
+        p.join(rev, ["doc_a", "doc_b"], "left")
+        .filter(F.col("mutual").isNull() | (F.col("doc_b") < F.col("doc_a")))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return corpus.join(drops, "doc_id", "left_anti").select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
+ORA_DEDUP_KEEP_CONTAINMENT = f"""
+WITH {D.ORA_CORPUS},
+cpairs AS (
+  SELECT doc_a, doc_b FROM ({ORA_DEDUP_CONTAINMENT}) t
+),
+drops AS (
+  SELECT DISTINCT p.doc_a AS doc_id
+  FROM cpairs p
+  LEFT JOIN cpairs q ON q.doc_a = p.doc_b AND q.doc_b = p.doc_a
+  WHERE q.doc_a IS NULL OR p.doc_b < p.doc_a
+)
+SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
+FROM corpus c ANTI JOIN drops d ON c.doc_id = d.doc_id
+"""
+
+
 def q_recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 RECURSIVE CTE executing a data-driven graph recursion —
     the transitive closure (with min hop depth) of the near-dup pair
@@ -2057,6 +2126,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_passages,
         ORA_DEDUP_PASSAGES,
         "global passage-level dedup with document reassembly (keep-first by doc, pos)",
+    ),
+    "dedup_keep_containment": QuerySpec(
+        q_dedup_keep_containment,
+        ORA_DEDUP_KEEP_CONTAINMENT,
+        "kept corpus after dropping contained docs (mutual pairs keep the lower id)",
     ),
     "dedup_components": QuerySpec(
         q_dedup_components,

@@ -48,6 +48,31 @@ def test_containment_threshold_excludes_partial_overlap(spark):
     assert D.containment_pairs(docs).count() == 0
 
 
+def test_keep_containment_policy_on_fixture(spark):
+    """Drop policy over the directed pairs: mutual containment (twins)
+    keeps the LOWER doc_id; a containment chain keeps only the outermost
+    doc; untouched docs survive.  Replays q_dedup_keep_containment's
+    drop rule on a hand-built pair list."""
+    from pyspark.sql import functions as F
+
+    # (a contained-in b) edges: 1<->2 mutual twins, 3 -> 4 -> 5 chain
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    rev = pairs.select(
+        F.col("doc_a").alias("doc_b"), F.col("doc_b").alias("doc_a")
+    ).withColumn("mutual", F.lit(1))
+    drops = (
+        pairs.join(rev, ["doc_a", "doc_b"], "left")
+        .filter(F.col("mutual").isNull() | (F.col("doc_b") < F.col("doc_a")))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    dropped = {r.doc_id for r in drops.collect()}
+    # twin 2 drops (1 survives); chain drops 3 and 4 (outermost 5 survives)
+    assert dropped == {2, 3, 4}
+
+
 def test_passage_dedup_keeps_first_and_reassembles(spark):
     """Keep-first by (doc_id, pos) corpus-wide; reassembly md5 is the md5
     of the surviving passages joined in original order."""
