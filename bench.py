@@ -210,6 +210,8 @@ HEADLINE += [
     # containment funnel end (staged-pairs read + anti-join; staging cost
     # is paid once per session by the first consumer)
     "dedup_keep_containment",
+    # pure-Python Avro container -> pyavro PyDS block-split read
+    "avro_pyds_roundtrip",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The

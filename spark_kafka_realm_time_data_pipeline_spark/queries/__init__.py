@@ -71,6 +71,7 @@ def registry() -> dict[str, QuerySpec]:
             "recursive_cte_closure",
             "sql_script_histogram",
             "dedup_keep_containment",
+            "avro_pyds_roundtrip",
             # (b') plan/value-changed in r12 (translate()-based char
             # counting; packed-aggregate pretokenize; broadened phone
             # pattern) — re-proof before the tail

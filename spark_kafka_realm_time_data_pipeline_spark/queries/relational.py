@@ -2507,6 +2507,66 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro format coverage WITHOUT the env-blocked spark-avro jar: the
+    orders projection is staged once per (session, corpus) into a real
+    Avro Object Container File by the pure-Python writer
+    (`sources/avro_source.write_avro` — zigzag varints, raw-deflate
+    blocks, schema-derived sync marker, all from the public Avro 1.x
+    spec), then read back through the registered `pyavro` Spark 4 Python
+    Data Source, whose planner indexes the file's blocks and hands each
+    InputPartition one block — the same block-split parallelism the JVM
+    avro reader uses.  The oracle is the original orders projection, so
+    the whole encode → container → block-split decode loop is
+    value-proven bit-exactly (IEEE doubles survive byte-for-byte).
+
+    Staging writes one container file from a sorted driver-side pass —
+    fixture prep, same class as binaryfile_source's staged blob corpus; a
+    production pipeline writes one container file per partition (the
+    writer is per-file) and the reader's per-file block index distributes
+    exactly the same way."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources import avro_source as AV
+
+    AV.register(spark)
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+    ).hexdigest()[:12]
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    path = os.path.join(root, f"orders_{tag}.avro")
+    if not os.path.exists(path):
+        rows = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        tmp = path + ".staging"
+        AV.write_avro(
+            tmp,
+            [
+                ("o_orderkey", "long"),
+                ("o_custkey", "long"),
+                ("o_totalprice", "double"),
+                ("o_orderpriority", "string"),
+            ],
+            ([r[0], r[1], r[2], r[3]] for r in rows),
+            codec="deflate",
+            rows_per_block=2048,
+        )
+        os.replace(tmp, path)
+    return spark.read.format("pyavro").option("path", path).load()
+
+
+ORA_AVRO_PYDS_ROUNDTRIP = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+"""
+
+
 ORA_BINARYFILE_SOURCE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
@@ -3604,6 +3664,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_binaryfile_source,
         ORA_BINARYFILE_SOURCE,
         "binaryFile blob ingestion: staged per-doc files -> path/length/md5",
+    ),
+    "avro_pyds_roundtrip": QuerySpec(
+        q_avro_pyds_roundtrip,
+        ORA_AVRO_PYDS_ROUNDTRIP,
+        "pure-Python Avro container write -> pyavro PyDS block-split read (no jars)",
     ),
     "compaction_execute": QuerySpec(
         q_compaction_execute,
