@@ -2508,25 +2508,30 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_avro_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Avro format coverage WITHOUT the env-blocked spark-avro jar: the
-    orders projection is staged once per (session, corpus) into a real
-    Avro Object Container File by the pure-Python writer
-    (`sources/avro_source.write_avro` — zigzag varints, raw-deflate
-    blocks, schema-derived sync marker, all from the public Avro 1.x
-    spec), then read back through the registered `pyavro` Spark 4 Python
-    Data Source, whose planner indexes the file's blocks and hands each
-    InputPartition one block — the same block-split parallelism the JVM
-    avro reader uses.  The oracle is the original orders projection, so
-    the whole encode → container → block-split decode loop is
-    value-proven bit-exactly (IEEE doubles survive byte-for-byte).
+    """Avro format coverage WITHOUT the env-blocked spark-avro jar, fully
+    distributed in BOTH directions: the orders projection is staged once
+    per (session, corpus) into a DIRECTORY of Avro Object Container
+    Files — one per partition, written ON THE EXECUTORS by
+    `sources/avro_source.write_avro_partitioned` (mapInPandas around the
+    pure-Python spec writer: zigzag varints, raw-deflate blocks,
+    schema-derived sync markers) — then read back through the registered
+    `pyavro` Spark 4 Python Data Source, whose planner walks the file
+    listing, indexes every file's blocks, and hands each InputPartition
+    one block: the same part-file + block-split parallelism the JVM avro
+    module has.  No row ever passes through the driver in either
+    direction (the only collect is the 8-row per-partition write
+    summary).  The oracle is the original orders projection, so the whole
+    encode → container set → block-split decode loop is value-proven
+    bit-exactly (IEEE doubles survive byte-for-byte).
 
-    Staging writes one container file from a sorted driver-side pass —
-    fixture prep, same class as binaryfile_source's staged blob corpus; a
-    production pipeline writes one container file per partition (the
-    writer is per-file) and the reader's per-file block index distributes
-    exactly the same way."""
+    Staging concurrency: each writer task stages to a tempfile.mkstemp
+    name and os.replace's onto its part file; the finished directory is
+    mkdtemp-unique and os.rename'd onto the content-tagged final path, so
+    two concurrent sessions on the same corpus cannot interleave bytes —
+    the loser of the rename race discards its own copy."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from ..sources import avro_source as AV
@@ -2537,16 +2542,16 @@ def q_avro_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
     ).hexdigest()[:12]
     root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
-    path = os.path.join(root, f"orders_{tag}.avro")
+    path = os.path.join(root, f"orders_{tag}.avrodir")
     if not os.path.exists(path):
-        rows = (
+        proj = (
             load_table(spark, sf_dir, "orders")
             .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-            .orderBy("o_orderkey")
-            .collect()
+            .repartition(8, "o_orderkey")
         )
-        tmp = path + ".staging"
-        AV.write_avro(
+        tmp = tempfile.mkdtemp(prefix=f"orders_{tag}_", dir=root)
+        summary = AV.write_avro_partitioned(
+            proj,
             tmp,
             [
                 ("o_orderkey", "long"),
@@ -2554,11 +2559,14 @@ def q_avro_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("o_totalprice", "double"),
                 ("o_orderpriority", "string"),
             ],
-            ([r[0], r[1], r[2], r[3]] for r in rows),
             codec="deflate",
             rows_per_block=2048,
-        )
-        os.replace(tmp, path)
+        ).collect()  # 8 summary rows — triggers the distributed write
+        assert len(summary) == 8, summary
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent session won the rename — keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.format("pyavro").option("path", path).load()
 
 

@@ -21,15 +21,20 @@ enough to round-trip the relational fixture tables bit-exactly.  Unions,
 nested records, and enums would extend `_read_record`/`_write_record`
 mechanically but are not needed by any registry query.
 
-Scale shape: the planner walks the file ONCE to index block offsets
+Scale shape: the planner walks each file ONCE to index block offsets
 (header + per-block count/size fields — a metadata-speed scan, no record
 decoding), then each InputPartition seeks directly to its block and
-decodes only its own rows.  On a cluster the same index would be built
-from the file listing + block walk per file; block decode is
-embarrassingly parallel.  Writer determinism: a schema-derived sync
-marker and fixed rows-per-block, so staging the same table twice yields
-byte-identical files (the fingerprint-reuse contract every staged
-fixture in this repo relies on).
+decodes only its own rows.  ``path`` may be a directory of containers
+(the ``write_avro_partitioned`` layout): the index is the file listing +
+block walk per file, and block decode is embarrassingly parallel across
+files.  The WRITE side distributes the same way —
+``write_avro_partitioned`` runs the single-file writer inside
+``mapInPandas``, one container per partition on the executors, so
+neither direction ever funnels rows through the driver.  Writer
+determinism: a schema-derived sync marker and fixed rows-per-block, so
+staging the same table twice yields byte-identical files (the
+fingerprint-reuse contract every staged fixture in this repo relies
+on).
 """
 
 from __future__ import annotations
@@ -105,7 +110,10 @@ def _read_value(buf, typ: str):
         n = _read_varlong(buf)
         return buf.read(n).decode("utf-8")
     if typ == "boolean":
-        return buf.read(1) == b"\x01"
+        # spec says true is strictly 0x01, but lenient writers emit any
+        # nonzero byte; match the common-reader behavior (nonzero = true)
+        # instead of silently decoding such files as all-false
+        return buf.read(1) != b"\x00"
     raise ValueError(f"unsupported avro type: {typ}")
 
 
@@ -179,6 +187,62 @@ def write_avro(
     return n_rows
 
 
+def write_avro_partitioned(
+    df,
+    out_dir: str,
+    fields: list[tuple[str, str]],
+    codec: str = "deflate",
+    rows_per_block: int = 4096,
+):
+    """DISTRIBUTED container write: one Avro Object Container File per input
+    partition, written ON THE EXECUTORS — no driver-side collect at any
+    scale.  Each ``mapInPandas`` task streams its partition's Arrow batches
+    straight into ``write_avro`` (the single-file writer is the per-task
+    unit, exactly how the JVM avro sink writes part files), staging to a
+    task-unique temp name and ``os.replace``-ing onto ``part-{pid:05d}.avro``
+    so task retries/speculation are idempotent.  Returns the per-partition
+    (partition_id, n_rows, file) summary frame — a |partitions|-row result,
+    cheap to collect; the caller triggers the job by materializing it.
+
+    ``out_dir`` must be visible to all executors (local[] scratch here; a
+    shared FS on a real cluster — same deployment note as every staged
+    fixture in this repo)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    names = [n for n, _t in fields]
+
+    def write_partition(batches):
+        import os
+        import tempfile
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+
+        def rows():
+            for pdf in batches:
+                # field order = writer schema order, not arrival order
+                for tup in pdf[names].itertuples(index=False, name=None):
+                    yield tup
+
+        fd, tmp = tempfile.mkstemp(prefix=f"part-{pid:05d}-", dir=out_dir)
+        os.close(fd)
+        try:
+            n = write_avro(tmp, fields, rows(), codec=codec, rows_per_block=rows_per_block)
+            final = os.path.join(out_dir, f"part-{pid:05d}.avro")
+            os.replace(tmp, final)
+        except BaseException:
+            os.unlink(tmp)
+            raise
+        yield pd.DataFrame({"partition_id": [pid], "n_rows": [n], "file": [final]})
+
+    return df.select(*names).mapInPandas(
+        write_partition, "partition_id int, n_rows long, file string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # container reader
 # ---------------------------------------------------------------------------
@@ -194,13 +258,18 @@ def _read_header(f) -> tuple[dict, str, bytes]:
         n = _read_varlong(f)
         if n == 0:
             break
-        for _ in range(abs(n)):
+        if n < 0:
+            # spec: a negative count means abs(n) entries follow, prefixed
+            # by the block's byte size — consume the size varint BEFORE the
+            # entry loop (a sequential reader doesn't need it), so external
+            # writers using this form parse instead of misaligning
+            n = -n
+            _read_varlong(f)
+        for _ in range(n):
             klen = _read_varlong(f)
             k = f.read(klen).decode()
             vlen = _read_varlong(f)
             meta[k] = f.read(vlen)
-        if n < 0:  # negative count prefixes a block byte size — skip field
-            raise ValueError("negative metadata block counts unsupported")
     schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
     sync = f.read(16)
@@ -225,6 +294,36 @@ def index_blocks(path: str) -> tuple[dict, str, list[tuple[int, int, int]]]:
     return schema, codec, blocks
 
 
+def index_container_set(path: str) -> tuple[dict, str, list[tuple[str, int, int, int]]]:
+    """Planner-side metadata walk over ONE container file or a DIRECTORY of
+    them (``part-*.avro``, the layout ``write_avro_partitioned`` produces):
+    (schema, codec, [(file, offset, n_records, byte_size), ...]).  All files
+    must carry the same writer schema and codec — mixed-schema directories
+    raise at plan time rather than mis-decoding at run time."""
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
+        )
+        if not files:
+            raise ValueError(f"no *.avro files in directory: {path}")
+    else:
+        files = [path]
+    schema0 = codec0 = None
+    out: list[tuple[str, int, int, int]] = []
+    for f in files:
+        schema, codec, blocks = index_blocks(f)
+        if schema0 is None:
+            schema0, codec0 = schema, codec
+        elif schema != schema0 or codec != codec0:
+            raise ValueError(
+                f"container-set schema/codec mismatch: {files[0]} vs {f}"
+            )
+        out.extend((f, o, c, s) for o, c, s in blocks)
+    return schema0, codec0, out
+
+
 def read_block(path: str, offset: int, count: int, size: int, codec: str, fields):
     with open(path, "rb") as f:
         f.seek(offset)
@@ -244,22 +343,22 @@ def _fields(schema: dict) -> list[tuple[str, str]]:
 
 
 class _AvroBlockPartition(InputPartition):
-    def __init__(self, offset: int, count: int, size: int):
+    def __init__(self, path: str, offset: int, count: int, size: int):
+        self.path = path
         self.offset = offset
         self.count = count
         self.size = size
 
 
 class _AvroBatchReader(DataSourceReader):
-    def __init__(self, path: str, schema: dict, codec: str, blocks):
-        self.path = path
+    def __init__(self, schema: dict, codec: str, blocks):
         self.fields = _fields(schema)
         self.codec = codec
-        self.blocks = blocks
+        self.blocks = blocks  # (file, offset, count, size) per container block
 
     def partitions(self):
-        return [_AvroBlockPartition(o, c, s) for o, c, s in self.blocks] or [
-            _AvroBlockPartition(0, 0, 0)
+        return [_AvroBlockPartition(p, o, c, s) for p, o, c, s in self.blocks] or [
+            _AvroBlockPartition("", 0, 0, 0)
         ]
 
     def read(self, partition: _AvroBlockPartition):
@@ -272,7 +371,7 @@ class _AvroBatchReader(DataSourceReader):
             return
         import pyarrow as pa
 
-        with open(self.path, "rb") as f:
+        with open(partition.path, "rb") as f:
             f.seek(partition.offset)
             payload = f.read(partition.size)
         if self.codec == "deflate":
@@ -295,8 +394,10 @@ class _AvroBatchReader(DataSourceReader):
 
 
 class AvroDataSource(DataSource):
-    """Options: ``path`` (one Avro container file).  The Spark schema is
-    derived from the file's embedded writer schema at plan time."""
+    """Options: ``path`` — one Avro container file OR a directory of
+    ``*.avro`` containers (one per write partition).  The Spark schema is
+    derived from the embedded writer schema at plan time; every file in a
+    directory must share it."""
 
     @classmethod
     def name(cls):
@@ -304,7 +405,7 @@ class AvroDataSource(DataSource):
 
     def _indexed(self):
         if not hasattr(self, "_idx"):
-            self._idx = index_blocks(self.options["path"])
+            self._idx = index_container_set(self.options["path"])
         return self._idx
 
     def schema(self):
@@ -313,7 +414,7 @@ class AvroDataSource(DataSource):
 
     def reader(self, schema):
         avro_schema, codec, blocks = self._indexed()
-        return _AvroBatchReader(self.options["path"], avro_schema, codec, blocks)
+        return _AvroBatchReader(avro_schema, codec, blocks)
 
 
 def register(spark) -> None:

@@ -1,8 +1,12 @@
 """Pure-Python Avro container codec + pyavro Python Data Source: byte
-round-trip of the primitive codec, block indexing, and the Spark read
-path's schema/partitioning contract."""
+round-trip of the primitive codec, block indexing, the Spark read path's
+schema/partitioning contract, and the distributed per-partition write."""
 
 import io
+import json
+import os
+
+import pytest
 
 from spark_kafka_realm_time_data_pipeline_spark.sources import avro_source as A
 
@@ -63,3 +67,59 @@ def test_spark_read_matches_blocks_and_splits(tmp_path, spark):
     assert df.rdd.getNumPartitions() == 5
     got = sorted((r.k, r.x, r.s, r.b) for r in df.collect())
     assert got == rows
+
+
+def test_boolean_decode_lenient_and_header_negative_map_count():
+    # lenient readers treat any nonzero boolean byte as true (spec writers
+    # emit strictly 0x01; the write path here does too)
+    assert A._read_value(io.BytesIO(b"\x02"), "boolean") is True
+    assert A._read_value(io.BytesIO(b"\x01"), "boolean") is True
+    assert A._read_value(io.BytesIO(b"\x00"), "boolean") is False
+    # spec-legal negative metadata-map count (abs(n) entries prefixed by a
+    # byte size) must parse, not misalign into a decode failure
+    schema_json = json.dumps(
+        {"type": "record", "name": "r", "fields": [{"name": "k", "type": "long"}]}
+    )
+    body = io.BytesIO()
+    for k, v in (("avro.schema", schema_json), ("avro.codec", "null")):
+        for s in (k, v):
+            raw = s.encode()
+            A._write_varlong(body, len(raw))
+            body.write(raw)
+    buf = io.BytesIO()
+    buf.write(A._MAGIC)
+    A._write_varlong(buf, -2)
+    A._write_varlong(buf, len(body.getvalue()))
+    buf.write(body.getvalue())
+    A._write_varlong(buf, 0)
+    buf.write(b"\x00" * 16)
+    buf.seek(0)
+    schema, codec, _sync = A._read_header(buf)
+    assert codec == "null"
+    assert schema["fields"][0]["name"] == "k"
+
+
+def test_partitioned_write_one_file_per_partition_roundtrip(tmp_path, spark):
+    rows = [(i, float(i) * 0.25, f"r{i}", i % 3 == 0) for i in range(4000)]
+    df = spark.createDataFrame(
+        rows, "k long, x double, s string, b boolean"
+    ).repartition(4, "k")
+    out = str(tmp_path / "parts")
+    summary = A.write_avro_partitioned(df, out, FIELDS, rows_per_block=500).collect()
+    # one container file per partition, executor-side, no driver rows
+    files = sorted(f for f in os.listdir(out) if f.endswith(".avro"))
+    assert files == [f"part-{i:05d}.avro" for i in range(4)]
+    assert sorted(r.partition_id for r in summary) == [0, 1, 2, 3]
+    assert sum(r.n_rows for r in summary) == 4000
+    A.register(spark)
+    back = spark.read.format("pyavro").option("path", out).load()
+    # block-granular splits ACROSS the file set (>=1 block per file)
+    assert back.rdd.getNumPartitions() >= 4
+    assert sorted((r.k, r.x, r.s, r.b) for r in back.collect()) == rows
+
+
+def test_mixed_schema_directory_rejected_at_plan_time(tmp_path):
+    A.write_avro(str(tmp_path / "a.avro"), FIELDS, [(1, 1.0, "x", True)])
+    A.write_avro(str(tmp_path / "b.avro"), [("only", "long")], [(2,)])
+    with pytest.raises(ValueError, match="schema/codec mismatch"):
+        A.index_container_set(str(tmp_path))
