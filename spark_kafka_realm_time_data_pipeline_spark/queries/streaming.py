@@ -491,7 +491,7 @@ def q_streaming_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows BIGINT, n_purchases BIGINT, n_null_props BIGINT, "
         "sum_value DOUBLE, min_event_id BIGINT, max_event_id BIGINT",
     )
-    res.stream_input_rows = out.stream_input_rows
+    _carry_stream_metrics(res, out)
     return res
 
 
@@ -600,6 +600,31 @@ FROM events
 WHERE event_type IN ('purchase', 'signup')
 GROUP BY 1, 2, 3
 """
+
+
+def _progress_totals(query) -> tuple[int, float]:
+    """(rows ingested, engine processing seconds) from a finished
+    StreamingQuery's recentProgress — numInputRows summed across triggers
+    and the summed triggerExecution durations, the same denominator
+    Spark's own processedRowsPerSecond uses (and the runner records for
+    memory-sink replays).  Call BEFORE query.stop()."""
+    progress = [p for p in (query.recentProgress or []) if p]
+    input_rows = sum(int(p["numInputRows"]) for p in progress)
+    proc_ms = sum(
+        int(p.get("durationMs", {}).get("triggerExecution", 0)) for p in progress
+    )
+    return input_rows, proc_ms / 1000.0
+
+
+def _carry_stream_metrics(dst: DataFrame, src) -> DataFrame:
+    """Forward the runner's ingest/processing metrics onto a DERIVED frame
+    so bench's rows/s divides rows PROCESSED by ENGINE time, not by the fn
+    wall time (which is dominated by the availableNow start/stop floor)."""
+    dst.stream_input_rows = getattr(src, "stream_input_rows", 0)
+    proc = getattr(src, "stream_processing_secs", None)
+    if proc:
+        dst.stream_processing_secs = proc
+    return dst
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -712,7 +737,7 @@ def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.date_format("p_ts", _FMT_SPARK).alias("purchase_ts"),
     )
-    res.stream_input_rows = getattr(out, "stream_input_rows", 0)
+    _carry_stream_metrics(res, out)
     return res
 
 
@@ -837,13 +862,13 @@ def q_streaming_foreachbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         try:
             if not query.awaitTermination(300):
                 raise TimeoutError("foreachBatch top-k replay did not finish in 300s")
-            input_rows = sum(
-                int(p["numInputRows"]) for p in (query.recentProgress or []) if p
-            )
+            input_rows, proc_secs = _progress_totals(query)
         finally:
             query.stop()
         out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
         out.stream_input_rows = input_rows
+        if proc_secs > 0:
+            out.stream_processing_secs = proc_secs
         return out
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -1286,7 +1311,7 @@ def q_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # carry the runner's ingest count onto the derived epilogue frame so
     # bench's rows/s reflects rows PROCESSED, not the 20-row sketch read-out
-    out.stream_input_rows = getattr(drained, "stream_input_rows", 0)
+    _carry_stream_metrics(out, drained)
     return out
 
 
@@ -1326,9 +1351,7 @@ def q_streaming_mv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             if not query.awaitTermination(300):
                 raise TimeoutError("MV-maintenance stream did not finish in 300s")
-            input_rows = sum(
-                int(p["numInputRows"]) for p in (query.recentProgress or []) if p
-            )
+            input_rows, proc_secs = _progress_totals(query)
         finally:
             query.stop()
         merged = (
@@ -1341,6 +1364,8 @@ def q_streaming_mv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         merged.stream_input_rows = input_rows
+        if proc_secs > 0:
+            merged.stream_processing_secs = proc_secs
         return merged
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -1481,7 +1506,7 @@ def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = run_to_memory(out, spark, output_mode="append")
     kept = res.filter(F.col("event_type") != "__flush__")
-    kept.stream_input_rows = res.stream_input_rows
+    _carry_stream_metrics(kept, res)
     return kept
 
 
@@ -1578,13 +1603,13 @@ def q_streaming_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             if not query.awaitTermination(300):
                 raise TimeoutError("ppl-gate stream replay did not finish in 300s")
-            input_rows = sum(
-                int(p["numInputRows"]) for p in (query.recentProgress or []) if p
-            )
+            input_rows, proc_secs = _progress_totals(query)
         finally:
             query.stop()
         out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
         out.stream_input_rows = input_rows
+        if proc_secs > 0:
+            out.stream_processing_secs = proc_secs
         return out
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -1634,8 +1659,8 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) >= 2.0).alias("is_anomaly"),
     )
-    # ingest count forwarded from the drained stream (see streaming_quantile)
-    out.stream_input_rows = getattr(drained, "stream_input_rows", 0)
+    # ingest metrics forwarded from the drained stream (see streaming_quantile)
+    _carry_stream_metrics(out, drained)
     return out
 
 

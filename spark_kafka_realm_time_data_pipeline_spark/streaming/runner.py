@@ -131,6 +131,18 @@ def run_to_memory(
         input_rows = sum(
             int(p["numInputRows"]) for p in (query.recentProgress or []) if p
         )
+        # Engine-reported processing time: the sum of per-trigger
+        # triggerExecution durations — the denominator Spark's own
+        # processedRowsPerSecond uses.  Excludes stream start/stop, the
+        # staged-fixture fingerprint check, and the driver read-back below,
+        # all per-QUERY fixed cost; bench.py divides rows by this when
+        # present, so every runner-driven streaming line reports ingest
+        # throughput over the per-row path, not the availableNow floor.
+        proc_ms = sum(
+            int(p.get("durationMs", {}).get("triggerExecution", 0))
+            for p in (query.recentProgress or [])
+            if p
+        )
         # Per-batch df.observe() metric rows, keyed by observation name —
         # recorded the same way (the StreamingQuery object dies in finally).
         observed = [
@@ -154,5 +166,7 @@ def run_to_memory(
     # plain Python attributes on the returned (batch) DataFrame — consumed
     # by bench.py's rows/s and the observed-metrics query; harmless elsewhere
     out.stream_input_rows = input_rows
+    if proc_ms > 0:
+        out.stream_processing_secs = proc_ms / 1000.0
     out.observed_metrics = observed
     return out
