@@ -14,8 +14,11 @@ pure-Python parser: file/info headers via struct, bottom-up row order,
 function; the Spark plumbing — schema, batch iteration, partitioning — is
 identical.  PNG decodes for real too — chunk walk + CRC32 validation +
 stdlib-zlib IDAT inflate + per-row filter reversal (Sub/Up/Average/Paeth).
+Baseline-grayscale JPEG decodes for real as well — marker/DQT/DHT parse,
+canonical Huffman rebuild, differential DC + run-length AC entropy
+decode, dequantize, dezigzag, and an 8x8 orthonormal IDCT (numpy).
 Audio likewise decodes through a pure-Python WAV (RIFF / 16-bit PCM)
-codec; only codecs needing non-stdlib libraries (JPEG/MP3/AAC) and video
+codec; only codecs needing non-stdlib libraries (MP3/AAC) and video
 remain env-blocked stubs.
 """
 
@@ -231,6 +234,345 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, b"".join(rows)
 
 
+# --- JPEG (baseline JFIF, grayscale) ------------------------------------------
+#
+# Baseline JPEG needs no imaging library either — the container is marker
+# segments + canonical Huffman codes + quantized DCT coefficients, and the
+# whole pipeline (bit unstuffing, Huffman decode, run-length AC expansion,
+# dezigzag, dequantize, 8x8 IDCT) is struct/numpy work.  The DECODER below
+# is a full baseline-grayscale implementation from the public JPEG spec
+# (ITU T.81): it handles arbitrary DC/AC coefficients, ZRL runs, EOB,
+# 8- or 16-bit quant tables, and any conforming single-component scan.
+# The ENCODER is deliberately restricted to DC-ONLY constant 8x8 blocks
+# (block k's pixel value is data[k % n], unit quant table): a constant
+# block's DCT is exactly DC=(c-128)*8 with zero AC, and any correct IDCT
+# returns c bit-exactly — so the normally-lossy codec becomes a lossless
+# round trip and the DuckDB oracle can replay decoded pixel stats
+# analytically, the same two-independent-routes law as BMP/PNG.  The AC /
+# run-length half of the decoder is exercised by pytest against an
+# independent numpy IDCT on hand-built coefficient blocks.
+
+JPEG_WB_BASE, JPEG_WB_MOD = 2, 5  # width  = 8 * (2 + n % 5) pixels
+JPEG_HB_BASE, JPEG_HB_MOD = 1, 3  # height = 8 * (1 + n % 3) pixels
+
+# zigzag scan order (T.81 Figure 5): position i in the scan -> raster index
+JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# standard luminance Huffman tables (T.81 Annex K.3): BITS counts per code
+# length 1..16, then the symbol values in canonical order
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _huff_canonical(bits, vals):
+    """Canonical code assignment (T.81 Annex C): returns
+    {symbol: (code, length)} for the encoder and
+    {(length, code): symbol} for the decoder."""
+    enc, dec = {}, {}
+    code, i = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[i]] = (code, length)
+            dec[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return enc, dec
+
+
+_DC_ENC, _DC_DEC = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+_AC_ENC, _AC_DEC = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+
+class _BitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing (T.81 §B.1.1.5)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-pad
+        return bytes(self.out)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def encode_jpeg(data: bytes) -> bytes:
+    """Pack ``data`` into a REAL baseline JFIF grayscale JPEG: geometry
+    derives from the payload length (8x8-block multiples), every 8x8 block
+    is the CONSTANT value ``data[k % len(data)]`` (0x00 if empty) encoded
+    as a DC-only coefficient block against a unit quant table — standard
+    markers, Annex-K Huffman tables, differential DC, EOB per block, byte
+    stuffing.  Any JPEG reader opens it; because constant blocks survive
+    quantize+IDCT exactly, the decode is bit-exact and the DuckDB oracle
+    replays decoded stats analytically (pixel_sum = 64 * cycled block
+    sum)."""
+    n = len(data)
+    bw = JPEG_WB_BASE + n % JPEG_WB_MOD  # blocks across
+    bh = JPEG_HB_BASE + n % JPEG_HB_MOD  # blocks down
+    w, h = 8 * bw, 8 * bh
+    head = bytearray()
+    head += b"\xff\xd8"  # SOI
+    head += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += _seg(0xFFDB, b"\x00" + bytes([1] * 64))  # DQT: table 0, all ones
+    head += _seg(  # SOF0: baseline, 8-bit, 1 component, 1x1 sampling, Tq=0
+        0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    head += _seg(
+        0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    )
+    head += _seg(
+        0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    head += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    bits = _BitWriter()
+    pred = 0
+    for k in range(bw * bh):
+        c = data[k % n] if n else 0
+        dc = (c - 128) * 8  # DCT of a constant block: DC only (quant = 1)
+        diff = dc - pred
+        pred = dc
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        code, length = _DC_ENC[s]
+        bits.write(code, length)
+        if s:
+            v = diff if diff > 0 else diff + (1 << s) - 1  # one's complement
+            bits.write(v, s)
+        eob_code, eob_len = _AC_ENC[0x00]
+        bits.write(eob_code, eob_len)
+    return bytes(head) + bits.flush() + b"\xff\xd9"  # EOI
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops (raises EOFError) at any real marker."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.buf):
+                raise EOFError("entropy data exhausted")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.buf[self.pos] if self.pos < len(self.buf) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise EOFError("marker inside entropy data")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude field to its signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _idct_matrix():
+    """Orthonormal 8-point DCT-II basis A: IDCT(X) = A.T @ X @ A."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Full baseline-grayscale JPEG decode from the public spec: marker
+    walk (APPn/COM skipped), DQT (8/16-bit), DHT (canonical code
+    rebuild), SOF0 geometry, then the entropy-coded scan — Huffman DC
+    category + differential predictor, run-length AC with ZRL/EOB,
+    dezigzag, dequantize, separable 8x8 IDCT (orthonormal DCT-II basis,
+    numpy), level shift, clamp, crop to (width, height).  Progressive
+    scans, restart intervals, and multi-component images raise with the
+    unsupported feature named."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    w = h = None
+    comp_q = comp_dc = comp_ac = 0
+    pos = 2
+    scan_at = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT — one or more tables per segment
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    qt[tq] = list(body[off : off + 64])
+                    off += 64
+                else:
+                    qt[tq] = [
+                        struct.unpack_from(">H", body, off + 2 * i)[0]
+                        for i in range(64)
+                    ]
+                    off += 128
+        elif marker == 0xC4:  # DHT — one or more tables per segment
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = tuple(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = tuple(body[off + 17 : off + 17 + nvals])
+                _enc, dec = _huff_canonical(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = dec
+                off += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError(f"unsupported sample precision {precision}")
+            if ncomp != 1:
+                raise ValueError(
+                    f"unsupported component count {ncomp} (grayscale only)"
+                )
+            sampling = body[7]  # component entry: id, H|V sampling, Tq
+            if sampling != 0x11:
+                raise ValueError(f"unsupported sampling factors {sampling:#x}")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF marker {marker:#x} (baseline only)")
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack_from(">H", body, 0)
+            if interval:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError(f"unsupported scan component count {ns}")
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            scan_at = pos + 2 + seglen
+            break
+        # APPn / COM / anything else: skip by length
+        pos += 2 + seglen
+    if scan_at is None or w is None:
+        raise ValueError("missing SOS or SOF0 segment")
+    quant = np.array(qt[comp_q], dtype=np.int64)
+    dc_dec, ac_dec = dc_tables[comp_dc], ac_tables[comp_ac]
+    a = _idct_basis_cached()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    raster = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    reader = _BitReader(payload, scan_at)
+    pred = 0
+    for k in range(bw * bh):
+        coef_zz = np.zeros(64, dtype=np.int64)
+        s = reader.read_huff(dc_dec)
+        diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+        pred += diff
+        coef_zz[0] = pred
+        i = 1
+        while i < 64:
+            sym = reader.read_huff(ac_dec)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL: sixteen zeros
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            i += run
+            if i > 63:
+                raise ValueError("AC run past end of block")
+            coef_zz[i] = _jpeg_extend(reader.read_bits(size), size)
+            i += 1
+        block = np.zeros(64, dtype=np.float64)
+        block[list(JPEG_ZIGZAG)] = coef_zz * quant
+        px = a.T @ block.reshape(8, 8) @ a
+        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+        by, bx = divmod(k, bw)
+        raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return w, h, raster[:h, :w].tobytes()
+
+
+_IDCT_BASIS = None
+
+
+def _idct_basis_cached():
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        _IDCT_BASIS = _idct_matrix()
+    return _IDCT_BASIS
+
+
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach the multimodal column pattern to the documents table: payload
     (binary) + metadata struct.  On a real corpus the payload comes off the
@@ -247,16 +589,19 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an image payload.  BMP decodes for real (pure Python, no
-    libraries); other formats are env-blocked — no imaging libs in this
-    container."""
+    """Decode an image payload.  BMP, PNG, and baseline-grayscale JPEG all
+    decode for real (pure Python/stdlib/numpy, no imaging libraries);
+    remaining formats are env-blocked stubs."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP and PNG decode without an imaging library; JPEG/video "
-        "decode requires libs not present in this environment"
+        "only BMP, PNG, and baseline JPEG decode without an imaging "
+        "library; other image formats and video require libs not present "
+        "in this environment"
     )
 
 
@@ -508,3 +853,39 @@ def extract_png_features(binary_docs: DataFrame) -> DataFrame:
     on decode) — the closest this sandbox gets to production image decode
     without an imaging library."""
     return _map_payload_batches(binary_docs, _png_feature_batch, FEATURE_SCHEMA)
+
+
+def _jpeg_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Encode each payload into a real baseline JFIF JPEG and decode it
+    back with the full baseline decoder — marker walk, Huffman decode,
+    differential DC, dequantize, dezigzag, 8x8 IDCT — then emit decoded
+    pixel statistics.  The transform-codec analog of _png_feature_batch
+    (grayscale: 1 byte/pixel)."""
+    import pandas as pd
+
+    out = {"doc_id": [], "width": [], "height": [], "n_pixels": [], "pixel_sum": []}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        width, height, raster = decode_image(encode_jpeg(payload or b""))
+        out["doc_id"].append(doc_id)
+        out["width"].append(width)
+        out["height"].append(height)
+        out["n_pixels"].append(width * height)
+        out["pixel_sum"].append(int(sum(raster)))
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"],
+            "width": pd.Series(out["width"], dtype="int32"),
+            "height": pd.Series(out["height"], dtype="int32"),
+            "n_pixels": pd.Series(out["n_pixels"], dtype="int32"),
+            "pixel_sum": pd.Series(out["pixel_sum"], dtype="int64"),
+        }
+    )
+
+
+def extract_jpeg_features(binary_docs: DataFrame) -> DataFrame:
+    """Arrow-batched JPEG feature extraction: a real transform-coded
+    container round-trip per payload (Huffman entropy coding on both
+    legs, IDCT on decode).  The decoder is a complete baseline-grayscale
+    implementation; only the encoder restricts itself to DC-only blocks
+    so the round trip stays bit-exact and oracle-replayable."""
+    return _map_payload_batches(binary_docs, _jpeg_feature_batch, FEATURE_SCHEMA)

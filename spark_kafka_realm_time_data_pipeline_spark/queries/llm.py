@@ -1846,6 +1846,46 @@ FROM t
 """
 
 
+def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL transform-coded image decode (round 13): every payload is
+    packed into a genuine baseline JFIF grayscale JPEG — Annex-K Huffman
+    tables, differential DC, byte stuffing — and decoded back with the
+    full pure-Python baseline decoder (marker/DQT/DHT parse, Huffman
+    entropy decode, dequantize, dezigzag, 8x8 orthonormal IDCT) inside
+    Arrow-batched mapInPandas.  The encoder emits DC-only constant 8x8
+    blocks (block k's value cycles the text bytes), which survive
+    quantize+IDCT bit-exactly, so the oracle replays the decoded stats
+    analytically: pixel_sum = 64 * cycled block-value sum.  Two
+    independent routes to the same numbers — an entropy-decode or IDCT
+    bug cannot pass."""
+    return M.extract_jpeg_features(
+        M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# Same cycled-sum law as PNG/BMP, but cycling over the BLOCK index (total =
+# blocks across * blocks down) and scaled by 64 pixels per constant block.
+ORA_MULTIMODAL_JPEG_STATS = f"""
+WITH g AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         {M.JPEG_WB_BASE} + octet_length(encode(text)) % {M.JPEG_WB_MOD} AS bw,
+         {M.JPEG_HB_BASE} + octet_length(encode(text)) % {M.JPEG_HB_MOD} AS bh
+  FROM documents
+), t AS (
+  SELECT doc_id, text, n, 8 * bw AS w, 8 * bh AS h, bw * bh AS total FROM g
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS INT) AS n_pixels,
+       CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+            ELSE 64 * ((total // n) * {_TEXT_SUM}
+                 + (CASE WHEN total % n = 0 THEN 0 ELSE {_PNG_PREFIX_SUM} END))
+       END AS pixel_sum
+FROM t
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (one-to-many mapInPandas)."""
     return M.sample_frames(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
@@ -2318,6 +2358,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_multimodal_png_stats,
         ORA_MULTIMODAL_PNG_STATS,
         "real PNG round-trip (zlib IDAT + 5-filter reversal) via mapInPandas",
+    ),
+    "multimodal_jpeg_stats": QuerySpec(
+        q_multimodal_jpeg_stats,
+        ORA_MULTIMODAL_JPEG_STATS,
+        "real baseline JPEG round-trip (Huffman + dequant + IDCT) via mapInPandas",
     ),
     "multimodal_frames": QuerySpec(
         q_multimodal_frames,

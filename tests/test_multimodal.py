@@ -177,3 +177,180 @@ def test_wav_decode_skips_unknown_chunks():
     )
     rate, samples = decode_wav(rebuilt)
     assert list(samples) == [(ord("x") - 128) * 256, (ord("y") - 128) * 256]
+
+
+# --- JPEG (baseline grayscale) ------------------------------------------------
+
+
+def test_jpeg_roundtrip_cycles_block_values():
+    """Encode->decode is bit-exact for DC-only constant blocks across
+    payload lengths covering every geometry residue (and the empty
+    payload)."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        JPEG_HB_BASE,
+        JPEG_HB_MOD,
+        JPEG_WB_BASE,
+        JPEG_WB_MOD,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for n in [0, 1, 2, 7, 11, 15, 16, 254, 255, 256]:
+        data = bytes((7 * j + 250) % 256 for j in range(n))  # hits 0xFF region
+        w, h, raster = decode_jpeg(encode_jpeg(data))
+        bw, bh = JPEG_WB_BASE + n % JPEG_WB_MOD, JPEG_HB_BASE + n % JPEG_HB_MOD
+        assert (w, h) == (8 * bw, 8 * bh)
+        for k in range(bw * bh):
+            c = data[k % n] if n else 0
+            by, bx = divmod(k, bw)
+            block = [
+                raster[(by * 8 + y) * w + bx * 8 + x]
+                for y in range(8)
+                for x in range(8)
+            ]
+            assert block == [c] * 64, (n, k)
+
+
+def _independent_idct(coef_raster):
+    """Test-local IDCT straight from the T.81 formula (double cosine sum),
+    independent of the module's matrix factorization."""
+    import math
+
+    out = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                for v in range(8):
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv / 4.0
+                        * coef_raster[u][v]
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                    )
+            row.append(max(0, min(255, round(s) + 128)))
+        out.append(row)
+    return out
+
+
+def test_jpeg_decoder_handles_ac_runs_and_nonunit_quant():
+    """Independent-writer test for the GENERAL half of the decoder: a
+    hand-assembled scan with AC coefficients, a ZRL 16-zero run, and a
+    non-unit 8-bit quant table, checked against a from-the-formula IDCT.
+    The nonzero horizontal AC must vary pixels along x but not y — pins
+    the zigzag/IDCT orientation, not just values."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        _AC_ENC,
+        _DC_ENC,
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        JPEG_ZIGZAG,
+        decode_jpeg,
+    )
+
+    quant_zz = [(i % 9) + 1 for i in range(64)]  # non-unit, varies by index
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    class Bits:
+        def __init__(self):
+            self.s = ""
+
+        def put(self, value, length):
+            self.s += format(value, f"0{length}b") if length else ""
+
+        def bytes_(self):
+            s = self.s + "1" * (-len(self.s) % 8)
+            out = bytearray()
+            for i in range(0, len(s), 8):
+                b = int(s[i : i + 8], 2)
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    # zigzag coefficients: DC=40; AC idx1=-3; ZRL over 2..17; three more
+    # zeros (18..20); idx21=7; EOB
+    bits = Bits()
+    code, ln = _DC_ENC[6]
+    bits.put(code, ln)
+    bits.put(40, 6)  # positive: raw bits
+    code, ln = _AC_ENC[0x02]  # run 0, size 2
+    bits.put(code, ln)
+    bits.put(0b00, 2)  # -3 in one's complement (2 bits)
+    code, ln = _AC_ENC[0xF0]  # ZRL
+    bits.put(code, ln)
+    code, ln = _AC_ENC[0x33]  # run 3, size 3
+    bits.put(code, ln)
+    bits.put(7, 3)
+    code, ln = _AC_ENC[0x00]  # EOB
+    bits.put(code, ln)
+
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes(quant_zz))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bits.bytes_()
+        + b"\xff\xd9"
+    )
+    w, h, raster = decode_jpeg(jpeg)
+    assert (w, h) == (8, 8)
+
+    coef_zz = [0] * 64
+    coef_zz[0], coef_zz[1], coef_zz[21] = 40, -3, 7
+    coef_raster = [[0] * 8 for _ in range(8)]
+    for i, v in enumerate(coef_zz):
+        r = JPEG_ZIGZAG[i]
+        coef_raster[r // 8][r % 8] = v * quant_zz[i]
+    expected = _independent_idct(coef_raster)
+    got = [[raster[y * 8 + x] for x in range(8)] for y in range(8)]
+    assert got == expected
+    # zigzag index 1 is the first HORIZONTAL frequency: rows must differ
+    # along x; orientation-transposed decoders fail here
+    assert any(got[0][x] != got[0][0] for x in range(8))
+
+
+def test_jpeg_decode_rejects_progressive_and_restart_intervals():
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    import pytest
+
+    good = encode_jpeg(b"ab")
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline only"):
+        decode_jpeg(progressive)
+    # splice a nonzero DRI segment right after SOI
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+    with pytest.raises(ValueError, match="restart intervals"):
+        decode_jpeg(good[:2] + dri + good[2:])
+
+
+def test_jpeg_decode_parses_16bit_quant_table():
+    """Pq=1 DQT (16-bit entries) from an external writer must parse; the
+    unit values keep the round trip exact."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(b"xyz")
+    old_dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    new_dqt = (
+        b"\xff\xdb" + struct.pack(">H", 131) + b"\x10"  # Pq=1 (16-bit), Tq=0
+        + struct.pack(">64H", *([1] * 64))
+    )
+    assert old_dqt in good
+    w, h, raster = decode_jpeg(good.replace(old_dqt, new_dqt, 1))
+    w0, h0, raster0 = decode_jpeg(good)
+    assert (w, h, raster) == (w0, h0, raster0)
