@@ -44,84 +44,79 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Round-12 rotation (the driver checks the first ~50).  Composition
-    # (executes the r11 verdict's queued window exactly):
-    # (a) positions 0-2: the three r11 PLAN-CHANGED queries whose current
-    #     physical plans have no driver proof (bm25 one-tokenize checkpoint,
-    #     rrf matched-frame materialization, editdistance id-only
-    #     candidates) — the r11 verdict's top item;
-    # (b) queries NEW in r12 — never driver-checked (test_registry
-    #     enforces these sit inside the window);
-    # (c) the 33 remaining names whose latest driver proof is r6;
-    # (d) the r7-proven tail, dedup funnel + streaming sketch families
-    #     first, filling the window to 50.  After this round every
-    #     oracled name's latest driver proof is r7 or newer.
+    # Round-14 rotation (the driver checks the first ~50).  Composition
+    # (executes the r13 verdict's queued window exactly):
+    # (a) position 0: multimodal_jpeg_stats — registered in r13 but never
+    #     driver-checked (the only oracled name with no green proof);
+    # (b) position 1: avro_pyds_roundtrip — plan changed in r13 (the write
+    #     path moved to distributed per-partition containers), so its r13
+    #     proof predates the current physical shape;
+    # (c) positions 2-44: all 43 names whose newest driver proof is r7
+    #     (graph trio, jaccard-prefix, incremental dedup, the streaming
+    #     sketch family, IVF/PQ similarity, tpch q8/q9, multimodal
+    #     audio/features/fusion, ...);
+    # (d) 5 r8-proven names filling the window to 50 — the two headline
+    #     bench movers (column_profile, cogroup_apply_in_pandas) plus the
+    #     dedup/sim/reference family members that pair with (c).
+    #     After this round every oracled name's proof is r8-or-newer and
+    #     the window has no overlap with r13's except the mandated (b).
     front = [
         n
         for n in (
-            # (a) r11 plan-changed, driver-unproven in current shape
-            "bm25_term_scores",
-            "retrieval_rrf_fusion",
-            "dedup_editdistance",
-            # (b) new in r12 — never driver-checked
-            "multimodal_png_stats",
-            "column_profile_approx",
-            "dedup_containment",
-            "dedup_passages",
-            "recursive_cte_closure",
-            "sql_script_histogram",
-            "dedup_keep_containment",
+            # (a) never driver-checked
+            "multimodal_jpeg_stats",
+            # (b) plan changed in r13 — distributed Avro write path
             "avro_pyds_roundtrip",
-            # (b') plan/value-changed in r12 (translate()-based char
-            # counting; packed-aggregate pretokenize; broadened phone
-            # pattern) — re-proof before the tail
-            "regex_pretokenize",
-            "quality_logit_score",
-            "pii_redact_v2",
-            "try_arithmetic",
-            # (c) r6-proven
-            "asof_join",
-            "contamination_overlap",
-            "countmin_sketch",
-            "filtered_revenue",
-            "funnel_stages",
-            "hll_registers",
-            "length_drift_report",
-            "ngram_decontaminate",
-            "orderby_limit",
-            "pivot_events",
-            "pricing_summary",
-            "scd2_intervals",
-            "sessionize",
-            "stedi_flagship",
-            "streaming_cdc_latest",
-            "streaming_dedup",
-            "streaming_dedup_watermark",
-            "streaming_foreachbatch_topk",
-            "streaming_late_window",
-            "streaming_outer_join",
-            "streaming_session_window",
-            "streaming_stateful_count",
-            "tfidf_top_terms",
-            "time_gapfill",
-            "topk_per_group",
-            "tpch_q3_shipping",
-            "tpch_q4_order_priority",
-            "tpch_q5_local_supplier",
-            "tpch_q6_forecast",
-            "tpch_q7_volume",
-            "window_range_frame",
-            "window_rank",
-            "window_running",
-            # (d) r7-proven tail: dedup funnel + streaming sketches first
-            "dedup_minhash_lsh",
-            "dedup_minhash_ngram",
-            "dedup_jaccard_prefix",
+            # (c) the 43 r7-proven names
+            "ann_pq_codes",
+            "anomaly_zscore",
+            "bloom_prune_join",
+            "boilerplate_strip",
+            "bpe_merge_steps",
+            "cdc_tombstone_merge",
             "dedup_components",
+            "dedup_incremental",
+            "dedup_incremental_indexed",
+            "dedup_jaccard_prefix",
+            "dedup_keep_corpus",
             "dedup_pagerank",
             "dedup_triangles",
-            "dedup_incremental",
+            "epoch_shuffle",
+            "hll_window_merge",
+            "join_skew_salted",
+            "kmeans_embeddings",
+            "lm_bigram_coverage",
+            "multimodal_audio",
+            "multimodal_features",
+            "multimodal_fusion",
+            "quantile_sketch_merge",
+            "sim_ivf_topk",
+            "sim_pq_topk",
+            "sim_recall_report",
+            "streaming_anomaly",
+            "streaming_bloom",
+            "streaming_countmin",
             "streaming_dedup_incremental",
+            "streaming_hll",
+            "streaming_interval_join",
+            "streaming_quality_gate",
+            "streaming_quantile",
+            "streaming_scd2_lookup",
+            "streaming_static_join",
+            "streaming_stedi_join",
+            "streaming_stedi_unbounded",
+            "streaming_union",
+            "streaming_window_sliding",
+            "streaming_window_tumbling",
+            "substring_dup_spans",
+            "tpch_q8_market_share",
+            "tpch_q9_profit",
+            # (d) r8-proven fill: headline movers + family pairings
+            "column_profile",
+            "cogroup_apply_in_pandas",
+            "dedup_agreement_report",
+            "sim_range_search",
+            "envelope_roundtrip",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -2548,6 +2548,10 @@ def q_avro_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "orders")
             .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
             .repartition(8, "o_orderkey")
+            # deterministic row order per partition -> byte-identical part
+            # files across runs (the fingerprint-reuse contract; a bare
+            # repartition shuffle does not pin row order)
+            .sortWithinPartitions("o_orderkey")
         )
         tmp = tempfile.mkdtemp(prefix=f"orders_{tag}_", dir=root)
         summary = AV.write_avro_partitioned(
@@ -2562,7 +2566,15 @@ def q_avro_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             codec="deflate",
             rows_per_block=2048,
         ).collect()  # 8 summary rows — triggers the distributed write
-        assert len(summary) == 8, summary
+        # hard guard (not an assert: survives python -O) that every
+        # partition wrote its container before the staging dir is renamed
+        # into the reused path — a partial write must never be adopted
+        expected_parts = proj.rdd.getNumPartitions()
+        if len(summary) != expected_parts:
+            raise RuntimeError(
+                f"partial avro write: {len(summary)} of {expected_parts} "
+                f"partition containers reported: {summary}"
+            )
         try:
             os.rename(tmp, path)
         except OSError:  # concurrent session won the rename — keep theirs

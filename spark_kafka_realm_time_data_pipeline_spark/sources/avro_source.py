@@ -32,9 +32,12 @@ files.  The WRITE side distributes the same way —
 ``mapInPandas``, one container per partition on the executors, so
 neither direction ever funnels rows through the driver.  Writer
 determinism: a schema-derived sync marker and fixed rows-per-block, so
-staging the same table twice yields byte-identical files (the
-fingerprint-reuse contract every staged fixture in this repo relies
-on).
+``write_avro`` on the same row sequence yields a byte-identical file.
+For ``write_avro_partitioned`` that byte identity additionally requires
+the INPUT to be deterministically ordered within each partition (a
+repartition shuffle alone does not guarantee row order across runs) —
+callers that rely on fingerprint reuse must sortWithinPartitions on a
+key first, as ``q_avro_pyds_roundtrip`` does.
 """
 
 from __future__ import annotations
@@ -110,10 +113,16 @@ def _read_value(buf, typ: str):
         n = _read_varlong(buf)
         return buf.read(n).decode("utf-8")
     if typ == "boolean":
-        # spec says true is strictly 0x01, but lenient writers emit any
-        # nonzero byte; match the common-reader behavior (nonzero = true)
-        # instead of silently decoding such files as all-false
-        return buf.read(1) != b"\x00"
+        # spec encodes true as exactly 0x01 / false as 0x00, and mainstream
+        # readers (Java BinaryDecoder, fastavro) compare ==0x01 — so a byte
+        # outside {0x00, 0x01} is corruption, not a lenient writer; raise so
+        # it surfaces instead of decoding differently from other readers
+        b = buf.read(1)
+        if b == b"\x01":
+            return True
+        if b == b"\x00":
+            return False
+        raise ValueError(f"invalid avro boolean byte {b!r}")
     raise ValueError(f"unsupported avro type: {typ}")
 
 

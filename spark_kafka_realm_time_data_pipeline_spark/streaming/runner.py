@@ -99,9 +99,17 @@ def run_to_memory(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    prev_progress = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
     query = None
     try:
         spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+        # recentProgress retains only this many entries (default 100); the
+        # bench sums numInputRows/triggerExecution over it, so a replay with
+        # more triggers than the cap would silently undercount both sides of
+        # the rows/s ratio
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", REPLAY_STATE_PROVIDER
         )
@@ -157,6 +165,7 @@ def run_to_memory(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev_progress)
         shutil.rmtree(ckpt, ignore_errors=True)
     # copy the result out of the memory sink (eager localCheckpoint) and
     # drop the sink table — otherwise every call leaks a fully materialized

@@ -69,12 +69,14 @@ def test_spark_read_matches_blocks_and_splits(tmp_path, spark):
     assert got == rows
 
 
-def test_boolean_decode_lenient_and_header_negative_map_count():
-    # lenient readers treat any nonzero boolean byte as true (spec writers
-    # emit strictly 0x01; the write path here does too)
-    assert A._read_value(io.BytesIO(b"\x02"), "boolean") is True
+def test_boolean_decode_strict_and_header_negative_map_count():
+    # spec booleans are exactly 0x00/0x01 and mainstream readers compare
+    # ==0x01; any other byte is corruption and must raise, not silently
+    # decode differently from Java BinaryDecoder / fastavro
     assert A._read_value(io.BytesIO(b"\x01"), "boolean") is True
     assert A._read_value(io.BytesIO(b"\x00"), "boolean") is False
+    with pytest.raises(ValueError, match="boolean"):
+        A._read_value(io.BytesIO(b"\x02"), "boolean")
     # spec-legal negative metadata-map count (abs(n) entries prefixed by a
     # byte size) must parse, not misalign into a decode failure
     schema_json = json.dumps(

@@ -336,6 +336,22 @@ def test_jpeg_decode_rejects_progressive_and_restart_intervals():
         decode_jpeg(good[:2] + dri + good[2:])
 
 
+def test_jpeg_decode_skips_fill_bytes_before_marker():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    a conforming writer that pads must still decode."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(b"fill-byte-case")
+    base_w, base_h, base_raster = decode_jpeg(good)
+    # pad the first marker after SOI with fill bytes: ...FFD8 FFFF FF<mk>...
+    padded = good[:2] + b"\xff\xff" + good[2:]
+    w, h, raster = decode_jpeg(padded)
+    assert (w, h, raster) == (base_w, base_h, base_raster)
+
+
 def test_jpeg_decode_parses_16bit_quant_table():
     """Pq=1 DQT (16-bit entries) from an external writer must parse; the
     unit values keep the round trip exact."""
