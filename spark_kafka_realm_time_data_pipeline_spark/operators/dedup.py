@@ -1293,12 +1293,17 @@ def prefix_filter_pairs(
     toks = tokenizer(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         df = toks.groupBy("tok").agg(F.count("*").alias("df"))
-        sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
         w = Window.partitionBy("doc_id").orderBy("df", "tok")
+        # n_toks as an unordered count over the SAME doc_id exchange the
+        # rank window already pays for — not a separate groupBy + join
+        # (see containment_pairs; r14 sf1 profile found the rank stage
+        # dominated by exactly that extra shuffle).
         ranked = (
             toks.join(df, "tok")
             .withColumn("p", F.row_number().over(w))
-            .join(sizes, "doc_id")
+            .withColumn(
+                "n_toks", F.count("*").over(Window.partitionBy("doc_id"))
+            )
         )
         # general integer ceil (num*n + den - 1) div den: the previous
         # (num*n + num) form is exact only when den == num+1 and silently
@@ -1410,17 +1415,23 @@ def containment_pairs(
     toks = tokenizer(corpus).persist()
     try:
         df = toks.groupBy("tok").agg(F.count("*").alias("df"))
-        sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
         w = Window.partitionBy("doc_id").orderBy("df", "tok")
-        # eager checkpoint: BOTH the prefix probe and the full index read
-        # ranked; uncheckpointed, its 3-shuffle lineage (df join + window +
-        # sizes join) re-runs per consumer and the duplicated subtree
+        # n_toks rides the SAME doc_id exchange as the rank window (an
+        # unordered count over the partition) instead of a separate
+        # groupBy + join — the r14 sf1 stage profile put this rank stage
+        # at 17.1 s of the 36.7 s total, and the sizes aggregate + join
+        # was a full extra shuffle of the token frame.
+        # Eager checkpoint: BOTH the prefix probe and the full index read
+        # ranked; uncheckpointed, its multi-shuffle lineage (df join +
+        # windows) re-runs per consumer and the duplicated subtree
         # bloats the single candidate-join plan (measured 15.8 s -> ~2 s
         # at sf0.001 — the checkpoint-barrier rule in PLANS.md).
         ranked = (
             toks.join(df, "tok")
             .withColumn("p", F.row_number().over(w))
-            .join(sizes, "doc_id")
+            .withColumn(
+                "n_toks", F.count("*").over(Window.partitionBy("doc_id"))
+            )
             .localCheckpoint(eager=True)
         )
         prefix_len = (

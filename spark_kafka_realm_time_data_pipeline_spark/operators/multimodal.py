@@ -431,6 +431,37 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _decode_du(reader, dc_dec, ac_dec, pred, quant, basis, np):
+    """Decode one 8x8 data unit: Huffman DC category + differential
+    predictor, run-length AC with ZRL/EOB, dequantize, dezigzag, IDCT,
+    level shift, clamp.  Returns (8x8 uint8 pixels, updated predictor).
+    Shared by the grayscale and the interleaved-color scan loops."""
+    coef_zz = np.zeros(64, dtype=np.int64)
+    s = reader.read_huff(dc_dec)
+    diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+    pred += diff
+    coef_zz[0] = pred
+    i = 1
+    while i < 64:
+        sym = reader.read_huff(ac_dec)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL: sixteen zeros
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        i += run
+        if i > 63:
+            raise ValueError("AC run past end of block")
+        coef_zz[i] = _jpeg_extend(reader.read_bits(size), size)
+        i += 1
+    block = np.zeros(64, dtype=np.float64)
+    block[list(JPEG_ZIGZAG)] = coef_zz * quant
+    px = basis.T @ block.reshape(8, 8) @ basis
+    px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+    return px, pred
+
+
 def _idct_matrix():
     """Orthonormal 8-point DCT-II basis A: IDCT(X) = A.T @ X @ A."""
     import math
@@ -538,29 +569,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     reader = _BitReader(payload, scan_at)
     pred = 0
     for k in range(bw * bh):
-        coef_zz = np.zeros(64, dtype=np.int64)
-        s = reader.read_huff(dc_dec)
-        diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
-        pred += diff
-        coef_zz[0] = pred
-        i = 1
-        while i < 64:
-            sym = reader.read_huff(ac_dec)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL: sixteen zeros
-                i += 16
-                continue
-            run, size = sym >> 4, sym & 0x0F
-            i += run
-            if i > 63:
-                raise ValueError("AC run past end of block")
-            coef_zz[i] = _jpeg_extend(reader.read_bits(size), size)
-            i += 1
-        block = np.zeros(64, dtype=np.float64)
-        block[list(JPEG_ZIGZAG)] = coef_zz * quant
-        px = a.T @ block.reshape(8, 8) @ a
-        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+        px, pred = _decode_du(reader, dc_dec, ac_dec, pred, quant, a, np)
         by, bx = divmod(k, bw)
         raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
     return w, h, raster[:h, :w].tobytes()
@@ -574,6 +583,227 @@ def _idct_basis_cached():
     if _IDCT_BASIS is None:
         _IDCT_BASIS = _idct_matrix()
     return _IDCT_BASIS
+
+
+# --- color (YCbCr 4:2:0) baseline JPEG -------------------------------------
+# Same two-independent-routes law as the grayscale codec, extended to the
+# dominant real-world JPEG shape: three components, luma sampled 2x2 per
+# MCU, chroma 1x1 (4:2:0), interleaved MCU scan with per-component DC
+# predictors, two quant-table slots, chroma DHT slots (Tc/Th=1), 2x nearest
+# chroma upsample, and libjpeg-style integer fixed-point YCbCr->RGB so the
+# DuckDB oracle can replay the conversion with exact BIGINT arithmetic.
+
+JPEG_MW_BASE, JPEG_MW_MOD = 1, 2  # MCUs across: width  = 16 * (1 + n % 2)
+JPEG_MH_BASE, JPEG_MH_MOD = 1, 3  # MCUs down:   height = 16 * (1 + n % 3)
+
+# libjpeg FIX() constants at 16 fractional bits for the JFIF full-range
+# conversion R = Y + 1.40200 Cr', G = Y - 0.34414 Cb' - 0.71414 Cr',
+# B = Y + 1.77200 Cb' (primes are the 128-centered values)
+_FIX_R_CR = 91881  # round(1.40200 * 65536)
+_FIX_G_CB = 22554  # round(0.34414 * 65536)
+_FIX_G_CR = 46802  # round(0.71414 * 65536)
+_FIX_B_CB = 116130  # round(1.77200 * 65536)
+_FIX_BIAS = 256 << 16  # keeps every numerator positive: floor == truncate,
+# so DuckDB's integer // replays the shift exactly
+
+
+def _ycbcr_to_rgb_fixed(y, cb, cr, np):
+    """Integer fixed-point YCbCr->RGB (inputs int64 arrays, outputs clamped
+    int64).  Every term is floor((k * c' + 32768) / 65536) computed via a
+    positive-biased shift, so the arithmetic is integer-exact and
+    SQL-replayable: (k*c + 32768 + 2^24) // 65536 - 256."""
+    cbx, crx = cb - 128, cr - 128
+    radj = ((_FIX_R_CR * crx + 32768 + _FIX_BIAS) >> 16) - 256
+    gadj = ((_FIX_G_CB * cbx + _FIX_G_CR * crx + 32768 + _FIX_BIAS) >> 16) - 256
+    badj = ((_FIX_B_CB * cbx + 32768 + _FIX_BIAS) >> 16) - 256
+    r = np.clip(y + radj, 0, 255)
+    g = np.clip(y - gadj, 0, 255)
+    b = np.clip(y + badj, 0, 255)
+    return r, g, b
+
+
+def encode_jpeg_color(data: bytes) -> bytes:
+    """Pack ``data`` into a REAL baseline JFIF 4:2:0 COLOR JPEG: 3
+    components (Y 2x2, Cb/Cr 1x1), two unit quant tables, luma + chroma
+    DHT slots, interleaved MCU scan with per-component differential DC.
+    Within MCU m, the four Y data units carry the cycled bytes
+    ``data[(4m+j) % n]`` and the chroma units ``data[m % n]`` /
+    ``data[(m+1) % n]``; every data unit is a DC-only constant block, so
+    the decode is bit-exact and the oracle replays the RGB sums
+    analytically.  The chroma DHT slots reuse the Annex-K luma contents —
+    spec-legal (readers decode from the transmitted DHT), and it
+    exercises the multi-slot table parse."""
+    n = len(data)
+    mw = JPEG_MW_BASE + n % JPEG_MW_MOD
+    mh = JPEG_MH_BASE + n % JPEG_MH_MOD
+    w, h = 16 * mw, 16 * mh
+    head = bytearray()
+    head += b"\xff\xd8"  # SOI
+    head += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += _seg(0xFFDB, b"\x00" + bytes([1] * 64))  # DQT slot 0 (luma)
+    head += _seg(0xFFDB, b"\x01" + bytes([1] * 64))  # DQT slot 1 (chroma)
+    head += _seg(  # SOF0: Y id1 2x2 Tq0, Cb id2 1x1 Tq1, Cr id3 1x1 Tq1
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    head += _seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    head += _seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    head += _seg(0xFFC4, b"\x01" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    head += _seg(0xFFC4, b"\x11" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    head += _seg(  # SOS: Y -> tables 0/0, Cb/Cr -> tables 1/1
+        0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    bits = _BitWriter()
+    preds = [0, 0, 0]
+
+    def put(ci: int, value: int) -> None:
+        dc = (value - 128) * 8  # DCT of a constant block: DC only (quant 1)
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        code, length = _DC_ENC[s]
+        bits.write(code, length)
+        if s:
+            v = diff if diff > 0 else diff + (1 << s) - 1  # one's complement
+            bits.write(v, s)
+        eob_code, eob_len = _AC_ENC[0x00]
+        bits.write(eob_code, eob_len)
+
+    for m in range(mw * mh):
+        for j in range(4):  # Y data units: left-right, top-bottom
+            put(0, data[(4 * m + j) % n] if n else 0)
+        put(1, data[m % n] if n else 128)  # Cb
+        put(2, data[(m + 1) % n] if n else 128)  # Cr
+    return bytes(head) + bits.flush() + b"\xff\xd9"  # EOI
+
+
+def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
+    """Full baseline 4:2:0 color JPEG decode: marker walk, multi-slot
+    DQT/DHT, SOF0 with per-component sampling factors, interleaved MCU
+    entropy decode (4 Y + Cb + Cr per MCU, per-component DC predictors),
+    2x nearest-neighbor chroma upsample, integer fixed-point YCbCr->RGB,
+    crop.  Returns ``(width, height, interleaved RGB bytes)``.  Sampling
+    layouts other than Y 2x2 + chroma 1x1, progressive scans, and restart
+    intervals raise with the unsupported feature named."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    w = h = None
+    comp_geom: list[tuple[int, int, int]] = []  # (sampling H|V, Tq) per comp
+    scan_tables: list[tuple[int, int]] = []  # (Td, Ta) per scan component
+    pos = 2
+    scan_at = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    qt[tq] = list(body[off : off + 64])
+                    off += 64
+                else:
+                    qt[tq] = [
+                        struct.unpack_from(">H", body, off + 2 * i)[0]
+                        for i in range(64)
+                    ]
+                    off += 128
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = tuple(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = tuple(body[off + 17 : off + 17 + nvals])
+                _enc, dec = _huff_canonical(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = dec
+                off += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError(f"unsupported sample precision {precision}")
+            if ncomp != 3:
+                raise ValueError(
+                    f"unsupported component count {ncomp} (use decode_jpeg "
+                    "for grayscale)"
+                )
+            for c in range(3):  # entries follow the 6-byte geometry header
+                _cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comp_geom.append((hv >> 4, hv & 0x0F, tq))
+            if [(hh, vv) for hh, vv, _ in comp_geom] != [(2, 2), (1, 1), (1, 1)]:
+                raise ValueError(
+                    "unsupported sampling layout (only 4:2:0 — Y 2x2, "
+                    "chroma 1x1 — decodes)"
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF marker {marker:#x} (baseline only)")
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack_from(">H", body, 0)
+            if interval:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 3:
+                raise ValueError(f"unsupported scan component count {ns}")
+            for c in range(3):
+                tt = body[2 + 2 * c]
+                scan_tables.append((tt >> 4, tt & 0x0F))
+            scan_at = pos + 2 + seglen
+            break
+        # APPn / COM / anything else: skip by length
+        pos += 2 + seglen
+    if scan_at is None or w is None or not comp_geom:
+        raise ValueError("missing SOS or SOF0 segment")
+    basis = _idct_basis_cached()
+    quants = [np.array(qt[tq], dtype=np.int64) for _, _, tq in comp_geom]
+    mw, mh = (w + 15) // 16, (h + 15) // 16
+    yplane = np.zeros((mh * 16, mw * 16), dtype=np.uint8)
+    cbplane = np.zeros((mh * 8, mw * 8), dtype=np.uint8)
+    crplane = np.zeros((mh * 8, mw * 8), dtype=np.uint8)
+    reader = _BitReader(payload, scan_at)
+    preds = [0, 0, 0]
+    for m in range(mw * mh):
+        my, mx = divmod(m, mw)
+        for j in range(4):  # Y: left-right, top-bottom within the MCU
+            td, ta = scan_tables[0]
+            px, preds[0] = _decode_du(
+                reader, dc_tables[td], ac_tables[ta], preds[0], quants[0],
+                basis, np,
+            )
+            ry, rx = my * 16 + (j // 2) * 8, mx * 16 + (j % 2) * 8
+            yplane[ry : ry + 8, rx : rx + 8] = px
+        for ci, plane in ((1, cbplane), (2, crplane)):
+            td, ta = scan_tables[ci]
+            px, preds[ci] = _decode_du(
+                reader, dc_tables[td], ac_tables[ta], preds[ci], quants[ci],
+                basis, np,
+            )
+            plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = px
+    cb = np.repeat(np.repeat(cbplane, 2, axis=0), 2, axis=1)
+    cr = np.repeat(np.repeat(crplane, 2, axis=0), 2, axis=1)
+    r, g, b = _ycbcr_to_rgb_fixed(
+        yplane.astype(np.int64), cb.astype(np.int64), cr.astype(np.int64), np
+    )
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)[:h, :w]
+    return w, h, rgb.tobytes()
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -892,3 +1122,51 @@ def extract_jpeg_features(binary_docs: DataFrame) -> DataFrame:
     implementation; only the encoder restricts itself to DC-only blocks
     so the round trip stays bit-exact and oracle-replayable."""
     return _map_payload_batches(binary_docs, _jpeg_feature_batch, FEATURE_SCHEMA)
+
+
+COLOR_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels int, "
+    "r_sum long, g_sum long, b_sum long"
+)
+
+
+def _jpeg_color_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Encode each payload into a real 4:2:0 color JPEG, run the full
+    interleaved-MCU color decode (Huffman, per-component DC predictors,
+    chroma upsample, fixed-point YCbCr->RGB), and emit per-channel pixel
+    sums — the color analog of _jpeg_feature_batch."""
+    import numpy as np
+    import pandas as pd
+
+    out = {k: [] for k in
+           ("doc_id", "width", "height", "n_pixels", "r_sum", "g_sum", "b_sum")}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        width, height, rgb = decode_jpeg_color(encode_jpeg_color(payload or b""))
+        arr = np.frombuffer(rgb, np.uint8).reshape(height, width, 3).astype(np.int64)
+        out["doc_id"].append(doc_id)
+        out["width"].append(width)
+        out["height"].append(height)
+        out["n_pixels"].append(width * height)
+        out["r_sum"].append(int(arr[..., 0].sum()))
+        out["g_sum"].append(int(arr[..., 1].sum()))
+        out["b_sum"].append(int(arr[..., 2].sum()))
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"],
+            "width": pd.Series(out["width"], dtype="int32"),
+            "height": pd.Series(out["height"], dtype="int32"),
+            "n_pixels": pd.Series(out["n_pixels"], dtype="int32"),
+            "r_sum": pd.Series(out["r_sum"], dtype="int64"),
+            "g_sum": pd.Series(out["g_sum"], dtype="int64"),
+            "b_sum": pd.Series(out["b_sum"], dtype="int64"),
+        }
+    )
+
+
+def extract_jpeg_color_features(binary_docs: DataFrame) -> DataFrame:
+    """Arrow-batched COLOR JPEG feature extraction: 4:2:0 three-component
+    round-trip per payload with integer-exact color conversion, so the
+    per-channel sums are oracle-replayable."""
+    return _map_payload_batches(
+        binary_docs, _jpeg_color_feature_batch, COLOR_FEATURE_SCHEMA
+    )

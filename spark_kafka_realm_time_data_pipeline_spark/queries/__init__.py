@@ -46,25 +46,27 @@ def registry() -> dict[str, QuerySpec]:
             merged[name] = spec
     # Round-14 rotation (the driver checks the first ~50).  Composition
     # (executes the r13 verdict's queued window exactly):
-    # (a) position 0: multimodal_jpeg_stats — registered in r13 but never
-    #     driver-checked (the only oracled name with no green proof);
-    # (b) position 1: avro_pyds_roundtrip — plan changed in r13 (the write
+    # (a) positions 0-1: the never-driver-checked names — the r13
+    #     grayscale JPEG query and the NEW r14 color JPEG query;
+    # (b) position 2: avro_pyds_roundtrip — plan changed in r13 (the write
     #     path moved to distributed per-partition containers), so its r13
     #     proof predates the current physical shape;
-    # (c) positions 2-44: all 43 names whose newest driver proof is r7
-    #     (graph trio, jaccard-prefix, incremental dedup, the streaming
-    #     sketch family, IVF/PQ similarity, tpch q8/q9, multimodal
-    #     audio/features/fusion, ...);
-    # (d) 5 r8-proven names filling the window to 50 — the two headline
+    # (c) next 43: all names whose newest driver proof is r7 (graph trio,
+    #     jaccard-prefix, incremental dedup, the streaming sketch family,
+    #     IVF/PQ similarity, tpch q8/q9, multimodal audio/features/fusion,
+    #     ...);
+    # (d) 4 r8-proven names filling the window to 50 — the two headline
     #     bench movers (column_profile, cogroup_apply_in_pandas) plus the
-    #     dedup/sim/reference family members that pair with (c).
+    #     dedup/sim family members that pair with (c).
     #     After this round every oracled name's proof is r8-or-newer and
     #     the window has no overlap with r13's except the mandated (b).
     front = [
         n
         for n in (
-            # (a) never driver-checked
+            # (a) never driver-checked: the r13 grayscale JPEG query and
+            # the NEW r14 color JPEG query
             "multimodal_jpeg_stats",
+            "multimodal_jpeg_color",
             # (b) plan changed in r13 — distributed Avro write path
             "avro_pyds_roundtrip",
             # (c) the 43 r7-proven names
@@ -112,11 +114,12 @@ def registry() -> dict[str, QuerySpec]:
             "tpch_q8_market_share",
             "tpch_q9_profit",
             # (d) r8-proven fill: headline movers + family pairings
+            # (envelope_roundtrip yielded its slot to the new color JPEG
+            # query — r8-proven, so it is safe outside the window)
             "column_profile",
             "cogroup_apply_in_pandas",
             "dedup_agreement_report",
             "sim_range_search",
-            "envelope_roundtrip",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

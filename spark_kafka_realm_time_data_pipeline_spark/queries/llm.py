@@ -1886,6 +1886,65 @@ FROM t
 """
 
 
+def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 4:2:0 COLOR JPEG decode (round 14): every payload is packed
+    into a genuine three-component baseline JFIF JPEG — Y sampled 2x2 per
+    MCU, chroma 1x1, two quant-table slots, luma + chroma DHT slots,
+    interleaved MCU scan with per-component differential DC — and decoded
+    back with the full color decoder (Huffman entropy decode, 2x chroma
+    upsample, libjpeg-style integer fixed-point YCbCr->RGB) inside
+    Arrow-batched mapInPandas.  Constant DC-only data units survive
+    quantize+IDCT bit-exactly and the color conversion is integer-exact,
+    so the oracle replays the per-channel sums analytically: an MCU
+    quadrant's (Y, Cb, Cr) come from cycled text bytes and each channel
+    sum is 64 * the clamped fixed-point conversion.  A chroma predictor,
+    upsample, or color-matrix bug cannot pass."""
+    return M.extract_jpeg_color_features(
+        M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# Replays the interleaved-MCU geometry and the fixed-point color conversion
+# in exact BIGINT arithmetic: quadrant q of MCU m carries Y = byte[q % n],
+# the MCU's chroma = byte[m % n] / byte[(m+1) % n]; every conversion term is
+# floor((k*c' + 32768)/65536) computed via the positive-bias trick so
+# DuckDB's integer // matches numpy's arithmetic shift exactly.
+ORA_MULTIMODAL_JPEG_COLOR = f"""
+WITH g AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         {M.JPEG_MW_BASE} + octet_length(encode(text)) % {M.JPEG_MW_MOD} AS mw,
+         {M.JPEG_MH_BASE} + octet_length(encode(text)) % {M.JPEG_MH_MOD} AS mh
+  FROM documents
+), q AS (
+  SELECT doc_id, text, n, mw, mh, unnest(range(4 * mw * mh)) AS qi FROM g
+), v AS (
+  SELECT doc_id, mw, mh,
+    CASE WHEN n = 0 THEN 0
+         ELSE ascii(substring(text, CAST(qi % n AS INT) + 1, 1)) END AS yv,
+    CASE WHEN n = 0 THEN 128
+         ELSE ascii(substring(text, CAST((qi // 4) % n AS INT) + 1, 1)) END AS cbv,
+    CASE WHEN n = 0 THEN 128
+         ELSE ascii(substring(text, CAST(((qi // 4) + 1) % n AS INT) + 1, 1)) END AS crv
+  FROM q
+), rgb AS (
+  SELECT doc_id, mw, mh,
+    least(greatest(yv + (({M._FIX_R_CR} * (crv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS r,
+    least(greatest(yv - (({M._FIX_G_CB} * (cbv - 128) + {M._FIX_G_CR} * (crv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS g,
+    least(greatest(yv + (({M._FIX_B_CB} * (cbv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS b
+  FROM v
+)
+SELECT doc_id,
+  CAST(16 * MAX(mw) AS INT) AS width,
+  CAST(16 * MAX(mh) AS INT) AS height,
+  CAST(256 * MAX(mw) * MAX(mh) AS INT) AS n_pixels,
+  CAST(64 * SUM(r) AS BIGINT) AS r_sum,
+  CAST(64 * SUM(g) AS BIGINT) AS g_sum,
+  CAST(64 * SUM(b) AS BIGINT) AS b_sum
+FROM rgb
+GROUP BY doc_id
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (one-to-many mapInPandas)."""
     return M.sample_frames(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
@@ -2363,6 +2422,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_multimodal_jpeg_stats,
         ORA_MULTIMODAL_JPEG_STATS,
         "real baseline JPEG round-trip (Huffman + dequant + IDCT) via mapInPandas",
+    ),
+    "multimodal_jpeg_color": QuerySpec(
+        q_multimodal_jpeg_color,
+        ORA_MULTIMODAL_JPEG_COLOR,
+        "real 4:2:0 color JPEG round-trip (interleaved MCUs + fixed-point "
+        "YCbCr->RGB) via mapInPandas",
     ),
     "multimodal_frames": QuerySpec(
         q_multimodal_frames,

@@ -370,3 +370,107 @@ def test_jpeg_decode_parses_16bit_quant_table():
     w, h, raster = decode_jpeg(good.replace(old_dqt, new_dqt, 1))
     w0, h0, raster0 = decode_jpeg(good)
     assert (w, h, raster) == (w0, h0, raster0)
+
+
+# --- JPEG (baseline 4:2:0 color) -----------------------------------------------
+
+
+def test_jpeg_color_roundtrip_matches_analytic_replay():
+    """Color encode->decode is bit-exact: per-channel sums equal the
+    analytic replay (cycled quadrant Y + MCU chroma through the
+    fixed-point conversion), across geometry residues and the empty
+    payload."""
+    import numpy as np
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        JPEG_MH_BASE,
+        JPEG_MH_MOD,
+        JPEG_MW_BASE,
+        JPEG_MW_MOD,
+        _FIX_B_CB,
+        _FIX_BIAS,
+        _FIX_G_CB,
+        _FIX_G_CR,
+        _FIX_R_CR,
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    def clamp(x):
+        return max(0, min(255, x))
+
+    for n in [0, 1, 2, 5, 6, 7, 11, 254, 255, 256]:
+        data = bytes((7 * j + 250) % 256 for j in range(n))
+        w, h, rgb = decode_jpeg_color(encode_jpeg_color(data))
+        mw = JPEG_MW_BASE + n % JPEG_MW_MOD
+        mh = JPEG_MH_BASE + n % JPEG_MH_MOD
+        assert (w, h) == (16 * mw, 16 * mh)
+        arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.int64)
+        rs = gs = bs = 0
+        for q in range(4 * mw * mh):
+            m = q // 4
+            yv = data[q % n] if n else 0
+            cb = data[m % n] if n else 128
+            cr = data[(m + 1) % n] if n else 128
+            radj = (_FIX_R_CR * (cr - 128) + 32768 + _FIX_BIAS) // 65536 - 256
+            gadj = (
+                _FIX_G_CB * (cb - 128) + _FIX_G_CR * (cr - 128) + 32768 + _FIX_BIAS
+            ) // 65536 - 256
+            badj = (_FIX_B_CB * (cb - 128) + 32768 + _FIX_BIAS) // 65536 - 256
+            rs += 64 * clamp(yv + radj)
+            gs += 64 * clamp(yv - gadj)
+            bs += 64 * clamp(yv + badj)
+        got = (int(arr[..., 0].sum()), int(arr[..., 1].sum()), int(arr[..., 2].sum()))
+        assert got == (rs, gs, bs), n
+
+
+def test_jpeg_color_quadrant_placement_and_chroma_constancy():
+    """Pins the MCU layout, not just the sums: quadrant j of MCU m is the
+    8x8 region at (16*my + 8*(j//2), 16*mx + 8*(j%2)) carrying the cycled
+    byte as Y, and the upsampled chroma is constant across each MCU."""
+    import numpy as np
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        JPEG_MH_BASE,
+        JPEG_MH_MOD,
+        JPEG_MW_BASE,
+        JPEG_MW_MOD,
+        _ycbcr_to_rgb_fixed,
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    data = bytes([10, 60, 110, 160, 210, 40, 90])  # n=7 -> mw=2, mh=2
+    n = len(data)
+    mw = JPEG_MW_BASE + n % JPEG_MW_MOD
+    mh = JPEG_MH_BASE + n % JPEG_MH_MOD
+    w, h, rgb = decode_jpeg_color(encode_jpeg_color(data))
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.int64)
+    for m in range(mw * mh):
+        my, mx = divmod(m, mw)
+        cb, cr = data[m % n], data[(m + 1) % n]
+        for j in range(4):
+            yv = data[(4 * m + j) % n]
+            r, g, b = _ycbcr_to_rgb_fixed(
+                np.int64(yv), np.int64(cb), np.int64(cr), np
+            )
+            ry, rx = my * 16 + (j // 2) * 8, mx * 16 + (j % 2) * 8
+            quad = arr[ry : ry + 8, rx : rx + 8]
+            assert (quad == np.array([r, g, b])).all(), (m, j)
+
+
+def test_jpeg_color_decode_rejects_non_420_sampling():
+    """A 4:4:4 layout (Y 1x1) must raise with the layout named, not decode
+    with the wrong MCU geometry."""
+    import pytest
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    good = encode_jpeg_color(b"xyz")
+    # SOF0 component 1 entry: id=1, HV=0x22, Tq=0 -> flip HV to 0x11
+    bad = good.replace(bytes([1, 0x22, 0]), bytes([1, 0x11, 0]), 1)
+    with pytest.raises(ValueError, match="sampling layout"):
+        decode_jpeg_color(bad)
