@@ -23,8 +23,11 @@ mechanically but are not needed by any registry query.
 
 Scale shape: the planner walks each file ONCE to index block offsets
 (header + per-block count/size fields — a metadata-speed scan, no record
-decoding), then each InputPartition seeks directly to its block and
-decodes only its own rows.  ``path`` may be a directory of containers
+decoding), then each InputPartition seeks directly to its span of
+consecutive blocks and decodes only its own rows (blocks coalesce up to
+``max_partition_bytes``, default 1 MiB, so per-task data-source overhead
+never dominates the pure-Python decode; block boundaries remain the only
+split points).  ``path`` may be a directory of containers
 (the ``write_avro_partitioned`` layout): the index is the file listing +
 block walk per file, and block decode is embarrassingly parallel across
 files.  The WRITE side distributes the same way —
@@ -333,15 +336,68 @@ def index_container_set(path: str) -> tuple[dict, str, list[tuple[str, int, int,
     return schema0, codec0, out
 
 
+def _decode_block_cols(payload: bytes, count: int, fields) -> list[list]:
+    """Columnar block decode on a bytes buffer with a manual cursor — the
+    hot path of the no-jar reader.  Replaces the per-value
+    ``_read_value(BytesIO)`` loop: indexing ``payload[pos]`` yields an int
+    with no allocation (``BytesIO.read(1)`` allocates a bytes object per
+    varint byte) and the per-field type dispatch compares a small int tag
+    instead of a string (measured ~2.3x on the sf1 orders read).
+    Semantics are identical to ``_read_value`` per type, including the
+    strict 0x00/0x01 boolean."""
+    tags = [(0 if t == "long" else 1 if t == "double" else 2 if t == "string"
+             else 3) for _n, t in fields]
+    cols: list[list] = [[] for _ in fields]
+    pos = 0
+    unpack_from = struct.unpack_from
+    for _ in range(count):
+        for j, tag in enumerate(tags):
+            if tag == 0:  # long: zigzag varint
+                shift = 0
+                u = 0
+                while True:
+                    b = payload[pos]
+                    pos += 1
+                    u |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                cols[j].append((u >> 1) ^ -(u & 1))
+            elif tag == 1:  # double: IEEE-LE
+                cols[j].append(unpack_from("<d", payload, pos)[0])
+                pos += 8
+            elif tag == 2:  # string: varint length + utf8
+                shift = 0
+                u = 0
+                while True:
+                    b = payload[pos]
+                    pos += 1
+                    u |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                n = (u >> 1) ^ -(u & 1)
+                cols[j].append(payload[pos : pos + n].decode("utf-8"))
+                pos += n
+            else:  # boolean: strictly 0x00 / 0x01 (see _read_value)
+                b = payload[pos]
+                pos += 1
+                if b == 1:
+                    cols[j].append(True)
+                elif b == 0:
+                    cols[j].append(False)
+                else:
+                    raise ValueError(f"invalid avro boolean byte {bytes([b])!r}")
+    return cols
+
+
 def read_block(path: str, offset: int, count: int, size: int, codec: str, fields):
     with open(path, "rb") as f:
         f.seek(offset)
         payload = f.read(size)
     if codec == "deflate":
         payload = zlib.decompress(payload, -15)
-    buf = io.BytesIO(payload)
-    for _ in range(count):
-        yield tuple(_read_value(buf, t) for _, t in fields)
+    yield from zip(*_decode_block_cols(payload, count, fields))
 
 
 _DDL = {"long": "bigint", "double": "double", "string": "string", "boolean": "boolean"}
@@ -351,55 +407,80 @@ def _fields(schema: dict) -> list[tuple[str, str]]:
     return [(fld["name"], fld["type"]) for fld in schema["fields"]]
 
 
-class _AvroBlockPartition(InputPartition):
-    def __init__(self, path: str, offset: int, count: int, size: int):
+# Default byte budget for one InputPartition.  Pure-Python block decode
+# runs ~14 MB/s/core while the per-task Python-data-source round trip
+# costs ~8 ms, so sub-100 KB single-block partitions spend more time on
+# task protocol than on decode (measured 6.1 s -> ~1 s on a 1.5M-row
+# warm read after coalescing).  1 MiB keeps the overhead fraction under
+# ~10% while still splitting a real corpus far wider than the core
+# count; the ``max_partition_bytes`` option restores per-block splits
+# (tests pin the block-boundary contract with it).
+PARTITION_TARGET_BYTES = 1 << 20
+
+
+class _AvroSpanPartition(InputPartition):
+    """A run of CONSECUTIVE container blocks from one file — the unit of
+    read parallelism.  Block boundaries stay the split points (the OCF
+    spec's contract); coalescing only changes how many land per task."""
+
+    def __init__(self, path: str, blocks: list[tuple[int, int, int]]):
         self.path = path
-        self.offset = offset
-        self.count = count
-        self.size = size
+        self.blocks = blocks  # (offset, count, size) per block
 
 
 class _AvroBatchReader(DataSourceReader):
-    def __init__(self, schema: dict, codec: str, blocks):
+    def __init__(self, schema: dict, codec: str, blocks, target_bytes: int):
         self.fields = _fields(schema)
         self.codec = codec
         self.blocks = blocks  # (file, offset, count, size) per container block
+        self.target_bytes = target_bytes
 
     def partitions(self):
-        return [_AvroBlockPartition(p, o, c, s) for p, o, c, s in self.blocks] or [
-            _AvroBlockPartition("", 0, 0, 0)
-        ]
+        parts: list[_AvroSpanPartition] = []
+        run: list[tuple[int, int, int]] = []
+        run_path = None
+        run_bytes = 0
+        for p, o, c, s in self.blocks:
+            if run and (p != run_path or run_bytes + s > self.target_bytes):
+                parts.append(_AvroSpanPartition(run_path, run))
+                run, run_bytes = [], 0
+            run_path = p
+            run.append((o, c, s))
+            run_bytes += s
+        if run:
+            parts.append(_AvroSpanPartition(run_path, run))
+        return parts or [_AvroSpanPartition("", [])]
 
-    def read(self, partition: _AvroBlockPartition):
+    def read(self, partition: _AvroSpanPartition):
         # One Arrow RecordBatch per container block: the decode loop is
         # Python either way (varints), but handing Spark a columnar batch
         # skips per-row tuple pickling (measured ~20% on a 200k-row read;
         # the JVM avro module remains the production path — this source
         # exists because that jar is env-blocked).
-        if partition.count == 0:
+        if not partition.blocks:
             return
         import pyarrow as pa
 
-        with open(partition.path, "rb") as f:
-            f.seek(partition.offset)
-            payload = f.read(partition.size)
-        if self.codec == "deflate":
-            payload = zlib.decompress(payload, -15)
-        buf = io.BytesIO(payload)
-        cols: list[list] = [[] for _ in self.fields]
-        for _ in range(partition.count):
-            for j, (_name, typ) in enumerate(self.fields):
-                cols[j].append(_read_value(buf, typ))
         arrow_types = {
             "long": pa.int64(),
             "double": pa.float64(),
             "string": pa.string(),
             "boolean": pa.bool_(),
         }
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(c, arrow_types[t]) for c, (_n, t) in zip(cols, self.fields)],
-            [n for n, _t in self.fields],
-        )
+        with open(partition.path, "rb") as f:
+            for offset, count, size in partition.blocks:
+                f.seek(offset)
+                payload = f.read(size)
+                if self.codec == "deflate":
+                    payload = zlib.decompress(payload, -15)
+                cols = _decode_block_cols(payload, count, self.fields)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(c, arrow_types[t])
+                        for c, (_n, t) in zip(cols, self.fields)
+                    ],
+                    [n for n, _t in self.fields],
+                )
 
 
 class AvroDataSource(DataSource):
@@ -423,7 +504,10 @@ class AvroDataSource(DataSource):
 
     def reader(self, schema):
         avro_schema, codec, blocks = self._indexed()
-        return _AvroBatchReader(avro_schema, codec, blocks)
+        target = int(
+            self.options.get("max_partition_bytes", PARTITION_TARGET_BYTES)
+        )
+        return _AvroBatchReader(avro_schema, codec, blocks, target)
 
 
 def register(spark) -> None:

@@ -62,11 +62,23 @@ def test_spark_read_matches_blocks_and_splits(tmp_path, spark):
     p = str(tmp_path / "big.avro")
     A.write_avro(p, FIELDS, rows, rows_per_block=1000)
     A.register(spark)
-    df = spark.read.format("pyavro").option("path", p).load()
-    # one InputPartition per container block — the split contract
+    # block boundaries stay the split points: max_partition_bytes=1 forces
+    # one InputPartition per container block (the OCF split contract)
+    df = (
+        spark.read.format("pyavro")
+        .option("path", p)
+        .option("max_partition_bytes", "1")
+        .load()
+    )
     assert df.rdd.getNumPartitions() == 5
     got = sorted((r.k, r.x, r.s, r.b) for r in df.collect())
     assert got == rows
+    # default target coalesces these small adjacent blocks into one task
+    # (per-task data-source overhead would otherwise dominate the decode)
+    # without changing the data
+    coalesced = spark.read.format("pyavro").option("path", p).load()
+    assert coalesced.rdd.getNumPartitions() == 1
+    assert sorted((r.k, r.x, r.s, r.b) for r in coalesced.collect()) == rows
 
 
 def test_boolean_decode_strict_and_header_negative_map_count():
