@@ -212,6 +212,10 @@ HEADLINE += [
     "dedup_keep_containment",
     # pure-Python Avro container -> pyavro PyDS block-split read
     "avro_pyds_roundtrip",
+    # round-13/14 JPEG codecs (grayscale Huffman+IDCT; 4:2:0 color with
+    # interleaved MCUs + fixed-point YCbCr->RGB) — mapInPandas decode
+    "multimodal_jpeg_stats",
+    "multimodal_jpeg_color",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The
