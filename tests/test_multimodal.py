@@ -383,45 +383,22 @@ def test_jpeg_color_roundtrip_matches_analytic_replay():
     import numpy as np
 
     from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
-        JPEG_MH_BASE,
-        JPEG_MH_MOD,
-        JPEG_MW_BASE,
-        JPEG_MW_MOD,
-        _FIX_B_CB,
-        _FIX_BIAS,
-        _FIX_G_CB,
-        _FIX_G_CR,
-        _FIX_R_CR,
         decode_jpeg_color,
         encode_jpeg_color,
     )
 
-    def clamp(x):
-        return max(0, min(255, x))
-
     for n in [0, 1, 2, 5, 6, 7, 11, 254, 255, 256]:
         data = bytes((7 * j + 250) % 256 for j in range(n))
         w, h, rgb = decode_jpeg_color(encode_jpeg_color(data))
-        mw = JPEG_MW_BASE + n % JPEG_MW_MOD
-        mh = JPEG_MH_BASE + n % JPEG_MH_MOD
-        assert (w, h) == (16 * mw, 16 * mh)
         arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.int64)
-        rs = gs = bs = 0
-        for q in range(4 * mw * mh):
-            m = q // 4
-            yv = data[q % n] if n else 0
-            cb = data[m % n] if n else 128
-            cr = data[(m + 1) % n] if n else 128
-            radj = (_FIX_R_CR * (cr - 128) + 32768 + _FIX_BIAS) // 65536 - 256
-            gadj = (
-                _FIX_G_CB * (cb - 128) + _FIX_G_CR * (cr - 128) + 32768 + _FIX_BIAS
-            ) // 65536 - 256
-            badj = (_FIX_B_CB * (cb - 128) + 32768 + _FIX_BIAS) // 65536 - 256
-            rs += 64 * clamp(yv + radj)
-            gs += 64 * clamp(yv - gadj)
-            bs += 64 * clamp(yv + badj)
-        got = (int(arr[..., 0].sum()), int(arr[..., 1].sum()), int(arr[..., 2].sum()))
-        assert got == (rs, gs, bs), n
+        got = (
+            w,
+            h,
+            int(arr[..., 0].sum()),
+            int(arr[..., 1].sum()),
+            int(arr[..., 2].sum()),
+        )
+        assert got == _jpeg_color_analytic_sums(data), n
 
 
 def test_jpeg_color_quadrant_placement_and_chroma_constancy():
@@ -474,3 +451,69 @@ def test_jpeg_color_decode_rejects_non_420_sampling():
     bad = good.replace(bytes([1, 0x22, 0]), bytes([1, 0x11, 0]), 1)
     with pytest.raises(ValueError, match="sampling layout"):
         decode_jpeg_color(bad)
+
+
+def _jpeg_color_analytic_sums(data: bytes) -> tuple[int, int, int, int, int]:
+    """Analytic replay of the color round trip (the DuckDB oracle's law):
+    (width, height, r_sum, g_sum, b_sum) from the cycled quadrant bytes
+    through the fixed-point conversion."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        JPEG_MH_BASE,
+        JPEG_MH_MOD,
+        JPEG_MW_BASE,
+        JPEG_MW_MOD,
+        _FIX_B_CB,
+        _FIX_BIAS,
+        _FIX_G_CB,
+        _FIX_G_CR,
+        _FIX_R_CR,
+    )
+
+    n = len(data)
+    mw = JPEG_MW_BASE + n % JPEG_MW_MOD
+    mh = JPEG_MH_BASE + n % JPEG_MH_MOD
+    rs = gs = bs = 0
+    for q in range(4 * mw * mh):
+        m = q // 4
+        yv = data[q % n] if n else 0
+        cb = data[m % n] if n else 128
+        cr = data[(m + 1) % n] if n else 128
+        radj = (_FIX_R_CR * (cr - 128) + 32768 + _FIX_BIAS) // 65536 - 256
+        gadj = (
+            _FIX_G_CB * (cb - 128) + _FIX_G_CR * (cr - 128) + 32768 + _FIX_BIAS
+        ) // 65536 - 256
+        badj = (_FIX_B_CB * (cb - 128) + 32768 + _FIX_BIAS) // 65536 - 256
+        rs += 64 * max(0, min(255, yv + radj))
+        gs += 64 * max(0, min(255, yv - gadj))
+        bs += 64 * max(0, min(255, yv + badj))
+    return 16 * mw, 16 * mh, rs, gs, bs
+
+
+def test_jpeg_color_roundtrip_property():
+    """Hypothesis sweep: ANY payload byte string round-trips bit-exactly
+    through the color codec (encoder byte-stuffing, chroma DC predictors
+    crossing 0xFF boundaries, clamp saturation at both ends)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=300))
+    def inner(data):
+        w, h, rgb = decode_jpeg_color(encode_jpeg_color(data))
+        arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.int64)
+        got = (
+            w,
+            h,
+            int(arr[..., 0].sum()),
+            int(arr[..., 1].sum()),
+            int(arr[..., 2].sum()),
+        )
+        assert got == _jpeg_color_analytic_sums(data)
+
+    inner()
