@@ -420,7 +420,22 @@ def jaccard_verify_arrays(
     # sizes, and nothing here can enforce that every caller pre-distincts
     # its (doc_id, tok) frame — a non-distinct tokenizer would silently
     # inflate sizes and deflate scores.  Negligible cost on these frames.
-    arrs = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("arr"))
+    # Only docs that APPEAR in a candidate pair need an array: semi-filter
+    # the token frame by the candidate id set before the collect (value-
+    # neutral — the pair joins below dropped every other doc's array
+    # anyway).  At corpus scale the candidate docs are a sliver of the
+    # corpus, so building arrays for every doc was the verify stage's
+    # dominant shuffle; the id frame is tiny and AQE broadcasts it.
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    arrs = (
+        toks.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("tok").alias("arr"))
+    )
     a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
     n_inter = F.size(F.array_intersect("arr_a", "arr_b"))
@@ -1498,7 +1513,18 @@ def containment_pairs(
             .select("doc_a", "doc_b")
             .localCheckpoint(eager=True)
         )
-        arrs = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("arr"))
+        # semi-filter the array build to candidate participants (same
+        # value-neutral prune as jaccard_verify_arrays)
+        cand_ids = (
+            cands.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        arrs = (
+            toks.join(cand_ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("tok").alias("arr"))
+        )
         a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
         b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
         n_a = F.size("arr_a").cast("bigint")

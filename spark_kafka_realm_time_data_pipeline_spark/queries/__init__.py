@@ -55,11 +55,13 @@ def registry() -> dict[str, QuerySpec]:
     #     jaccard-prefix, incremental dedup, the streaming sketch family,
     #     IVF/PQ similarity, tpch q8/q9, multimodal audio/features/fusion,
     #     ...);
-    # (d) 4 r8-proven names filling the window to 50 — the two headline
-    #     bench movers (column_profile, cogroup_apply_in_pandas) plus the
-    #     dedup/sim family members that pair with (c).
+    # (d) r14 plan-changed re-proofs: the MinHash tiers (verify-stage
+    #     semi-filter) and the agreement report (inherits both
+    #     prefix-tier re-plans);
+    # (e) r8-proven fill to 50.
     #     After this round every oracled name's proof is r8-or-newer and
-    #     the window has no overlap with r13's except the mandated (b).
+    #     the window's only overlaps with r13's are the mandated
+    #     plan-changed re-proofs in (b) and (d).
     front = [
         n
         for n in (
@@ -113,12 +115,19 @@ def registry() -> dict[str, QuerySpec]:
             "substring_dup_spans",
             "tpch_q8_market_share",
             "tpch_q9_profit",
-            # (d) r8-proven fill: headline movers + family pairings
-            # (envelope_roundtrip yielded its slot to the new color JPEG
-            # query — r8-proven, so it is safe outside the window)
-            "column_profile",
-            "cogroup_apply_in_pandas",
+            # (d) plan-changed in r14 — the candidate-participant
+            # semi-filter in jaccard_verify_arrays reshapes the MinHash
+            # tiers' verify stage, so they re-prove despite their r13
+            # proof (same rule as avro_pyds_roundtrip above);
+            # dedup_agreement_report inherits both r14 prefix-tier
+            # re-plans
+            "dedup_minhash_lsh",
+            "dedup_minhash_ngram",
             "dedup_agreement_report",
+            # (e) r8-proven fill (envelope_roundtrip, column_profile and
+            # cogroup_apply_in_pandas yielded their slots to the color
+            # JPEG query and the re-planned MinHash tiers — all three are
+            # r8-proven, so they are safe outside the window)
             "sim_range_search",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
