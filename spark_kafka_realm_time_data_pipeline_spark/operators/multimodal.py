@@ -821,15 +821,40 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _jpeg_component_count(payload: bytes) -> int:
+    """Peek the SOF0 component count (header-only marker walk, no entropy
+    decode) so decode_image can route grayscale vs color."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if marker == 0xC0:  # SOF0: precision(1) h(2) w(2) ncomp(1)
+            return payload[pos + 4 + 5]
+        if marker == 0xDA:  # SOS before SOF0: malformed
+            break
+        pos += 2 + seglen
+    raise ValueError("missing SOF0 segment")
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an image payload.  BMP, PNG, and baseline-grayscale JPEG all
-    decode for real (pure Python/stdlib/numpy, no imaging libraries);
-    remaining formats are env-blocked stubs."""
+    """Decode an image payload.  BMP (24-bit RGB), PNG (gray8), and
+    baseline JPEG — grayscale AND 4:2:0 color (routed by the SOF0
+    component count) — all decode for real (pure Python/stdlib/numpy, no
+    imaging libraries); remaining formats are env-blocked stubs.  The
+    raster is 1 byte/pixel for grayscale sources, 3 for RGB."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
+        if _jpeg_component_count(payload) == 3:
+            return decode_jpeg_color(payload)
         return decode_jpeg(payload)
     raise NotImplementedError(
         "only BMP, PNG, and baseline JPEG decode without an imaging "

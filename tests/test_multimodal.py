@@ -517,3 +517,21 @@ def test_jpeg_color_roundtrip_property():
         assert got == _jpeg_color_analytic_sums(data)
 
     inner()
+
+
+def test_decode_image_routes_jpeg_by_component_count():
+    """decode_image must route a 3-component JPEG to the color decoder and
+    a 1-component one to grayscale (the SOF0 peek), matching the direct
+    calls byte-for-byte."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        decode_jpeg_color,
+        encode_jpeg,
+        encode_jpeg_color,
+    )
+
+    gray = encode_jpeg(b"route-me")
+    color = encode_jpeg_color(b"route-me")
+    assert decode_image(gray) == decode_jpeg(gray)
+    assert decode_image(color) == decode_jpeg_color(color)
