@@ -124,11 +124,14 @@ def registry() -> dict[str, QuerySpec]:
             "dedup_minhash_lsh",
             "dedup_minhash_ngram",
             "dedup_agreement_report",
-            # (e) r8-proven fill (envelope_roundtrip, column_profile and
-            # cogroup_apply_in_pandas yielded their slots to the color
-            # JPEG query and the re-planned MinHash tiers — all three are
-            # r8-proven, so they are safe outside the window)
-            "sim_range_search",
+            # dedup_embedding: norm folded once per vector instead of per
+            # pair (value-exact, but the plan changed -> re-prove)
+            "dedup_embedding",
+            # (e) r8-proven names that yielded their fill slots to the
+            # r14 plan-changed re-proofs: envelope_roundtrip,
+            # column_profile, cogroup_apply_in_pandas, sim_range_search —
+            # all r8-proven, so they are safe outside the window and sit
+            # at the head of the r15 queue (COVERAGE.md)
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -1024,22 +1024,36 @@ FROM corners GROUP BY doc_id
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: plant exact vector copies, block on the
-    cluster label (equi-join — no cross product), verify cosine."""
+    cluster label (equi-join — no cross product), verify cosine.  The
+    per-vector norm is folded ONCE per vector BEFORE the pair join (r14):
+    S.cosine refolds both norms per pair, which on the intra-label pair
+    frame repeated each vector's norm fold hundreds of times; attaching
+    the identical double as a column is value-exact (same IEEE fold, just
+    not duplicated per pair)."""
     e = load_table(spark, sf_dir, "embeddings")
     planted = e.unionByName(
         e.filter(F.col("vec_id") % 20 == 0).select(
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
         )
-    )
+    ).withColumn("nrm", S.norm("embedding"))
     a = planted.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "label"
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "label",
     )
     b = planted.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "label"
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "label",
     )
     pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
     return (
-        pairs.withColumn("cosine", S.cosine("emb_a", "emb_b"))
+        pairs.withColumn(
+            "cosine",
+            S.dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")),
+        )
         .filter(F.col("cosine") >= 0.999)
         .select("vec_a", "vec_b", "cosine")
     )
