@@ -535,3 +535,112 @@ def test_decode_image_routes_jpeg_by_component_count():
     color = encode_jpeg_color(b"route-me")
     assert decode_image(gray) == decode_jpeg(gray)
     assert decode_image(color) == decode_jpeg_color(color)
+
+
+def test_jpeg_color_decoder_handles_chroma_ac_from_independent_writer():
+    """Independent-writer test for the COLOR-specific half: a hand-packed
+    1-MCU 4:2:0 scan where Cb carries a nonzero horizontal AC coefficient.
+    Pins the interleave order (4 Y then Cb then Cr), the per-component DC
+    predictor chains, the chroma upsample geometry (each chroma sample
+    must color a 2x2 pixel block), and the fixed-point conversion —
+    against the from-the-formula IDCT."""
+    import numpy as np
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        _AC_ENC,
+        _DC_ENC,
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _ycbcr_to_rgb_fixed,
+        decode_jpeg_color,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    class Bits:
+        def __init__(self):
+            self.s = ""
+
+        def put(self, value, length):
+            self.s += format(value, f"0{length}b") if length else ""
+
+        def bytes_(self):
+            s = self.s + "1" * (-len(self.s) % 8)
+            out = bytearray()
+            for i in range(0, len(s), 8):
+                b = int(s[i : i + 8], 2)
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    def put_dc(bits, dc, pred):
+        diff = dc - pred
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        code, ln = _DC_ENC[s]
+        bits.put(code, ln)
+        if s:
+            bits.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        return dc
+
+    def put_eob(bits):
+        code, ln = _AC_ENC[0x00]
+        bits.put(code, ln)
+
+    # pixel-value plan (unit quant: DC coefficient = (v - 128) * 8)
+    yvals = [16, 48, 96, 160]  # one per Y quadrant
+    cb_dc, cb_ac1 = (140 - 128) * 8, 24  # Cb: DC + horizontal AC
+    cr_dc = (120 - 128) * 8  # Cr: DC-only constant 120
+
+    bits = Bits()
+    pred = 0
+    for v in yvals:  # 4 Y data units, one predictor chain
+        pred = put_dc(bits, (v - 128) * 8, pred)
+        put_eob(bits)
+    put_dc(bits, cb_dc, 0)  # Cb predictor chain starts at 0
+    code, ln = _AC_ENC[0x05]  # run 0, size 5 (24 = 0b11000)
+    bits.put(code, ln)
+    bits.put(cb_ac1, 5)
+    put_eob(bits)
+    put_dc(bits, cr_dc, 0)  # Cr predictor chain starts at 0
+    put_eob(bits)
+
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes([1] * 64))
+        + seg(0xFFDB, b"\x01" + bytes([1] * 64))
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, 16, 16, 3)
+            + bytes([1, 0x22, 0])
+            + bytes([2, 0x11, 1])
+            + bytes([3, 0x11, 1]),
+        )
+        + seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xFFC4, b"\x01" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xFFC4, b"\x11" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        + bits.bytes_()
+        + b"\xff\xd9"
+    )
+    w, h, rgb = decode_jpeg_color(jpeg)
+    assert (w, h) == (16, 16)
+    arr = np.frombuffer(rgb, np.uint8).reshape(16, 16, 3)
+
+    # expected chroma planes from the independent IDCT
+    cb_coef = [[0] * 8 for _ in range(8)]
+    cb_coef[0][0], cb_coef[0][1] = cb_dc, cb_ac1  # zigzag 0 and 1
+    cb_plane = _independent_idct(cb_coef)
+    assert any(cb_plane[0][x] != cb_plane[0][0] for x in range(8))  # AC alive
+    for y in range(16):
+        for x in range(16):
+            yv = yvals[(y // 8) * 2 + (x // 8)]
+            cb = cb_plane[y // 2][x // 2]  # 2x nearest upsample
+            r, g, b = _ycbcr_to_rgb_fixed(
+                np.int64(yv), np.int64(cb), np.int64(120), np
+            )
+            assert tuple(arr[y, x]) == (int(r), int(g), int(b)), (y, x)

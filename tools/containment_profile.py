@@ -98,7 +98,16 @@ def main() -> None:
     stages["candidate_join"] = time.time() - t0
 
     t0 = time.time()
-    arrs = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("arr"))
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    arrs = (
+        toks.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("tok").alias("arr"))
+    )
     a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
     n_inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint")
