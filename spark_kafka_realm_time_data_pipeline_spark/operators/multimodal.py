@@ -476,6 +476,70 @@ def _idct_matrix():
     return a
 
 
+# SOF markers for coding processes this decoder does not implement
+# (progressive, extended sequential, lossless, arithmetic, hierarchical)
+_SOF_UNSUPPORTED = (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                    0xCD, 0xCE, 0xCF)
+
+
+def _jpeg_segments(payload: bytes):
+    """Shared marker-segment walk (T.81 B.1.1): SOI check, fill-byte skip
+    (B.1.1.2), EOI stop; yields ``(marker, body, seg_end)`` per segment,
+    where ``seg_end`` is the offset just past the segment (for SOS: the
+    start of the entropy-coded data).  The one walk all three header
+    consumers (grayscale decode, color decode, component-count peek) run,
+    so a marker-handling fix lands everywhere at once."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        yield marker, payload[pos + 4 : pos + 2 + seglen], pos + 2 + seglen
+        pos += 2 + seglen
+
+
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    """DQT: one or more 8-bit (Pq=0) or 16-bit (Pq=1) tables per segment."""
+    off = 0
+    while off < len(body):
+        pq, tq = body[off] >> 4, body[off] & 0x0F
+        off += 1
+        if pq == 0:
+            qt[tq] = list(body[off : off + 64])
+            off += 64
+        else:
+            qt[tq] = [
+                struct.unpack_from(">H", body, off + 2 * i)[0] for i in range(64)
+            ]
+            off += 128
+
+
+def _parse_dht(body: bytes, dc_tables: dict, ac_tables: dict) -> None:
+    """DHT: one or more canonical tables per segment, keyed (class, id)."""
+    off = 0
+    while off < len(body):
+        tc, th = body[off] >> 4, body[off] & 0x0F
+        bits = tuple(body[off + 1 : off + 17])
+        nvals = sum(bits)
+        vals = tuple(body[off + 17 : off + 17 + nvals])
+        _enc, dec = _huff_canonical(bits, vals)
+        (dc_tables if tc == 0 else ac_tables)[th] = dec
+        off += 17 + nvals
+
+
+def _check_dri(body: bytes) -> None:
+    (interval,) = struct.unpack_from(">H", body, 0)
+    if interval:
+        raise ValueError("restart intervals unsupported")
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     """Full baseline-grayscale JPEG decode from the public spec: marker
     walk (APPn/COM skipped), DQT (8/16-bit), DHT (canonical code
@@ -487,50 +551,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     unsupported feature named."""
     import numpy as np
 
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, list[int]] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     w = h = None
     comp_q = comp_dc = comp_ac = 0
-    pos = 2
     scan_at = None
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"expected marker at offset {pos}")
-        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
-        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
-            pos += 1
-        marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
-        body = payload[pos + 4 : pos + 2 + seglen]
-        if marker == 0xDB:  # DQT — one or more tables per segment
-            off = 0
-            while off < len(body):
-                pq, tq = body[off] >> 4, body[off] & 0x0F
-                off += 1
-                if pq == 0:
-                    qt[tq] = list(body[off : off + 64])
-                    off += 64
-                else:
-                    qt[tq] = [
-                        struct.unpack_from(">H", body, off + 2 * i)[0]
-                        for i in range(64)
-                    ]
-                    off += 128
-        elif marker == 0xC4:  # DHT — one or more tables per segment
-            off = 0
-            while off < len(body):
-                tc, th = body[off] >> 4, body[off] & 0x0F
-                bits = tuple(body[off + 1 : off + 17])
-                nvals = sum(bits)
-                vals = tuple(body[off + 17 : off + 17 + nvals])
-                _enc, dec = _huff_canonical(bits, vals)
-                (dc_tables if tc == 0 else ac_tables)[th] = dec
-                off += 17 + nvals
+    for marker, body, seg_end in _jpeg_segments(payload):
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _parse_dht(body, dc_tables, ac_tables)
         elif marker == 0xC0:  # SOF0 baseline
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
@@ -543,22 +574,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             if sampling != 0x11:
                 raise ValueError(f"unsupported sampling factors {sampling:#x}")
             comp_q = body[8]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in _SOF_UNSUPPORTED:
             raise ValueError(f"unsupported SOF marker {marker:#x} (baseline only)")
-        elif marker == 0xDD:  # DRI
-            (interval,) = struct.unpack_from(">H", body, 0)
-            if interval:
-                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:
+            _check_dri(body)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if ns != 1:
                 raise ValueError(f"unsupported scan component count {ns}")
             comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
-            scan_at = pos + 2 + seglen
+            scan_at = seg_end
             break
-        # APPn / COM / anything else: skip by length
-        pos += 2 + seglen
+        # APPn / COM / anything else: skipped by the walk
     if scan_at is None or w is None:
         raise ValueError("missing SOS or SOF0 segment")
     quant = np.array(qt[comp_q], dtype=np.int64)
@@ -690,51 +717,18 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
     intervals raise with the unsupported feature named."""
     import numpy as np
 
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, list[int]] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     w = h = None
     comp_geom: list[tuple[int, int, int]] = []  # (sampling H|V, Tq) per comp
     scan_tables: list[tuple[int, int]] = []  # (Td, Ta) per scan component
-    pos = 2
     scan_at = None
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"expected marker at offset {pos}")
-        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
-        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
-            pos += 1
-        marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
-        body = payload[pos + 4 : pos + 2 + seglen]
-        if marker == 0xDB:  # DQT
-            off = 0
-            while off < len(body):
-                pq, tq = body[off] >> 4, body[off] & 0x0F
-                off += 1
-                if pq == 0:
-                    qt[tq] = list(body[off : off + 64])
-                    off += 64
-                else:
-                    qt[tq] = [
-                        struct.unpack_from(">H", body, off + 2 * i)[0]
-                        for i in range(64)
-                    ]
-                    off += 128
-        elif marker == 0xC4:  # DHT
-            off = 0
-            while off < len(body):
-                tc, th = body[off] >> 4, body[off] & 0x0F
-                bits = tuple(body[off + 1 : off + 17])
-                nvals = sum(bits)
-                vals = tuple(body[off + 17 : off + 17 + nvals])
-                _enc, dec = _huff_canonical(bits, vals)
-                (dc_tables if tc == 0 else ac_tables)[th] = dec
-                off += 17 + nvals
+    for marker, body, seg_end in _jpeg_segments(payload):
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _parse_dht(body, dc_tables, ac_tables)
         elif marker == 0xC0:  # SOF0 baseline
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
@@ -752,13 +746,10 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
                     "unsupported sampling layout (only 4:2:0 — Y 2x2, "
                     "chroma 1x1 — decodes)"
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in _SOF_UNSUPPORTED:
             raise ValueError(f"unsupported SOF marker {marker:#x} (baseline only)")
-        elif marker == 0xDD:  # DRI
-            (interval,) = struct.unpack_from(">H", body, 0)
-            if interval:
-                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:
+            _check_dri(body)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if ns != 3:
@@ -766,10 +757,9 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
             for c in range(3):
                 tt = body[2 + 2 * c]
                 scan_tables.append((tt >> 4, tt & 0x0F))
-            scan_at = pos + 2 + seglen
+            scan_at = seg_end
             break
-        # APPn / COM / anything else: skip by length
-        pos += 2 + seglen
+        # APPn / COM / anything else: skipped by the walk
     if scan_at is None or w is None or not comp_geom:
         raise ValueError("missing SOS or SOF0 segment")
     basis = _idct_basis_cached()
@@ -823,22 +813,15 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 def _jpeg_component_count(payload: bytes) -> int:
     """Peek the SOF0 component count (header-only marker walk, no entropy
-    decode) so decode_image can route grayscale vs color."""
-    pos = 2
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"expected marker at offset {pos}")
-        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
-            pos += 1
-        marker = payload[pos + 1]
-        if marker == 0xD9:
-            break
-        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+    decode) so decode_image can route grayscale vs color.  Non-baseline
+    SOF markers raise the same actionable error the decoders raise."""
+    for marker, body, _seg_end in _jpeg_segments(payload):
         if marker == 0xC0:  # SOF0: precision(1) h(2) w(2) ncomp(1)
-            return payload[pos + 4 + 5]
+            return body[5]
+        if marker in _SOF_UNSUPPORTED:
+            raise ValueError(f"unsupported SOF marker {marker:#x} (baseline only)")
         if marker == 0xDA:  # SOS before SOF0: malformed
             break
-        pos += 2 + seglen
     raise ValueError("missing SOF0 segment")
 
 

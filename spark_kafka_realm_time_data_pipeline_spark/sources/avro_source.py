@@ -116,10 +116,12 @@ def _read_value(buf, typ: str):
         n = _read_varlong(buf)
         return buf.read(n).decode("utf-8")
     if typ == "boolean":
-        # spec encodes true as exactly 0x01 / false as 0x00, and mainstream
-        # readers (Java BinaryDecoder, fastavro) compare ==0x01 — so a byte
-        # outside {0x00, 0x01} is corruption, not a lenient writer; raise so
-        # it surfaces instead of decoding differently from other readers
+        # spec encodes true as exactly 0x01 / false as 0x00.  Mainstream
+        # readers (Java BinaryDecoder, fastavro) compare ==0x01, so they
+        # SILENTLY decode a stray 0x02 as false; this reader is deliberately
+        # stricter and raises on any byte outside {0x00, 0x01} — our own
+        # writer never emits one, so such a byte is corruption and should
+        # surface instead of flipping a value
         b = buf.read(1)
         if b == b"\x01":
             return True
@@ -345,8 +347,11 @@ def _decode_block_cols(payload: bytes, count: int, fields) -> list[list]:
     instead of a string (measured ~2.3x on the sf1 orders read).
     Semantics are identical to ``_read_value`` per type, including the
     strict 0x00/0x01 boolean."""
-    tags = [(0 if t == "long" else 1 if t == "double" else 2 if t == "string"
-             else 3) for _n, t in fields]
+    _TAG = {"long": 0, "double": 1, "string": 2, "boolean": 3}
+    try:
+        tags = [_TAG[t] for _n, t in fields]
+    except KeyError as e:  # same guard as _read_value, checked ONCE up front
+        raise ValueError(f"unsupported avro type: {e.args[0]}") from None
     cols: list[list] = [[] for _ in fields]
     pos = 0
     unpack_from = struct.unpack_from

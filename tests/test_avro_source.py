@@ -82,9 +82,10 @@ def test_spark_read_matches_blocks_and_splits(tmp_path, spark):
 
 
 def test_boolean_decode_strict_and_header_negative_map_count():
-    # spec booleans are exactly 0x00/0x01 and mainstream readers compare
-    # ==0x01; any other byte is corruption and must raise, not silently
-    # decode differently from Java BinaryDecoder / fastavro
+    # spec booleans are exactly 0x00/0x01; mainstream readers (==0x01
+    # compare) would silently decode a stray 0x02 as false — this reader
+    # is deliberately stricter and raises, since our writer never emits
+    # such a byte and it can only mean corruption
     assert A._read_value(io.BytesIO(b"\x01"), "boolean") is True
     assert A._read_value(io.BytesIO(b"\x00"), "boolean") is False
     with pytest.raises(ValueError, match="boolean"):
@@ -137,3 +138,10 @@ def test_mixed_schema_directory_rejected_at_plan_time(tmp_path):
     A.write_avro(str(tmp_path / "b.avro"), [("only", "long")], [(2,)])
     with pytest.raises(ValueError, match="schema/codec mismatch"):
         A.index_container_set(str(tmp_path))
+
+
+def test_decode_block_cols_rejects_unknown_type():
+    # the cursor decoder must refuse unsupported field types up front
+    # (not silently misparse them through the boolean branch)
+    with pytest.raises(ValueError, match="unsupported avro type: int"):
+        A._decode_block_cols(b"\x00", 1, [("k", "int")])

@@ -644,3 +644,18 @@ def test_jpeg_color_decoder_handles_chroma_ac_from_independent_writer():
                 np.int64(yv), np.int64(cb), np.int64(120), np
             )
             assert tuple(arr[y, x]) == (int(r), int(g), int(b)), (y, x)
+
+
+def test_decode_image_names_unsupported_sof_for_progressive_jpeg():
+    """A progressive JPEG through decode_image must raise the actionable
+    'baseline only' error from the header peek, not 'missing SOF0'."""
+    import pytest
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_color,
+    )
+
+    progressive = encode_jpeg_color(b"sof2").replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline only"):
+        decode_image(progressive)
