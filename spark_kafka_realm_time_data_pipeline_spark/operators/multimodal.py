@@ -500,6 +500,8 @@ def _jpeg_segments(payload: bytes):
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             return
+        if pos + 4 > len(payload):  # truncated inside a length field
+            raise ValueError(f"truncated segment header at offset {pos}")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         yield marker, payload[pos + 4 : pos + 2 + seglen], pos + 2 + seglen
         pos += 2 + seglen

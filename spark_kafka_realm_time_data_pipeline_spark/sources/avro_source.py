@@ -338,6 +338,11 @@ def index_container_set(path: str) -> tuple[dict, str, list[tuple[str, int, int,
     return schema0, codec0, out
 
 
+# small-int dispatch tags for the cursor decoder (see _DDL for the
+# matching Spark DDL map)
+_DECODE_TAG = {"long": 0, "double": 1, "string": 2, "boolean": 3}
+
+
 def _decode_block_cols(payload: bytes, count: int, fields) -> list[list]:
     """Columnar block decode on a bytes buffer with a manual cursor — the
     hot path of the no-jar reader.  Replaces the per-value
@@ -347,9 +352,8 @@ def _decode_block_cols(payload: bytes, count: int, fields) -> list[list]:
     instead of a string (measured ~2.3x on the sf1 orders read).
     Semantics are identical to ``_read_value`` per type, including the
     strict 0x00/0x01 boolean."""
-    _TAG = {"long": 0, "double": 1, "string": 2, "boolean": 3}
     try:
-        tags = [_TAG[t] for _n, t in fields]
+        tags = [_DECODE_TAG[t] for _n, t in fields]
     except KeyError as e:  # same guard as _read_value, checked ONCE up front
         raise ValueError(f"unsupported avro type: {e.args[0]}") from None
     cols: list[list] = [[] for _ in fields]

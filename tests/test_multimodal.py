@@ -659,3 +659,17 @@ def test_decode_image_names_unsupported_sof_for_progressive_jpeg():
     progressive = encode_jpeg_color(b"sof2").replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="baseline only"):
         decode_image(progressive)
+
+
+def test_jpeg_segment_walk_raises_valueerror_on_truncated_header():
+    """A payload truncated inside a segment length field (after fill
+    bytes) must raise the decoders' documented ValueError, not a raw
+    struct.error."""
+    import pytest
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="truncated segment header"):
+        decode_jpeg(b"\xff\xd8\xff\xff\xff\xc4")
