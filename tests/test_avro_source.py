@@ -145,3 +145,37 @@ def test_decode_block_cols_rejects_unknown_type():
     # (not silently misparse them through the boolean branch)
     with pytest.raises(ValueError, match="unsupported avro type: int"):
         A._decode_block_cols(b"\x00", 1, [("k", "int")])
+
+
+def test_container_roundtrip_property():
+    """Hypothesis sweep: random row sets (full-range longs, finite
+    doubles, unicode strings, bools) survive write -> block index ->
+    block decode bit-exactly under both codecs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=20),
+        st.booleans(),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(row, min_size=0, max_size=50), st.sampled_from(["null", "deflate"]))
+    def inner(rows, codec):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "t.avro")
+            assert A.write_avro(p, FIELDS, rows, codec=codec, rows_per_block=7) == len(rows)
+            schema, got_codec, blocks = A.index_blocks(p)
+            assert got_codec == codec
+            got = [
+                r
+                for (o, c, s) in blocks
+                for r in A.read_block(p, o, c, s, codec, FIELDS)
+            ]
+            assert got == [tuple(r) for r in rows]
+
+    inner()
