@@ -44,94 +44,84 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Round-14 rotation (the driver checks the first ~50).  Composition
-    # (executes the r13 verdict's queued window exactly):
-    # (a) positions 0-1: the never-driver-checked names — the r13
-    #     grayscale JPEG query and the NEW r14 color JPEG query;
-    # (b) position 2: avro_pyds_roundtrip — plan changed in r13 (the write
-    #     path moved to distributed per-partition containers), so its r13
-    #     proof predates the current physical shape;
-    # (c) next 43: all names whose newest driver proof is r7 (graph trio,
-    #     jaccard-prefix, incremental dedup, the streaming sketch family,
-    #     IVF/PQ similarity, tpch q8/q9, multimodal audio/features/fusion,
-    #     ...);
-    # (d) r14 plan-changed re-proofs: the MinHash tiers (verify-stage
-    #     semi-filter) and the agreement report (inherits both
-    #     prefix-tier re-plans);
-    # (e) r8-proven fill to 50.
-    #     After this round every oracled name's proof is r8-or-newer and
-    #     the window's only overlaps with r13's are the mandated
-    #     plan-changed re-proofs in (b) and (d).
+    # Round-15 rotation (the driver checks the first ~50).  Composition
+    # (executes the r14 verdict's items 1-2 exactly):
+    # (a) positions 0-1: dedup_containment + dedup_keep_containment —
+    #     their shared pipeline (containment_pairs, operators/dedup.py)
+    #     changed plan twice in r14 (rank-stage n_toks count-window +
+    #     verify semi-filter) but they were NOT in the r14 window, so
+    #     their newest driver proof (r13) predates their current
+    #     physical plans.  Mandated re-proofs, ahead of everything;
+    # (b) the 45 remaining r8-proven names (agg_cube .. xml_roundtrip,
+    #     per COVERAGE.md's planned-r15 queue) — after this round every
+    #     oracled name's newest proof is r10-or-newer;
+    # (c) head of the 49 r10-proven names (agg_moments, apply_in_arrow,
+    #     binaryfile_source) to fill 50.  Any r15 additions displace
+    #     from this r10 fill, never from the (a)/(b) head.
+    #     After this round every oracled name's proof is r10-or-newer and
+    #     the window's only overlap with r14's is empty (the containment
+    #     pair's newest proof is r13, so nothing here repeats r14).
     front = [
         n
         for n in (
-            # (a) never driver-checked: the r13 grayscale JPEG query and
-            # the NEW r14 color JPEG query
-            "multimodal_jpeg_stats",
-            "multimodal_jpeg_color",
-            # (b) plan changed in r13 — distributed Avro write path
-            "avro_pyds_roundtrip",
-            # (c) the 43 r7-proven names
-            "ann_pq_codes",
-            "anomaly_zscore",
-            "bloom_prune_join",
-            "boilerplate_strip",
-            "bpe_merge_steps",
-            "cdc_tombstone_merge",
-            "dedup_components",
-            "dedup_incremental",
-            "dedup_incremental_indexed",
-            "dedup_jaccard_prefix",
-            "dedup_keep_corpus",
-            "dedup_pagerank",
-            "dedup_triangles",
-            "epoch_shuffle",
-            "hll_window_merge",
-            "join_skew_salted",
-            "kmeans_embeddings",
-            "lm_bigram_coverage",
-            "multimodal_audio",
-            "multimodal_features",
-            "multimodal_fusion",
-            "quantile_sketch_merge",
-            "sim_ivf_topk",
-            "sim_pq_topk",
-            "sim_recall_report",
-            "streaming_anomaly",
-            "streaming_bloom",
-            "streaming_countmin",
-            "streaming_dedup_incremental",
-            "streaming_hll",
-            "streaming_interval_join",
-            "streaming_quality_gate",
-            "streaming_quantile",
-            "streaming_scd2_lookup",
-            "streaming_static_join",
-            "streaming_stedi_join",
-            "streaming_stedi_unbounded",
-            "streaming_union",
-            "streaming_window_sliding",
-            "streaming_window_tumbling",
-            "substring_dup_spans",
-            "tpch_q8_market_share",
-            "tpch_q9_profit",
-            # (d) plan-changed in r14 — the candidate-participant
-            # semi-filter in jaccard_verify_arrays reshapes the MinHash
-            # tiers' verify stage, so they re-prove despite their r13
-            # proof (same rule as avro_pyds_roundtrip above);
-            # dedup_agreement_report inherits both r14 prefix-tier
-            # re-plans
-            "dedup_minhash_lsh",
-            "dedup_minhash_ngram",
-            "dedup_agreement_report",
-            # dedup_embedding: norm folded once per vector instead of per
-            # pair (value-exact, but the plan changed -> re-prove)
-            "dedup_embedding",
-            # (e) r8-proven names that yielded their fill slots to the
-            # r14 plan-changed re-proofs: envelope_roundtrip,
-            # column_profile, cogroup_apply_in_pandas, sim_range_search —
-            # all r8-proven, so they are safe outside the window and sit
-            # at the head of the r15 queue (COVERAGE.md)
+            # (a) r14 plan-changed, proof predates the plan: the shared
+            # containment pipeline (operators/dedup.py containment_pairs)
+            # gained the rank-stage count-window and the verify
+            # semi-filter in r14 while these two sat OUTSIDE the r14
+            # window — mandated re-proofs at positions 0-1
+            "dedup_containment",
+            "dedup_keep_containment",
+            # (b) the 45 remaining r8-proven names
+            "agg_cube",
+            "agg_grouping_sets",
+            "agg_having",
+            "agg_rollup",
+            "agg_string_concat",
+            "bpe_encode",
+            "cast_projection",
+            "compaction_plan",
+            "correlated_min_subquery",
+            "envelope_roundtrip",
+            "exists_subquery",
+            "fk_integrity_audit",
+            "group_stats",
+            "in_aggregate_subquery",
+            "join_anti",
+            "join_full",
+            "join_null_safe",
+            "join_semi",
+            "json_extract",
+            "k_anonymity_audit",
+            "lateral_topk",
+            "mixture_cap_sample",
+            "mixture_repeat_plan",
+            "multi_exists_anti",
+            "mv_incremental_update",
+            "null_filter_split",
+            "percentiles",
+            "recursive_rollup",
+            "scalar_array",
+            "scalar_date",
+            "scalar_string",
+            "scalar_subquery",
+            "set_except",
+            "set_intersect",
+            "set_union",
+            "snapshot_diff",
+            "streaming_mv_update",
+            "streaming_semi_join",
+            "streaming_session_dynamic",
+            "temp_view_sql",
+            "topk_join",
+            "variant_json_get",
+            "view_over_agg_max",
+            "window_lag_lead",
+            "xml_roundtrip",
+            # (c) head of the r10-proven queue to fill 50 — r15
+            # additions displace from here, never from (a)/(b)
+            "agg_moments",
+            "apply_in_arrow",
+            "binaryfile_source",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]
