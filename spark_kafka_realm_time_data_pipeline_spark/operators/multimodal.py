@@ -326,9 +326,14 @@ class _BitWriter:
                 self.acc = 0
                 self.nbits = 0
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """1-pad to a byte boundary (T.81 F.1.2.3 fill bits); a pad byte
+        that lands on 0xFF gets the usual stuffed 0x00 via write()."""
         if self.nbits:
-            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-pad
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -336,7 +341,7 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
 
-def encode_jpeg(data: bytes) -> bytes:
+def encode_jpeg(data: bytes, restart_interval: int = 0) -> bytes:
     """Pack ``data`` into a REAL baseline JFIF grayscale JPEG: geometry
     derives from the payload length (8x8-block multiples), every 8x8 block
     is the CONSTANT value ``data[k % len(data)]`` (0x00 if empty) encoded
@@ -345,7 +350,10 @@ def encode_jpeg(data: bytes) -> bytes:
     stuffing.  Any JPEG reader opens it; because constant blocks survive
     quantize+IDCT exactly, the decode is bit-exact and the DuckDB oracle
     replays decoded stats analytically (pixel_sum = 64 * cycled block
-    sum)."""
+    sum).  ``restart_interval`` > 0 emits a DRI segment and RSTm markers
+    every that-many MCUs (one MCU = one block in a non-interleaved
+    single-component scan), with per-interval DC predictor resets —
+    T.81 E.1.2, the error-resilience shape real-world encoders emit."""
     n = len(data)
     bw = JPEG_WB_BASE + n % JPEG_WB_MOD  # blocks across
     bh = JPEG_HB_BASE + n % JPEG_HB_MOD  # blocks down
@@ -363,10 +371,15 @@ def encode_jpeg(data: bytes) -> bytes:
     head += _seg(
         0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
+    if restart_interval:
+        head += _seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     head += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
     bits = _BitWriter()
     pred = 0
     for k in range(bw * bh):
+        if restart_interval and k and k % restart_interval == 0:
+            _emit_restart(bits, k // restart_interval - 1)
+            pred = 0
         c = data[k % n] if n else 0
         dc = (c - 128) * 8  # DCT of a constant block: DC only (quant = 1)
         diff = dc - pred
@@ -536,10 +549,33 @@ def _parse_dht(body: bytes, dc_tables: dict, ac_tables: dict) -> None:
         off += 17 + nvals
 
 
-def _check_dri(body: bytes) -> None:
+def _parse_dri(body: bytes) -> int:
+    """DRI (T.81 B.2.4.4): restart interval in MCUs; 0 disables."""
     (interval,) = struct.unpack_from(">H", body, 0)
-    if interval:
-        raise ValueError("restart intervals unsupported")
+    return interval
+
+
+def _emit_restart(bits: "_BitWriter", rst_idx: int) -> None:
+    """End a restart interval on the encoder side (T.81 E.1.2): 1-pad to
+    a byte boundary, then the RSTm marker with m cycling 0-7.  Markers
+    bypass write() — they are real markers, never byte-stuffed."""
+    bits.align()
+    bits.out += bytes((0xFF, 0xD0 + (rst_idx & 7)))
+
+
+def _consume_restart(reader: "_BitReader", rst_idx: int) -> None:
+    """Decoder side of a restart boundary: discard the fill bits of the
+    current byte, then require the expected RSTm marker (the modulo-8
+    counter detects dropped/duplicated intervals, T.81 E.2.4)."""
+    reader.nbits = 0
+    buf, pos = reader.buf, reader.pos
+    want = 0xD0 + (rst_idx & 7)
+    if pos + 2 > len(buf) or buf[pos] != 0xFF or buf[pos + 1] != want:
+        got = buf[pos : pos + 2].hex() if pos + 2 <= len(buf) else "EOF"
+        raise ValueError(
+            f"expected RST{rst_idx & 7} marker at offset {pos}, got {got}"
+        )
+    reader.pos = pos + 2
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
@@ -548,9 +584,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     rebuild), SOF0 geometry, then the entropy-coded scan — Huffman DC
     category + differential predictor, run-length AC with ZRL/EOB,
     dezigzag, dequantize, separable 8x8 IDCT (orthonormal DCT-II basis,
-    numpy), level shift, clamp, crop to (width, height).  Progressive
-    scans, restart intervals, and multi-component images raise with the
-    unsupported feature named."""
+    numpy), level shift, clamp, crop to (width, height).  Restart
+    intervals (DRI + RSTm markers with modulo-8 sequence verification and
+    per-interval DC predictor resets) decode; progressive scans and
+    multi-component images raise with the unsupported feature named."""
     import numpy as np
 
     qt: dict[int, list[int]] = {}
@@ -558,6 +595,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     ac_tables: dict[int, dict] = {}
     w = h = None
     comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
     scan_at = None
     for marker, body, seg_end in _jpeg_segments(payload):
         if marker == 0xDB:
@@ -579,7 +617,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         elif marker in _SOF_UNSUPPORTED:
             raise ValueError(f"unsupported SOF marker {marker:#x} (baseline only)")
         elif marker == 0xDD:
-            _check_dri(body)
+            restart_interval = _parse_dri(body)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if ns != 1:
@@ -598,6 +636,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     reader = _BitReader(payload, scan_at)
     pred = 0
     for k in range(bw * bh):
+        if restart_interval and k and k % restart_interval == 0:
+            _consume_restart(reader, k // restart_interval - 1)
+            pred = 0
         px, pred = _decode_du(reader, dc_dec, ac_dec, pred, quant, a, np)
         by, bx = divmod(k, bw)
         raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
@@ -651,7 +692,7 @@ def _ycbcr_to_rgb_fixed(y, cb, cr, np):
     return r, g, b
 
 
-def encode_jpeg_color(data: bytes) -> bytes:
+def encode_jpeg_color(data: bytes, restart_interval: int = 0) -> bytes:
     """Pack ``data`` into a REAL baseline JFIF 4:2:0 COLOR JPEG: 3
     components (Y 2x2, Cb/Cr 1x1), two unit quant tables, luma + chroma
     DHT slots, interleaved MCU scan with per-component differential DC.
@@ -661,7 +702,9 @@ def encode_jpeg_color(data: bytes) -> bytes:
     the decode is bit-exact and the oracle replays the RGB sums
     analytically.  The chroma DHT slots reuse the Annex-K luma contents —
     spec-legal (readers decode from the transmitted DHT), and it
-    exercises the multi-slot table parse."""
+    exercises the multi-slot table parse.  ``restart_interval`` > 0 emits
+    DRI + RSTm markers every that-many MCUs with all three DC predictors
+    reset per interval (T.81 E.1.2)."""
     n = len(data)
     mw = JPEG_MW_BASE + n % JPEG_MW_MOD
     mh = JPEG_MH_BASE + n % JPEG_MH_MOD
@@ -682,6 +725,8 @@ def encode_jpeg_color(data: bytes) -> bytes:
     head += _seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
     head += _seg(0xFFC4, b"\x01" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     head += _seg(0xFFC4, b"\x11" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        head += _seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     head += _seg(  # SOS: Y -> tables 0/0, Cb/Cr -> tables 1/1
         0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     )
@@ -702,6 +747,9 @@ def encode_jpeg_color(data: bytes) -> bytes:
         bits.write(eob_code, eob_len)
 
     for m in range(mw * mh):
+        if restart_interval and m and m % restart_interval == 0:
+            _emit_restart(bits, m // restart_interval - 1)
+            preds[0] = preds[1] = preds[2] = 0
         for j in range(4):  # Y data units: left-right, top-bottom
             put(0, data[(4 * m + j) % n] if n else 0)
         put(1, data[m % n] if n else 128)  # Cb
@@ -714,9 +762,11 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
     DQT/DHT, SOF0 with per-component sampling factors, interleaved MCU
     entropy decode (4 Y + Cb + Cr per MCU, per-component DC predictors),
     2x nearest-neighbor chroma upsample, integer fixed-point YCbCr->RGB,
-    crop.  Returns ``(width, height, interleaved RGB bytes)``.  Sampling
-    layouts other than Y 2x2 + chroma 1x1, progressive scans, and restart
-    intervals raise with the unsupported feature named."""
+    crop.  Returns ``(width, height, interleaved RGB bytes)``.  Restart
+    intervals (DRI + RSTm with modulo-8 verification and per-interval
+    resets of all three DC predictors) decode; sampling layouts other
+    than Y 2x2 + chroma 1x1 and progressive scans raise with the
+    unsupported feature named."""
     import numpy as np
 
     qt: dict[int, list[int]] = {}
@@ -725,6 +775,7 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
     w = h = None
     comp_geom: list[tuple[int, int, int]] = []  # (sampling H|V, Tq) per comp
     scan_tables: list[tuple[int, int]] = []  # (Td, Ta) per scan component
+    restart_interval = 0
     scan_at = None
     for marker, body, seg_end in _jpeg_segments(payload):
         if marker == 0xDB:
@@ -751,7 +802,7 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
         elif marker in _SOF_UNSUPPORTED:
             raise ValueError(f"unsupported SOF marker {marker:#x} (baseline only)")
         elif marker == 0xDD:
-            _check_dri(body)
+            restart_interval = _parse_dri(body)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if ns != 3:
@@ -773,6 +824,9 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
     reader = _BitReader(payload, scan_at)
     preds = [0, 0, 0]
     for m in range(mw * mh):
+        if restart_interval and m and m % restart_interval == 0:
+            _consume_restart(reader, m // restart_interval - 1)
+            preds = [0, 0, 0]
         my, mx = divmod(m, mw)
         for j in range(4):  # Y: left-right, top-bottom within the MCU
             td, ta = scan_tables[0]
@@ -1179,4 +1233,66 @@ def extract_jpeg_color_features(binary_docs: DataFrame) -> DataFrame:
     per-channel sums are oracle-replayable."""
     return _map_payload_batches(
         binary_docs, _jpeg_color_feature_batch, COLOR_FEATURE_SCHEMA
+    )
+
+
+DRI_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, restart_interval int, "
+    "n_restarts int, r_sum long, g_sum long, b_sum long"
+)
+
+
+def _jpeg_dri_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Encode each payload into a 4:2:0 color JPEG WITH restart markers
+    (interval 1 + n % 2, so every multi-MCU image carries RSTm markers
+    and per-interval predictor resets), run the full color decode, and
+    emit per-channel sums plus the restart geometry.  The decode only
+    succeeds if every RSTm is consumed at the right MCU with the right
+    modulo-8 index — a desynced reader hits 'marker inside entropy data'
+    or a wrong-index raise, so the value match proves the restart path,
+    not just the pixel math."""
+    import numpy as np
+    import pandas as pd
+
+    out = {k: [] for k in (
+        "doc_id", "width", "height", "restart_interval", "n_restarts",
+        "r_sum", "g_sum", "b_sum",
+    )}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        payload = payload or b""
+        interval = 1 + len(payload) % 2
+        width, height, rgb = decode_jpeg_color(
+            encode_jpeg_color(payload, restart_interval=interval)
+        )
+        arr = np.frombuffer(rgb, np.uint8).reshape(height, width, 3).astype(np.int64)
+        mcus = (width // 16) * (height // 16)
+        out["doc_id"].append(doc_id)
+        out["width"].append(width)
+        out["height"].append(height)
+        out["restart_interval"].append(interval)
+        out["n_restarts"].append((mcus - 1) // interval)
+        out["r_sum"].append(int(arr[..., 0].sum()))
+        out["g_sum"].append(int(arr[..., 1].sum()))
+        out["b_sum"].append(int(arr[..., 2].sum()))
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"],
+            "width": pd.Series(out["width"], dtype="int32"),
+            "height": pd.Series(out["height"], dtype="int32"),
+            "restart_interval": pd.Series(out["restart_interval"], dtype="int32"),
+            "n_restarts": pd.Series(out["n_restarts"], dtype="int32"),
+            "r_sum": pd.Series(out["r_sum"], dtype="int64"),
+            "g_sum": pd.Series(out["g_sum"], dtype="int64"),
+            "b_sum": pd.Series(out["b_sum"], dtype="int64"),
+        }
+    )
+
+
+def extract_jpeg_dri_features(binary_docs: DataFrame) -> DataFrame:
+    """Arrow-batched restart-marker COLOR JPEG extraction: the 4:2:0
+    round-trip of extract_jpeg_color_features, but through a bitstream
+    segmented by DRI/RSTm restart intervals — the error-resilience shape
+    most real-world camera/libjpeg output carries."""
+    return _map_payload_batches(
+        binary_docs, _jpeg_dri_feature_batch, DRI_FEATURE_SCHEMA
     )

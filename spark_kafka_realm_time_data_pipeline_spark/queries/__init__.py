@@ -71,6 +71,11 @@ def registry() -> dict[str, QuerySpec]:
             # window — mandated re-proofs at positions 0-1
             "dedup_containment",
             "dedup_keep_containment",
+            # (a2) NEW in r15: color JPEG decode through DRI restart
+            # intervals (never driver-checked — new queries enter the
+            # window in the registering commit); displaces
+            # binaryfile_source (r10-proven) from the fill below
+            "multimodal_jpeg_dri",
             # (b) the 45 remaining r8-proven names
             "agg_cube",
             "agg_grouping_sets",
@@ -121,7 +126,6 @@ def registry() -> dict[str, QuerySpec]:
             # additions displace from here, never from (a)/(b)
             "agg_moments",
             "apply_in_arrow",
-            "binaryfile_source",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -1959,6 +1959,65 @@ GROUP BY doc_id
 """
 
 
+def q_multimodal_jpeg_dri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-marker COLOR JPEG decode (round 15): the 4:2:0 color
+    round-trip of multimodal_jpeg_color, but the bitstream is segmented
+    by DRI restart intervals (interval = 1 + n % 2) — byte-aligned RSTm
+    markers every interval MCUs, modulo-8 marker sequencing, and
+    per-interval resets of all three DC predictors (T.81 E.1.2/E.2.4),
+    the error-resilience shape real-world camera/libjpeg JPEGs carry.
+    The decoder verifies each RSTm index, so a reader that drifts by one
+    MCU, misses an alignment pad, or forgets a predictor reset raises or
+    mis-sums — two independent routes to the same numbers again.  Pixel
+    values are restart-invariant by construction (predictor resets change
+    the bitstream, not the pixels), so the oracle replays the same
+    fixed-point color conversion plus the restart geometry
+    analytically."""
+    return M.extract_jpeg_dri_features(
+        M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# Same interleaved-MCU + fixed-point replay as ORA_MULTIMODAL_JPEG_COLOR;
+# adds the restart geometry: interval = 1 + n % 2, and (mcus - 1) //
+# interval RSTm markers between the mcus MCUs.
+ORA_MULTIMODAL_JPEG_DRI = f"""
+WITH g AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         {M.JPEG_MW_BASE} + octet_length(encode(text)) % {M.JPEG_MW_MOD} AS mw,
+         {M.JPEG_MH_BASE} + octet_length(encode(text)) % {M.JPEG_MH_MOD} AS mh
+  FROM documents
+), q AS (
+  SELECT doc_id, text, n, mw, mh, unnest(range(4 * mw * mh)) AS qi FROM g
+), v AS (
+  SELECT doc_id, n, mw, mh,
+    CASE WHEN n = 0 THEN 0
+         ELSE ascii(substring(text, CAST(qi % n AS INT) + 1, 1)) END AS yv,
+    CASE WHEN n = 0 THEN 128
+         ELSE ascii(substring(text, CAST((qi // 4) % n AS INT) + 1, 1)) END AS cbv,
+    CASE WHEN n = 0 THEN 128
+         ELSE ascii(substring(text, CAST(((qi // 4) + 1) % n AS INT) + 1, 1)) END AS crv
+  FROM q
+), rgb AS (
+  SELECT doc_id, n, mw, mh,
+    least(greatest(yv + (({M._FIX_R_CR} * (crv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS r,
+    least(greatest(yv - (({M._FIX_G_CB} * (cbv - 128) + {M._FIX_G_CR} * (crv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS g,
+    least(greatest(yv + (({M._FIX_B_CB} * (cbv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS b
+  FROM v
+)
+SELECT doc_id,
+  CAST(16 * MAX(mw) AS INT) AS width,
+  CAST(16 * MAX(mh) AS INT) AS height,
+  CAST(1 + MAX(n) % 2 AS INT) AS restart_interval,
+  CAST((MAX(mw) * MAX(mh) - 1) // (1 + MAX(n) % 2) AS INT) AS n_restarts,
+  CAST(64 * SUM(r) AS BIGINT) AS r_sum,
+  CAST(64 * SUM(g) AS BIGINT) AS g_sum,
+  CAST(64 * SUM(b) AS BIGINT) AS b_sum
+FROM rgb
+GROUP BY doc_id
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (one-to-many mapInPandas)."""
     return M.sample_frames(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
@@ -2442,6 +2501,12 @@ QUERIES: dict[str, QuerySpec] = {
         ORA_MULTIMODAL_JPEG_COLOR,
         "real 4:2:0 color JPEG round-trip (interleaved MCUs + fixed-point "
         "YCbCr->RGB) via mapInPandas",
+    ),
+    "multimodal_jpeg_dri": QuerySpec(
+        q_multimodal_jpeg_dri,
+        ORA_MULTIMODAL_JPEG_DRI,
+        "color JPEG round-trip through DRI restart intervals (RSTm "
+        "sequencing + per-interval predictor resets) via mapInPandas",
     ),
     "multimodal_frames": QuerySpec(
         q_multimodal_frames,

@@ -319,7 +319,7 @@ def test_jpeg_decoder_handles_ac_runs_and_nonunit_quant():
     assert any(got[0][x] != got[0][0] for x in range(8))
 
 
-def test_jpeg_decode_rejects_progressive_and_restart_intervals():
+def test_jpeg_decode_rejects_progressive_and_corrupt_restart_streams():
     from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
         decode_jpeg,
         encode_jpeg,
@@ -330,10 +330,111 @@ def test_jpeg_decode_rejects_progressive_and_restart_intervals():
     progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="baseline only"):
         decode_jpeg(progressive)
-    # splice a nonzero DRI segment right after SOI
-    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
-    with pytest.raises(ValueError, match="restart intervals"):
+    # a stream that DECLARES a restart interval but carries no RSTm
+    # markers is corrupt (T.81 E.2.4 requires one per interval): splice
+    # a nonzero DRI right after SOI and the reader must name the miss
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    with pytest.raises(ValueError, match="expected RST0"):
         decode_jpeg(good[:2] + dri + good[2:])
+
+
+def test_jpeg_dri_roundtrip_matches_plain_and_wraps_rst_counter():
+    """Restart intervals are pixel-neutral (predictor resets re-shape the
+    BITSTREAM, not the decode), every interval boundary carries an RSTm
+    with m cycling 0-7, and >8 restarts exercise the modulo wrap."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_jpeg_color,
+        encode_jpeg,
+        encode_jpeg_color,
+    )
+
+    for payload in (b"", b"a", b"restart markers!", bytes(range(256))):
+        plain = decode_jpeg(encode_jpeg(payload))
+        for interval in (1, 2, 3, 7):
+            assert (
+                decode_jpeg(encode_jpeg(payload, restart_interval=interval))
+                == plain
+            )
+        color_plain = decode_jpeg_color(encode_jpeg_color(payload))
+        for interval in (1, 2, 5):
+            assert (
+                decode_jpeg_color(
+                    encode_jpeg_color(payload, restart_interval=interval)
+                )
+                == color_plain
+            )
+    # n=13 -> bw=2+3=5, bh=1+1=2 -> 10 blocks; interval 1 -> 9 restarts,
+    # so the marker sequence is RST0..RST7 then RST0 again (wrap)
+    enc = encode_jpeg(b"0123456789abc", restart_interval=1)
+    markers = [
+        enc[i + 1] - 0xD0
+        for i in range(len(enc) - 1)
+        if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7
+    ]
+    assert markers == [0, 1, 2, 3, 4, 5, 6, 7, 0]
+    assert decode_jpeg(enc) == decode_jpeg(encode_jpeg(b"0123456789abc"))
+
+
+def test_jpeg_dri_decode_rejects_missequenced_restart_marker():
+    """The modulo-8 RSTm index is VERIFIED, not skipped: flipping the
+    first RST0 to RST5 must raise, naming what was expected."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    import pytest
+
+    enc = bytearray(encode_jpeg(b"0123456789abc", restart_interval=1))
+    for i in range(len(enc) - 1):
+        if enc[i] == 0xFF and enc[i + 1] == 0xD0:
+            enc[i + 1] = 0xD5
+            break
+    with pytest.raises(ValueError, match="expected RST0"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_dri_predictor_reset_is_load_bearing():
+    """An independent writer that emits RSTm markers but does NOT reset
+    its DC predictors produces different decoded pixels — proving the
+    decoder's per-interval reset actually changes the interpretation
+    (i.e. the reset path is exercised, not dead code)."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators import (
+        multimodal as M,
+    )
+
+    payload = b"predictor reset proof"  # n=21: bw=3, bh=1 -> 3 blocks
+    good = M.encode_jpeg(payload, restart_interval=1)
+
+    # re-encode by hand WITHOUT predictor resets at restart boundaries
+    n = len(payload)
+    bw = M.JPEG_WB_BASE + n % M.JPEG_WB_MOD
+    bh = M.JPEG_HB_BASE + n % M.JPEG_HB_MOD
+    sos_at = good.index(b"\xff\xda")
+    head = good[: sos_at + 10]  # headers + the 10-byte SOS segment
+    bits = M._BitWriter()
+    pred = 0
+    for k in range(bw * bh):
+        if k:
+            M._emit_restart(bits, k - 1)
+            # deliberately NOT resetting pred
+        dc = (payload[k % n] - 128) * 8
+        diff = dc - pred
+        pred = dc
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        code, length = M._DC_ENC[s]
+        bits.write(code, length)
+        if s:
+            v = diff if diff > 0 else diff + (1 << s) - 1
+            bits.write(v, s)
+        eob_code, eob_len = M._AC_ENC[0x00]
+        bits.write(eob_code, eob_len)
+    bad = head + bits.flush() + b"\xff\xd9"
+
+    w, h, good_px = M.decode_jpeg(good)
+    w2, h2, bad_px = M.decode_jpeg(bad)
+    assert (w, h) == (w2, h2)
+    assert good_px != bad_px
 
 
 def test_jpeg_decode_skips_fill_bytes_before_marker():
