@@ -216,6 +216,8 @@ HEADLINE += [
     # interleaved MCUs + fixed-point YCbCr->RGB) — mapInPandas decode
     "multimodal_jpeg_stats",
     "multimodal_jpeg_color",
+    "multimodal_jpeg_dri",
+    "multimodal_jpeg_progressive",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The

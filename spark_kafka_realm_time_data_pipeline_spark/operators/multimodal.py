@@ -852,6 +852,337 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, rgb.tobytes()
 
 
+# --- progressive (SOF2) grayscale JPEG --------------------------------------
+# Same two-independent-routes law, extended to the other dominant real-world
+# JPEG shape: progressive mode (T.81 Annex G) transmits each block's
+# coefficients across MULTIPLE scans — spectral selection (a zigzag band per
+# scan) crossed with successive approximation (high bits first, then one
+# refinement bit per scan) — so web images render coarse-to-fine.  The
+# decoder below is scan-general for single-component streams: DC
+# first/refine, AC first/refine with EOBRUN bookkeeping and correction
+# bits, per-scan Huffman table redefinition, and restart markers resetting
+# both the DC predictor and the EOB run.  Color progressive (per-component
+# non-interleaved dimensions) stays a documented raise.
+
+# the AC scans of the progressive ENCODER need EOBn symbols ((r<<4)|0,
+# T.81 G.1.2.2) that Annex-K's baseline AC table does not define, so the
+# encoder transmits this minimal custom table: EOB0..EOB5 covers runs up
+# to 63 blocks, far past the bounded geometry.  Spec-legal — decoders
+# rebuild whatever canonical table the DHT carries.
+_JPEG_PROG_AC_BITS = (0, 0, 6, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_PROG_AC_VALS = (0x00, 0x10, 0x20, 0x30, 0x40, 0x50)
+_PROG_AC_ENC, _PROG_AC_DEC = _huff_canonical(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+
+
+def _emit_eobrun(bits: "_BitWriter", eobrun: int, ac_enc: dict) -> None:
+    """EOBn: symbol (r<<4)|0 followed by r extension bits, covering EOB
+    runs of 2^r .. 2^(r+1)-1 blocks (T.81 G.1.2.2)."""
+    r = eobrun.bit_length() - 1
+    code, length = ac_enc[r << 4]
+    bits.write(code, length)
+    if r:
+        bits.write(eobrun - (1 << r), r)
+
+
+def encode_jpeg_progressive(data: bytes, restart_interval: int = 0) -> bytes:
+    """Pack ``data`` into a REAL progressive (SOF2) grayscale JPEG with
+    the same geometry/content law as encode_jpeg — every 8x8 block is the
+    constant value ``data[k % n]`` — transmitted across 3-4 scans:
+
+    1. DC first pass  (Ss=0 Se=0 Ah=0 Al=1): differential Huffman DC of
+       the arithmetically right-shifted coefficients;
+    2. DC refinement  (Ss=0 Se=0 Ah=1 Al=0): one raw bit per block;
+    3. AC band(s), first pass (Al=0): with constant blocks every AC is
+       zero, so each scan is one EOBn run over all blocks (extension
+       bits exercised).  Odd-length payloads split the band into two
+       scans (Ss=1-5, Ss=6-63) so the spectral-selection path is hit.
+
+    Constant blocks survive quantize+IDCT bit-exactly and DC first+refine
+    reconstructs every DC exactly, so decoded pixels equal the baseline
+    encode_jpeg pixels for the same payload and the DuckDB oracle replays
+    stats analytically.  ``restart_interval`` > 0 emits DRI + per-scan
+    RSTm markers (EOBn runs never span a restart, per T.81 E.2.4)."""
+    n = len(data)
+    bw = JPEG_WB_BASE + n % JPEG_WB_MOD
+    bh = JPEG_HB_BASE + n % JPEG_HB_MOD
+    w, h = 8 * bw, 8 * bh
+    nblocks = bw * bh
+    dcs = [((data[k % n] if n else 0) - 128) * 8 for k in range(nblocks)]
+    head = bytearray()
+    head += b"\xff\xd8"
+    head += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += _seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    head += _seg(  # SOF2: progressive DCT, 8-bit, 1 component, 1x1, Tq=0
+        0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    head += _seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    head += _seg(
+        0xFFC4, b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
+    )
+    if restart_interval:
+        head += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    out = bytearray(head)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first pass at Al=1 (arithmetic shift, T.81 G.1.2.1)
+    out += sos(0, 0, 0, 1)
+    bits = _BitWriter()
+    pred = 0
+    for k, dc in enumerate(dcs):
+        if restart_interval and k and k % restart_interval == 0:
+            _emit_restart(bits, k // restart_interval - 1)
+            pred = 0
+        v = dc >> 1
+        diff = v - pred
+        pred = v
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        code, length = _DC_ENC[s]
+        bits.write(code, length)
+        if s:
+            bits.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += bits.flush()
+
+    # scan 2: DC refinement at Al=0 — one raw bit (bit 0 of the DC)
+    out += sos(0, 0, 1, 0)
+    bits = _BitWriter()
+    for k, dc in enumerate(dcs):
+        if restart_interval and k and k % restart_interval == 0:
+            _emit_restart(bits, k // restart_interval - 1)
+        bits.write(dc & 1, 1)
+    out += bits.flush()
+
+    # AC scans: all coefficients are zero -> pure EOBn runs
+    bands = [(1, 5), (6, 63)] if n % 2 else [(1, 63)]
+    for ss, se in bands:
+        out += sos(ss, se, 0, 0)
+        bits = _BitWriter()
+        if restart_interval:
+            done = 0
+            while done < nblocks:
+                chunk = min(restart_interval, nblocks - done)
+                if done:
+                    _emit_restart(bits, done // restart_interval - 1)
+                _emit_eobrun(bits, chunk, _PROG_AC_ENC)
+                done += chunk
+        else:
+            _emit_eobrun(bits, nblocks, _PROG_AC_ENC)
+        out += bits.flush()
+    return bytes(out + b"\xff\xd9")
+
+
+def _prog_dc_scan(reader, coefs, ah, al, dc_dec, restart_interval) -> None:
+    """DC scan over all blocks: first pass (Ah=0) decodes differential
+    sizes and stores pred << Al; refinement ORs bit Al in (two's
+    complement, so (x >> 1 << 1) | (x & 1) == x for either sign)."""
+    pred = 0
+    for k, block in enumerate(coefs):
+        if restart_interval and k and k % restart_interval == 0:
+            _consume_restart(reader, k // restart_interval - 1)
+            pred = 0
+        if ah == 0:
+            s = reader.read_huff(dc_dec)
+            diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+            pred += diff
+            block[0] = pred << al
+        elif reader.read_bit():
+            block[0] |= 1 << al
+
+
+def _prog_ac_first(reader, block, ss, se, al, ac_dec, state) -> None:
+    """AC first pass for one block (T.81 G.1.2.2): run-size pairs with
+    ZRL, values shifted by Al, EOBn starting a multi-block EOB run."""
+    if state["eobrun"]:
+        state["eobrun"] -= 1
+        return
+    i = ss
+    while i <= se:
+        sym = reader.read_huff(ac_dec)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:
+                i += 16  # ZRL
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.read_bits(r)
+            return
+        i += r
+        if i > se:
+            raise ValueError("AC run past band end")
+        block[i] = _jpeg_extend(reader.read_bits(s), s) << al
+        i += 1
+
+
+def _prog_ac_refine(reader, block, ss, se, al, ac_dec, state) -> None:
+    """AC refinement for one block (T.81 G.1.2.3): newly nonzero
+    coefficients arrive as ±1<<Al; every already-nonzero coefficient
+    crossed — including the rest of the band once an EOB run starts —
+    consumes one correction bit that grows its magnitude by 1<<Al."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(i: int) -> None:
+        if reader.read_bit() and (block[i] & p1) == 0:
+            block[i] += p1 if block[i] >= 0 else m1
+
+    i = ss
+    if state["eobrun"] == 0:
+        while i <= se:
+            sym = reader.read_huff(ac_dec)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0 and r != 15:
+                state["eobrun"] = 1 << r
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                break
+            if s == 0:  # ZRL: skip 16 zero-history positions
+                newval = 0
+            elif s == 1:
+                newval = p1 if reader.read_bit() else m1
+            else:
+                raise ValueError("invalid AC refinement size (must be 1)")
+            while i <= se:
+                if block[i] != 0:
+                    correct(i)
+                else:
+                    if r == 0:
+                        if newval:
+                            block[i] = newval
+                        i += 1
+                        break
+                    r -= 1
+                i += 1
+    if state["eobrun"]:
+        while i <= se:  # correction-only sweep over the band's tail
+            if block[i] != 0:
+                correct(i)
+            i += 1
+        state["eobrun"] -= 1
+
+
+def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
+    """Full progressive (SOF2) grayscale JPEG decode from the public
+    spec: the header walk collects DQT/DHT/DRI up to the first SOS, then
+    scans decode in sequence — each SOS names a zigzag band (Ss..Se) and
+    an approximation level (Ah, Al); DC scans integrate successive
+    approximation bits, AC scans integrate run-size values, EOB runs, and
+    refinement correction bits into a per-block coefficient accumulator;
+    DHT/DQT/DRI may be redefined between scans; RSTm markers reset the
+    predictor and the EOB run.  After the last scan: dequantize,
+    dezigzag, IDCT, level shift, clamp, crop — identical reconstruction
+    math to the baseline path, reached through a genuinely different
+    bitstream.  Multi-component progressive streams raise (grayscale
+    only)."""
+    import numpy as np
+
+    qt: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    w = h = None
+    comp_q = 0
+    restart_interval = 0
+    scan_params = None
+    pos = None
+    for marker, body, seg_end in _jpeg_segments(payload):
+        if marker == 0xDB:
+            _parse_dqt(body, qt)
+        elif marker == 0xC4:
+            _parse_dht(body, dc_tables, ac_tables)
+        elif marker == 0xC2:  # SOF2 progressive
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError(f"unsupported sample precision {precision}")
+            if ncomp != 1:
+                raise ValueError(
+                    f"unsupported progressive component count {ncomp} "
+                    "(grayscale only)"
+                )
+            comp_q = body[8]
+        elif marker == 0xC0:
+            raise ValueError("baseline SOF0 stream (use decode_jpeg)")
+        elif marker in _SOF_UNSUPPORTED and marker != 0xC2:
+            raise ValueError(f"unsupported SOF marker {marker:#x}")
+        elif marker == 0xDD:
+            restart_interval = _parse_dri(body)
+        elif marker == 0xDA:
+            if body[0] != 1:
+                raise ValueError("unsupported progressive scan layout")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan_params = (body[3], body[4], body[5] >> 4, body[5] & 0x0F, td, ta)
+            pos = seg_end
+            break
+    if pos is None or w is None:
+        raise ValueError("missing SOS or SOF2 segment")
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    coefs = [[0] * 64 for _ in range(bw * bh)]  # zigzag-index space
+
+    while True:
+        ss, se, ah, al, td, ta = scan_params
+        reader = _BitReader(payload, pos)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            _prog_dc_scan(reader, coefs, ah, al, dc_tables[td], restart_interval)
+        else:
+            state = {"eobrun": 0}
+            ac_dec = ac_tables[ta]
+            fn = _prog_ac_first if ah == 0 else _prog_ac_refine
+            for k, block in enumerate(coefs):
+                if restart_interval and k and k % restart_interval == 0:
+                    _consume_restart(reader, k // restart_interval - 1)
+                    state["eobrun"] = 0
+                fn(reader, block, ss, se, al, ac_dec, state)
+        reader.nbits = 0  # drop the scan's byte-alignment fill bits
+        pos = reader.pos
+        # inter-scan segment walk: tables may be redefined; stop at EOI
+        scan_params = None
+        while True:
+            if pos + 2 > len(payload) or payload[pos] != 0xFF:
+                raise ValueError(f"expected marker after scan at offset {pos}")
+            while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1  # fill bytes
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:
+                _parse_dqt(body, qt)
+            elif marker == 0xC4:
+                _parse_dht(body, dc_tables, ac_tables)
+            elif marker == 0xDD:
+                restart_interval = _parse_dri(body)
+            elif marker == 0xDA:
+                if body[0] != 1:
+                    raise ValueError("unsupported progressive scan layout")
+                td, ta = body[2] >> 4, body[2] & 0x0F
+                scan_params = (
+                    body[3], body[4], body[5] >> 4, body[5] & 0x0F, td, ta,
+                )
+                pos += 2 + seglen
+                break
+            else:
+                raise ValueError(
+                    f"unexpected marker {marker:#x} between scans"
+                )
+            pos += 2 + seglen
+        if scan_params is None:
+            break
+
+    quant = np.array(qt[comp_q], dtype=np.int64)
+    basis = _idct_basis_cached()
+    raster = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for k, coef_zz in enumerate(coefs):
+        block = np.zeros(64, dtype=np.float64)
+        block[list(JPEG_ZIGZAG)] = np.array(coef_zz, dtype=np.int64) * quant
+        px = basis.T @ block.reshape(8, 8) @ basis
+        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+        by, bx = divmod(k, bw)
+        raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return w, h, raster[:h, :w].tobytes()
+
+
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach the multimodal column pattern to the documents table: payload
     (binary) + metadata struct.  On a real corpus the payload comes off the
@@ -867,32 +1198,45 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _jpeg_component_count(payload: bytes) -> int:
-    """Peek the SOF0 component count (header-only marker walk, no entropy
-    decode) so decode_image can route grayscale vs color.  Non-baseline
-    SOF markers raise the same actionable error the decoders raise."""
+def _jpeg_mode(payload: bytes) -> tuple[bool, int]:
+    """Peek (progressive?, component count) from the SOF marker
+    (header-only walk, no entropy decode) so decode_image can route
+    baseline gray/color and progressive gray.  SOF markers for coding
+    processes no decoder here implements raise the same actionable
+    error the decoders raise."""
     for marker, body, _seg_end in _jpeg_segments(payload):
         if marker == 0xC0:  # SOF0: precision(1) h(2) w(2) ncomp(1)
-            return body[5]
+            return False, body[5]
+        if marker == 0xC2:  # SOF2 progressive
+            return True, body[5]
         if marker in _SOF_UNSUPPORTED:
-            raise ValueError(f"unsupported SOF marker {marker:#x} (baseline only)")
-        if marker == 0xDA:  # SOS before SOF0: malformed
+            raise ValueError(f"unsupported SOF marker {marker:#x}")
+        if marker == 0xDA:  # SOS before SOF: malformed
             break
-    raise ValueError("missing SOF0 segment")
+    raise ValueError("missing SOF segment")
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload.  BMP (24-bit RGB), PNG (gray8), and
-    baseline JPEG — grayscale AND 4:2:0 color (routed by the SOF0
-    component count) — all decode for real (pure Python/stdlib/numpy, no
-    imaging libraries); remaining formats are env-blocked stubs.  The
-    raster is 1 byte/pixel for grayscale sources, 3 for RGB."""
+    JPEG — baseline grayscale AND 4:2:0 color AND progressive grayscale
+    (routed by the SOF marker + component count) — all decode for real
+    (pure Python/stdlib/numpy, no imaging libraries); remaining formats
+    are env-blocked stubs.  The raster is 1 byte/pixel for grayscale
+    sources, 3 for RGB."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        if _jpeg_component_count(payload) == 3:
+        progressive, ncomp = _jpeg_mode(payload)
+        if progressive:
+            if ncomp != 1:
+                raise ValueError(
+                    "progressive color JPEG unsupported (grayscale "
+                    "progressive and baseline color decode)"
+                )
+            return decode_jpeg_progressive(payload)
+        if ncomp == 3:
             return decode_jpeg_color(payload)
         return decode_jpeg(payload)
     raise NotImplementedError(
@@ -1233,6 +1577,51 @@ def extract_jpeg_color_features(binary_docs: DataFrame) -> DataFrame:
     per-channel sums are oracle-replayable."""
     return _map_payload_batches(
         binary_docs, _jpeg_color_feature_batch, COLOR_FEATURE_SCHEMA
+    )
+
+
+PROG_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, n_scans int, pixel_sum long"
+)
+
+
+def _jpeg_progressive_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Encode each payload into a progressive (SOF2) grayscale JPEG —
+    DC first + DC refine + one or two spectral AC band scans — and decode
+    it through decode_image (exercising the SOF2 routing peek) with the
+    multi-scan progressive decoder.  Pixels are identical to the baseline
+    encode of the same payload by construction, so the oracle replays
+    pixel_sum analytically and any successive-approximation, EOBRUN, or
+    scan-sequencing bug mis-sums."""
+    import numpy as np
+    import pandas as pd
+
+    out = {k: [] for k in ("doc_id", "width", "height", "n_scans", "pixel_sum")}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        payload = payload or b""
+        width, height, raster = decode_image(encode_jpeg_progressive(payload))
+        out["doc_id"].append(doc_id)
+        out["width"].append(width)
+        out["height"].append(height)
+        out["n_scans"].append(3 + len(payload) % 2)
+        out["pixel_sum"].append(int(np.frombuffer(raster, np.uint8).sum()))
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"],
+            "width": pd.Series(out["width"], dtype="int32"),
+            "height": pd.Series(out["height"], dtype="int32"),
+            "n_scans": pd.Series(out["n_scans"], dtype="int32"),
+            "pixel_sum": pd.Series(out["pixel_sum"], dtype="int64"),
+        }
+    )
+
+
+def extract_jpeg_progressive_features(binary_docs: DataFrame) -> DataFrame:
+    """Arrow-batched PROGRESSIVE JPEG feature extraction: multi-scan SOF2
+    round-trip per payload (spectral selection + successive
+    approximation), decoded through the format-routing entry point."""
+    return _map_payload_batches(
+        binary_docs, _jpeg_progressive_feature_batch, PROG_FEATURE_SCHEMA
     )
 
 

@@ -72,10 +72,12 @@ def registry() -> dict[str, QuerySpec]:
             "dedup_containment",
             "dedup_keep_containment",
             # (a2) NEW in r15: color JPEG decode through DRI restart
-            # intervals (never driver-checked — new queries enter the
-            # window in the registering commit); displaces
-            # binaryfile_source (r10-proven) from the fill below
+            # intervals, and progressive (SOF2) JPEG decode (never
+            # driver-checked — new queries enter the window in the
+            # registering commit); they displace binaryfile_source and
+            # apply_in_arrow (both r10-proven) from the fill below
             "multimodal_jpeg_dri",
+            "multimodal_jpeg_progressive",
             # (b) the 45 remaining r8-proven names
             "agg_cube",
             "agg_grouping_sets",
@@ -125,7 +127,6 @@ def registry() -> dict[str, QuerySpec]:
             # (c) head of the r10-proven queue to fill 50 — r15
             # additions displace from here, never from (a)/(b)
             "agg_moments",
-            "apply_in_arrow",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

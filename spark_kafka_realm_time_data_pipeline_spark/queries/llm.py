@@ -1959,6 +1959,50 @@ GROUP BY doc_id
 """
 
 
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode (round 15): every payload is packed
+    into a genuine multi-scan progressive grayscale JPEG — spectral
+    selection (one or two AC band scans) crossed with successive
+    approximation (DC transmitted high-bits-first across two scans) —
+    and decoded back with the full scan-general progressive decoder
+    (per-scan Huffman state, DC first/refine integration, EOBn run
+    bookkeeping with extension bits, inter-scan table redefinition walk)
+    inside Arrow-batched mapInPandas, routed through decode_image's SOF
+    peek.  Constant DC-only blocks reconstruct bit-exactly after the
+    refinement scan, so decoded pixels equal the baseline encoding's and
+    the oracle replays pixel_sum analytically — a successive-
+    approximation shift, EOBRUN, or scan-ordering bug cannot pass.
+    Reference has no counterpart (ships no image handling); SURVEY.md §2
+    multimodal rows."""
+    return M.extract_jpeg_progressive_features(
+        M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# Same cycled-constant-block pixel law as ORA_MULTIMODAL_JPEG_STATS (the
+# progressive stream reconstructs the identical raster); n_scans replays
+# the encoder's spectral-selection split (two AC band scans for odd n).
+ORA_MULTIMODAL_JPEG_PROGRESSIVE = f"""
+WITH g AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         {M.JPEG_WB_BASE} + octet_length(encode(text)) % {M.JPEG_WB_MOD} AS bw,
+         {M.JPEG_HB_BASE} + octet_length(encode(text)) % {M.JPEG_HB_MOD} AS bh
+  FROM documents
+), t AS (
+  SELECT doc_id, text, n, 8 * bw AS w, 8 * bh AS h, bw * bh AS total FROM g
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 + n % 2 AS INT) AS n_scans,
+       CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+            ELSE 64 * ((total // n) * {_TEXT_SUM}
+                 + (CASE WHEN total % n = 0 THEN 0 ELSE {_PNG_PREFIX_SUM} END))
+       END AS pixel_sum
+FROM t
+"""
+
+
 def q_multimodal_jpeg_dri(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Restart-marker COLOR JPEG decode (round 15): the 4:2:0 color
     round-trip of multimodal_jpeg_color, but the bitstream is segmented
@@ -2501,6 +2545,12 @@ QUERIES: dict[str, QuerySpec] = {
         ORA_MULTIMODAL_JPEG_COLOR,
         "real 4:2:0 color JPEG round-trip (interleaved MCUs + fixed-point "
         "YCbCr->RGB) via mapInPandas",
+    ),
+    "multimodal_jpeg_progressive": QuerySpec(
+        q_multimodal_jpeg_progressive,
+        ORA_MULTIMODAL_JPEG_PROGRESSIVE,
+        "progressive SOF2 JPEG round-trip (spectral selection + "
+        "successive approximation, EOBn runs) via mapInPandas",
     ),
     "multimodal_jpeg_dri": QuerySpec(
         q_multimodal_jpeg_dri,

@@ -376,6 +376,178 @@ def test_jpeg_dri_roundtrip_matches_plain_and_wraps_rst_counter():
     assert decode_jpeg(enc) == decode_jpeg(encode_jpeg(b"0123456789abc"))
 
 
+def test_jpeg_progressive_roundtrip_matches_baseline_pixels():
+    """A progressive (SOF2) stream of the same payload decodes to
+    byte-identical pixels as the baseline stream: DC successive
+    approximation (first pass at Al=1 + one refinement bit) reconstructs
+    every DC exactly, and the AC band scans are pure EOBn runs.  Odd
+    payload lengths split the AC band across two scans (spectral
+    selection); restart intervals segment every scan."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for payload in (b"", b"a", b"ab", b"progressive!", bytes(range(256))):
+        base = decode_jpeg(encode_jpeg(payload))
+        assert decode_jpeg_progressive(encode_jpeg_progressive(payload)) == base
+        for interval in (1, 3):
+            assert (
+                decode_jpeg_progressive(
+                    encode_jpeg_progressive(payload, restart_interval=interval)
+                )
+                == base
+            )
+    # the stream really is multi-scan SOF2: 4 scans for odd n, 3 for even
+    enc = encode_jpeg_progressive(b"abc")
+    assert enc.count(b"\xff\xc2") == 1
+    n_scans = sum(
+        1 for i in range(len(enc) - 1) if enc[i] == 0xFF and enc[i + 1] == 0xDA
+    )
+    assert n_scans == 4
+    assert encode_jpeg_progressive(b"ab").count(b"\xff\xda") == 3
+
+
+def test_jpeg_progressive_roundtrip_property():
+    """Hypothesis sweep: progressive and baseline encodes of the same
+    payload decode to identical rasters for arbitrary byte strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.binary(min_size=0, max_size=300))
+    def check(payload):
+        assert decode_jpeg_progressive(
+            encode_jpeg_progressive(payload)
+        ) == decode_jpeg(encode_jpeg(payload))
+
+    check()
+
+
+def test_jpeg_progressive_ac_first_and_refine_from_independent_writer():
+    """Independent-writer test for the GENERAL progressive paths the
+    constant-block encoder cannot reach: nonzero AC coefficients
+    transmitted at Al=1 (values shifted), then an AC REFINEMENT scan at
+    Al=0 carrying a newly-nonzero +-1, correction bits that grow
+    already-nonzero magnitudes, and an EOB0 whose correction sweep covers
+    the band tail; plus a DC refinement bit.  Expected pixels come from
+    the from-the-formula IDCT of the final coefficient matrix — not from
+    any decoder under test."""
+    import numpy as np
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        _DC_ENC,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        JPEG_ZIGZAG,
+        _huff_canonical,
+        _idct_matrix,
+        decode_jpeg_progressive,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    class Bits:
+        def __init__(self):
+            self.s = ""
+
+        def put(self, value, length):
+            if length:
+                self.s += format(value, f"0{length}b")
+
+        def bytes_(self):
+            s = self.s + "1" * (-len(self.s) % 8)
+            out = bytearray()
+            for i in range(0, len(s), 8):
+                b = int(s[i : i + 8], 2)
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    # custom AC table: EOB0, run0/size1, run0/size2, ZRL, run3/size1
+    ac_bits = [0] * 16
+    ac_bits[2] = 5  # five 3-bit codes
+    ac_vals = (0x00, 0x01, 0x02, 0xF0, 0x31)
+    ac_enc, _ = _huff_canonical(tuple(ac_bits), ac_vals)
+
+    head = bytearray()
+    head += b"\xff\xd8"
+    head += seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    head += seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    head += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    head += seg(0xFFC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+
+    stream = bytearray(head)
+    # scan 1 — DC first, Al=1: dc=41 -> transmit 41>>1 = 20 (size 5)
+    stream += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    b = Bits()
+    code, ln = _DC_ENC[5]
+    b.put(code, ln)
+    b.put(20, 5)
+    stream += b.bytes_()
+    # scan 2 — AC first, band 1-63, Al=1: zz1 = -3 (stored -6), ZRL over
+    # zz2-17, zz18 = +1 (stored +2), EOB0
+    stream += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    b = Bits()
+    code, ln = ac_enc[0x02]
+    b.put(code, ln)
+    b.put(0b00, 2)  # -3 one's complement
+    code, ln = ac_enc[0xF0]
+    b.put(code, ln)
+    code, ln = ac_enc[0x01]
+    b.put(code, ln)
+    b.put(1, 1)  # +1
+    code, ln = ac_enc[0x00]
+    b.put(code, ln)
+    stream += b.bytes_()
+    # scan 3 — DC refine, Al=0: bit 0 of dc=41 -> 1
+    stream += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    b = Bits()
+    b.put(1, 1)
+    stream += b.bytes_()
+    # scan 4 — AC refine, band 1-63, Al=0: symbol run3/size1 places a new
+    # +1 at zz5 after three zero-history skips; crossing zz1 (history -6)
+    # consumes a correction bit (1 -> grows to -7); then EOB0 whose tail
+    # sweep corrects zz18 (bit 1 -> 2 becomes 3)
+    stream += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    b = Bits()
+    code, ln = ac_enc[0x31]
+    b.put(code, ln)
+    b.put(1, 1)  # sign: positive -> newval = +1
+    b.put(1, 1)  # correction for zz1
+    code, ln = ac_enc[0x00]
+    b.put(code, ln)
+    b.put(1, 1)  # tail correction for zz18
+    stream += b.bytes_()
+    stream += b"\xff\xd9"
+
+    w, h, raster = decode_jpeg_progressive(bytes(stream))
+    assert (w, h) == (8, 8)
+
+    coef_zz = np.zeros(64, dtype=np.int64)
+    coef_zz[0] = 41
+    coef_zz[1] = -7
+    coef_zz[5] = 1
+    coef_zz[18] = 3
+    block = np.zeros(64, dtype=np.float64)
+    block[list(JPEG_ZIGZAG)] = coef_zz
+    a = _idct_matrix()
+    px = a.T @ block.reshape(8, 8) @ a
+    expected = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+    assert raster == expected.tobytes()
+
+
 def test_jpeg_dri_decode_rejects_missequenced_restart_marker():
     """The modulo-8 RSTm index is VERIFIED, not skipped: flipping the
     first RST0 to RST5 must raise, naming what was expected."""
@@ -747,19 +919,26 @@ def test_jpeg_color_decoder_handles_chroma_ac_from_independent_writer():
             assert tuple(arr[y, x]) == (int(r), int(g), int(b)), (y, x)
 
 
-def test_decode_image_names_unsupported_sof_for_progressive_jpeg():
-    """A progressive JPEG through decode_image must raise the actionable
-    'baseline only' error from the header peek, not 'missing SOF0'."""
+def test_decode_image_routes_progressive_and_names_color_progressive():
+    """decode_image routes SOF2 grayscale to the progressive decoder
+    (r15) and raises the actionable named error for SOF2 COLOR, which no
+    decoder here implements."""
     import pytest
 
     from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
         decode_image,
+        decode_jpeg,
+        encode_jpeg,
         encode_jpeg_color,
+        encode_jpeg_progressive,
     )
 
-    progressive = encode_jpeg_color(b"sof2").replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline only"):
-        decode_image(progressive)
+    assert decode_image(encode_jpeg_progressive(b"sof2")) == decode_jpeg(
+        encode_jpeg(b"sof2")
+    )
+    color_prog = encode_jpeg_color(b"sof2").replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive color"):
+        decode_image(color_prog)
 
 
 def test_jpeg_segment_walk_raises_valueerror_on_truncated_header():
