@@ -548,6 +548,94 @@ def test_jpeg_progressive_ac_first_and_refine_from_independent_writer():
     assert raster == expected.tobytes()
 
 
+def test_jpeg_progressive_interscan_table_redefinition():
+    """T.81 allows DHT redefinition BETWEEN scans; the inter-scan walk
+    must honor the newest table.  The second DC scan here (a refinement)
+    follows a redefined AC table used by the final AC scan — the stream
+    decodes only if the walk parsed the mid-stream DHT instead of
+    reusing the header's."""
+    import numpy as np
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        _DC_ENC,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        JPEG_ZIGZAG,
+        _huff_canonical,
+        _idct_matrix,
+        decode_jpeg_progressive,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    class Bits:
+        def __init__(self):
+            self.s = ""
+
+        def put(self, value, length):
+            if length:
+                self.s += format(value, f"0{length}b")
+
+        def bytes_(self):
+            s = self.s + "1" * (-len(self.s) % 8)
+            out = bytearray()
+            for i in range(0, len(s), 8):
+                b = int(s[i : i + 8], 2)
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    # header AC table: ONLY EOB0 — sufficient for nothing but an empty
+    # band scan; the real table arrives mid-stream
+    ac0_bits = [0] * 16
+    ac0_bits[0] = 1
+    ac0_vals = (0x00,)
+    # redefined AC table: EOB0 + run0/size1 at 2 bits
+    ac1_bits = [0] * 16
+    ac1_bits[1] = 2
+    ac1_vals = (0x00, 0x01)
+    ac1_enc, _ = _huff_canonical(tuple(ac1_bits), ac1_vals)
+
+    stream = bytearray()
+    stream += b"\xff\xd8"
+    stream += seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    stream += seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    stream += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    stream += seg(0xFFC4, b"\x10" + bytes(ac0_bits) + bytes(ac0_vals))
+    # scan 1: DC first at Al=0 (no refinement needed): dc = 24 (size 5)
+    stream += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    b = Bits()
+    code, ln = _DC_ENC[5]
+    b.put(code, ln)
+    b.put(24, 5)
+    stream += b.bytes_()
+    # redefine AC table 1 between scans
+    stream += seg(0xFFC4, b"\x10" + bytes(ac1_bits) + bytes(ac1_vals))
+    # scan 2: AC band 1-63 at Al=0 using the REDEFINED table: zz1 = +1,
+    # then EOB0
+    stream += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    b = Bits()
+    code, ln = ac1_enc[0x01]
+    b.put(code, ln)
+    b.put(1, 1)
+    code, ln = ac1_enc[0x00]
+    b.put(code, ln)
+    stream += b.bytes_()
+    stream += b"\xff\xd9"
+
+    w, h, raster = decode_jpeg_progressive(bytes(stream))
+    coef_zz = np.zeros(64, dtype=np.int64)
+    coef_zz[0] = 24
+    coef_zz[1] = 1
+    block = np.zeros(64, dtype=np.float64)
+    block[list(JPEG_ZIGZAG)] = coef_zz
+    a = _idct_matrix()
+    expected = np.clip(np.round(a.T @ block.reshape(8, 8) @ a) + 128, 0, 255)
+    assert raster == expected.astype(np.uint8).tobytes()
+
+
 def test_jpeg_dri_decode_rejects_missequenced_restart_marker():
     """The modulo-8 RSTm index is VERIFIED, not skipped: flipping the
     first RST0 to RST5 must raise, naming what was expected."""
