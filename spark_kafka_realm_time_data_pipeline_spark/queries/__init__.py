@@ -124,9 +124,14 @@ def registry() -> dict[str, QuerySpec]:
             "view_over_agg_max",
             "window_lag_lead",
             "xml_roundtrip",
-            # (c) head of the r10-proven queue to fill 50 — r15
-            # additions displace from here, never from (a)/(b)
-            "agg_moments",
+            # (c) fill: there are 48 r8-proven names in total (the 45
+            # above plus the three that yielded their r14 fill slots —
+            # cogroup_apply_in_pandas, column_profile, sim_range_search),
+            # and after the two mandated re-proofs and the two r15
+            # additions only 46 slots remain, so the oldest proofs win
+            # the last slot; column_profile + sim_range_search head the
+            # r16 queue (COVERAGE.md)
+            "cogroup_apply_in_pandas",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]
