@@ -218,6 +218,7 @@ HEADLINE += [
     "multimodal_jpeg_color",
     "multimodal_jpeg_dri",
     "multimodal_jpeg_progressive",
+    "multimodal_jpeg_progressive_color",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The

@@ -972,22 +972,64 @@ def encode_jpeg_progressive(data: bytes, restart_interval: int = 0) -> bytes:
     return bytes(out + b"\xff\xd9")
 
 
-def _prog_dc_scan(reader, coefs, ah, al, dc_dec, restart_interval) -> None:
-    """DC scan over all blocks: first pass (Ah=0) decodes differential
-    sizes and stores pred << Al; refinement ORs bit Al in (two's
-    complement, so (x >> 1 << 1) | (x & 1) == x for either sign)."""
+def _prog_dc_unit(reader, block, ah, al, dc_dec, pred: int) -> int:
+    """One data unit of a DC scan: first pass (Ah=0) decodes a
+    differential size and stores pred << Al; refinement ORs bit Al in
+    (two's complement, so (x >> 1 << 1) | (x & 1) == x for either
+    sign).  Returns the updated predictor."""
+    if ah == 0:
+        s = reader.read_huff(dc_dec)
+        diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+        pred += diff
+        block[0] = pred << al
+    elif reader.read_bit():
+        block[0] |= 1 << al
+    return pred
+
+
+def _prog_scan_single(
+    reader, blocks, ss, se, ah, al, dc_dec, ac_dec, restart_interval
+) -> None:
+    """Non-interleaved scan (T.81 G.1.1: any single-component scan) over
+    one component's blocks in raster order; restarts reset the predictor
+    and the EOB run every ``restart_interval`` blocks."""
     pred = 0
-    for k, block in enumerate(coefs):
+    state = {"eobrun": 0}
+    for k, block in enumerate(blocks):
         if restart_interval and k and k % restart_interval == 0:
             _consume_restart(reader, k // restart_interval - 1)
             pred = 0
-        if ah == 0:
-            s = reader.read_huff(dc_dec)
-            diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
-            pred += diff
-            block[0] = pred << al
-        elif reader.read_bit():
-            block[0] |= 1 << al
+            state["eobrun"] = 0
+        if ss == 0:
+            pred = _prog_dc_unit(reader, block, ah, al, dc_dec, pred)
+        elif ah == 0:
+            _prog_ac_first(reader, block, ss, se, al, ac_dec, state)
+        else:
+            _prog_ac_refine(reader, block, ss, se, al, ac_dec, state)
+
+
+def _prog_scan_dc_interleaved(
+    reader, coefs, mw, mh, ah, al, dc_decs, restart_interval
+) -> None:
+    """Interleaved 4:2:0 DC scan (the only multi-component scan shape
+    progressive mode allows, T.81 G.1.1): per MCU, four Y data units then
+    Cb then Cr, with per-component predictors; restarts every
+    ``restart_interval`` MCUs reset all three."""
+    preds = [0, 0, 0]
+    for m in range(mw * mh):
+        if restart_interval and m and m % restart_interval == 0:
+            _consume_restart(reader, m // restart_interval - 1)
+            preds = [0, 0, 0]
+        my, mx = divmod(m, mw)
+        for j in range(4):
+            bidx = (2 * my + j // 2) * (2 * mw) + (2 * mx + j % 2)
+            preds[0] = _prog_dc_unit(
+                reader, coefs[0][bidx], ah, al, dc_decs[0], preds[0]
+            )
+        for ci in (1, 2):
+            preds[ci] = _prog_dc_unit(
+                reader, coefs[ci][my * mw + mx], ah, al, dc_decs[ci], preds[ci]
+            )
 
 
 def _prog_ac_first(reader, block, ss, se, al, ac_dec, state) -> None:
@@ -1061,26 +1103,165 @@ def _prog_ac_refine(reader, block, ss, se, al, ac_dec, state) -> None:
         state["eobrun"] -= 1
 
 
+def encode_jpeg_progressive_color(
+    data: bytes, restart_interval: int = 0
+) -> bytes:
+    """Pack ``data`` into a REAL progressive (SOF2) 4:2:0 COLOR JPEG with
+    the same geometry/content law as encode_jpeg_color — MCU m carries Y
+    quadrants ``data[(4m+j) % n]`` and chroma ``data[m % n]`` /
+    ``data[(m+1) % n]`` as DC-only constant data units — transmitted the
+    way real progressive encoders do (T.81 G.1.1):
+
+    1. interleaved DC first pass (all 3 components, Al=1);
+    2. interleaved DC refinement (one raw bit per data unit);
+    3. non-interleaved AC band scans, one (or two for odd n, splitting
+       Y's band) per component — pure EOBn runs over each component's own
+       block raster since every AC is zero.
+
+    Decoded pixels equal the baseline encode_jpeg_color pixels for the
+    same payload, so the DuckDB oracle replays the per-channel sums
+    analytically through the same fixed-point conversion.
+    ``restart_interval`` > 0 emits DRI + RSTm markers (per-MCU in the
+    interleaved scans, per-block in the AC scans)."""
+    n = len(data)
+    mw = JPEG_MW_BASE + n % JPEG_MW_MOD
+    mh = JPEG_MH_BASE + n % JPEG_MH_MOD
+    w, h = 16 * mw, 16 * mh
+    head = bytearray()
+    head += b"\xff\xd8"
+    head += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += _seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    head += _seg(0xFFDB, b"\x01" + bytes([1] * 64))
+    head += _seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    head += _seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    head += _seg(0xFFC4, b"\x01" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    head += _seg(
+        0xFFC4, b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
+    )
+    head += _seg(
+        0xFFC4, b"\x11" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
+    )
+    if restart_interval:
+        head += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    out = bytearray(head)
+
+    def unit_value(ci: int, m: int, j: int) -> int:
+        if not n:
+            return 0 if ci == 0 else 128
+        if ci == 0:
+            return data[(4 * m + j) % n]
+        return data[(m + (ci - 1)) % n]
+
+    def dc_of(ci: int, m: int, j: int = 0) -> int:
+        return (unit_value(ci, m, j) - 128) * 8
+
+    def put_dc_first(bits: "_BitWriter", preds: list, ci: int, dc: int) -> None:
+        v = dc >> 1  # Al = 1, arithmetic shift
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        code, length = _DC_ENC[s]
+        bits.write(code, length)
+        if s:
+            bits.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+    # scan 1: interleaved DC first (ns=3, Al=1)
+    out += _seg(
+        0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01])
+    )
+    bits = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(mw * mh):
+        if restart_interval and m and m % restart_interval == 0:
+            _emit_restart(bits, m // restart_interval - 1)
+            preds = [0, 0, 0]
+        for j in range(4):
+            put_dc_first(bits, preds, 0, dc_of(0, m, j))
+        put_dc_first(bits, preds, 1, dc_of(1, m))
+        put_dc_first(bits, preds, 2, dc_of(2, m))
+    out += bits.flush()
+
+    # scan 2: interleaved DC refinement (one raw bit per data unit)
+    out += _seg(
+        0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10])
+    )
+    bits = _BitWriter()
+    for m in range(mw * mh):
+        if restart_interval and m and m % restart_interval == 0:
+            _emit_restart(bits, m // restart_interval - 1)
+        for j in range(4):
+            bits.write(dc_of(0, m, j) & 1, 1)
+        bits.write(dc_of(1, m) & 1, 1)
+        bits.write(dc_of(2, m) & 1, 1)
+    out += bits.flush()
+
+    # AC band scans: single-component, zero coefficients -> EOBn runs
+    nblocks = {1: 4 * mw * mh, 2: mw * mh, 3: mw * mh}
+    y_bands = [(1, 5), (6, 63)] if n % 2 else [(1, 63)]
+    scans = [(1, ss, se) for ss, se in y_bands] + [(2, 1, 63), (3, 1, 63)]
+    for cid, ss, se in scans:
+        ta = 0 if cid == 1 else 1
+        out += _seg(0xFFDA, bytes([1, cid, ta, ss, se, 0x00]))
+        bits = _BitWriter()
+        total = nblocks[cid]
+        if restart_interval:
+            done = 0
+            while done < total:
+                chunk = min(restart_interval, total - done)
+                if done:
+                    _emit_restart(bits, done // restart_interval - 1)
+                _emit_eobrun(bits, chunk, _PROG_AC_ENC)
+                done += chunk
+        else:
+            _emit_eobrun(bits, total, _PROG_AC_ENC)
+        out += bits.flush()
+    return bytes(out + b"\xff\xd9")
+
+
+def _parse_prog_sos(body: bytes):
+    """Progressive SOS header: ns component selectors with table ids,
+    then Ss, Se, Ah|Al.  Returns (comps, ss, se, ah, al) with comps a
+    list of (component id, Td, Ta)."""
+    ns = body[0]
+    comps = [
+        (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+        for i in range(ns)
+    ]
+    off = 1 + 2 * ns
+    return comps, body[off], body[off + 1], body[off + 2] >> 4, body[off + 2] & 0x0F
+
+
 def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
-    """Full progressive (SOF2) grayscale JPEG decode from the public
-    spec: the header walk collects DQT/DHT/DRI up to the first SOS, then
-    scans decode in sequence — each SOS names a zigzag band (Ss..Se) and
-    an approximation level (Ah, Al); DC scans integrate successive
-    approximation bits, AC scans integrate run-size values, EOB runs, and
-    refinement correction bits into a per-block coefficient accumulator;
-    DHT/DQT/DRI may be redefined between scans; RSTm markers reset the
-    predictor and the EOB run.  After the last scan: dequantize,
-    dezigzag, IDCT, level shift, clamp, crop — identical reconstruction
-    math to the baseline path, reached through a genuinely different
-    bitstream.  Multi-component progressive streams raise (grayscale
-    only)."""
+    """Full progressive (SOF2) JPEG decode from the public spec —
+    grayscale AND 4:2:0 color.  The header walk collects DQT/DHT/DRI up
+    to the first SOS, then scans decode in sequence — each SOS names its
+    component(s), a zigzag band (Ss..Se), and an approximation level
+    (Ah, Al); DC scans (the only shape T.81 G.1.1 allows to interleave
+    components) integrate successive approximation bits with
+    per-component predictors, AC scans (always single-component, in that
+    component's own block raster) integrate run-size values, EOB runs,
+    and refinement correction bits into per-component coefficient
+    accumulators; DHT/DQT/DRI may be redefined between scans; RSTm
+    markers reset predictors and the EOB run.  After the last scan:
+    dequantize, dezigzag, IDCT, then for color the 2x chroma upsample and
+    the same integer fixed-point YCbCr->RGB as the baseline color path —
+    identical reconstruction math, reached through a genuinely different
+    bitstream.  Sampling layouts other than gray 1x1 / color 4:2:0
+    raise."""
     import numpy as np
 
     qt: dict[int, list[int]] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
-    w = h = None
-    comp_q = 0
+    w = h = ncomp = None
+    comp_tq: dict[int, int] = {}  # component id -> quant table
+    comp_index: dict[int, int] = {}  # component id -> 0/1/2
     restart_interval = 0
     scan_params = None
     pos = None
@@ -1093,12 +1274,23 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError(f"unsupported sample precision {precision}")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    f"unsupported progressive component count {ncomp} "
-                    "(grayscale only)"
+                    f"unsupported progressive component count {ncomp}"
                 )
-            comp_q = body[8]
+            hvs = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comp_tq[cid] = tq
+                comp_index[cid] = c
+                hvs.append((hv >> 4, hv & 0x0F))
+            if ncomp == 1 and hvs != [(1, 1)]:
+                raise ValueError("unsupported grayscale sampling factors")
+            if ncomp == 3 and hvs != [(2, 2), (1, 1), (1, 1)]:
+                raise ValueError(
+                    "unsupported progressive sampling layout (only 4:2:0 "
+                    "— Y 2x2, chroma 1x1 — decodes)"
+                )
         elif marker == 0xC0:
             raise ValueError("baseline SOF0 stream (use decode_jpeg)")
         elif marker in _SOF_UNSUPPORTED and marker != 0xC2:
@@ -1106,33 +1298,43 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDD:
             restart_interval = _parse_dri(body)
         elif marker == 0xDA:
-            if body[0] != 1:
-                raise ValueError("unsupported progressive scan layout")
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            scan_params = (body[3], body[4], body[5] >> 4, body[5] & 0x0F, td, ta)
+            scan_params = _parse_prog_sos(body)
             pos = seg_end
             break
     if pos is None or w is None:
         raise ValueError("missing SOS or SOF2 segment")
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    coefs = [[0] * 64 for _ in range(bw * bh)]  # zigzag-index space
+    if ncomp == 1:
+        grids = [((w + 7) // 8, (h + 7) // 8)]
+        mw = mh = 0
+    else:
+        mw, mh = (w + 15) // 16, (h + 15) // 16
+        grids = [(2 * mw, 2 * mh), (mw, mh), (mw, mh)]
+    coefs = [
+        [[0] * 64 for _ in range(gw * gh)] for gw, gh in grids
+    ]  # zigzag-index space, per component
 
     while True:
-        ss, se, ah, al, td, ta = scan_params
+        comps, ss, se, ah, al = scan_params
         reader = _BitReader(payload, pos)
-        if ss == 0:
+        if len(comps) == 1:
+            cid, td, ta = comps[0]
+            ci = comp_index[cid]
+            _prog_scan_single(
+                reader, coefs[ci], ss, se, ah, al,
+                dc_tables.get(td), ac_tables.get(ta), restart_interval,
+            )
+        elif len(comps) == ncomp == 3 and ss == 0:
             if se != 0:
                 raise ValueError("DC scan must have Se=0")
-            _prog_dc_scan(reader, coefs, ah, al, dc_tables[td], restart_interval)
+            dc_decs = [dc_tables[td] for _cid, td, _ta in comps]
+            _prog_scan_dc_interleaved(
+                reader, coefs, mw, mh, ah, al, dc_decs, restart_interval
+            )
         else:
-            state = {"eobrun": 0}
-            ac_dec = ac_tables[ta]
-            fn = _prog_ac_first if ah == 0 else _prog_ac_refine
-            for k, block in enumerate(coefs):
-                if restart_interval and k and k % restart_interval == 0:
-                    _consume_restart(reader, k // restart_interval - 1)
-                    state["eobrun"] = 0
-                fn(reader, block, ss, se, al, ac_dec, state)
+            raise ValueError(
+                "unsupported progressive scan layout (AC scans are "
+                "single-component, T.81 G.1.1)"
+            )
         reader.nbits = 0  # drop the scan's byte-alignment fill bits
         pos = reader.pos
         # inter-scan segment walk: tables may be redefined; stop at EOI
@@ -1154,12 +1356,7 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
             elif marker == 0xDD:
                 restart_interval = _parse_dri(body)
             elif marker == 0xDA:
-                if body[0] != 1:
-                    raise ValueError("unsupported progressive scan layout")
-                td, ta = body[2] >> 4, body[2] & 0x0F
-                scan_params = (
-                    body[3], body[4], body[5] >> 4, body[5] & 0x0F, td, ta,
-                )
+                scan_params = _parse_prog_sos(body)
                 pos += 2 + seglen
                 break
             else:
@@ -1170,17 +1367,32 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
         if scan_params is None:
             break
 
-    quant = np.array(qt[comp_q], dtype=np.int64)
     basis = _idct_basis_cached()
-    raster = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-    for k, coef_zz in enumerate(coefs):
-        block = np.zeros(64, dtype=np.float64)
-        block[list(JPEG_ZIGZAG)] = np.array(coef_zz, dtype=np.int64) * quant
-        px = basis.T @ block.reshape(8, 8) @ basis
-        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
-        by, bx = divmod(k, bw)
-        raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-    return w, h, raster[:h, :w].tobytes()
+
+    def comp_plane(ci: int, cid: int) -> "np.ndarray":
+        gw, gh = grids[ci]
+        quant = np.array(qt[comp_tq[cid]], dtype=np.int64)
+        plane = np.zeros((gh * 8, gw * 8), dtype=np.uint8)
+        for k, coef_zz in enumerate(coefs[ci]):
+            block = np.zeros(64, dtype=np.float64)
+            block[list(JPEG_ZIGZAG)] = np.array(coef_zz, dtype=np.int64) * quant
+            px = basis.T @ block.reshape(8, 8) @ basis
+            px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+            by, bx = divmod(k, gw)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        return plane
+
+    cids = sorted(comp_index, key=comp_index.get)
+    if ncomp == 1:
+        return w, h, comp_plane(0, cids[0])[:h, :w].tobytes()
+    yplane = comp_plane(0, cids[0])
+    cb = np.repeat(np.repeat(comp_plane(1, cids[1]), 2, axis=0), 2, axis=1)
+    cr = np.repeat(np.repeat(comp_plane(2, cids[2]), 2, axis=0), 2, axis=1)
+    r, g, b = _ycbcr_to_rgb_fixed(
+        yplane.astype(np.int64), cb.astype(np.int64), cr.astype(np.int64), np
+    )
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)[:h, :w]
+    return w, h, rgb.tobytes()
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -1230,11 +1442,6 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:2] == b"\xff\xd8":
         progressive, ncomp = _jpeg_mode(payload)
         if progressive:
-            if ncomp != 1:
-                raise ValueError(
-                    "progressive color JPEG unsupported (grayscale "
-                    "progressive and baseline color decode)"
-                )
             return decode_jpeg_progressive(payload)
         if ncomp == 3:
             return decode_jpeg_color(payload)
@@ -1622,6 +1829,60 @@ def extract_jpeg_progressive_features(binary_docs: DataFrame) -> DataFrame:
     approximation), decoded through the format-routing entry point."""
     return _map_payload_batches(
         binary_docs, _jpeg_progressive_feature_batch, PROG_FEATURE_SCHEMA
+    )
+
+
+PROG_COLOR_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, n_scans int, "
+    "r_sum long, g_sum long, b_sum long"
+)
+
+
+def _jpeg_progressive_color_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Encode each payload into a progressive 4:2:0 COLOR JPEG —
+    interleaved DC first/refine scans plus per-component AC band scans —
+    and decode through decode_image's SOF2 routing.  Pixels equal the
+    baseline color encode by construction, so the oracle replays the
+    fixed-point per-channel sums plus the scan count analytically; a
+    per-component predictor mixup, scan-sequencing, or upsample bug
+    mis-sums."""
+    import numpy as np
+    import pandas as pd
+
+    out = {k: [] for k in (
+        "doc_id", "width", "height", "n_scans", "r_sum", "g_sum", "b_sum",
+    )}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        payload = payload or b""
+        width, height, rgb = decode_image(encode_jpeg_progressive_color(payload))
+        arr = np.frombuffer(rgb, np.uint8).reshape(height, width, 3).astype(np.int64)
+        out["doc_id"].append(doc_id)
+        out["width"].append(width)
+        out["height"].append(height)
+        out["n_scans"].append(5 + len(payload) % 2)
+        out["r_sum"].append(int(arr[..., 0].sum()))
+        out["g_sum"].append(int(arr[..., 1].sum()))
+        out["b_sum"].append(int(arr[..., 2].sum()))
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"],
+            "width": pd.Series(out["width"], dtype="int32"),
+            "height": pd.Series(out["height"], dtype="int32"),
+            "n_scans": pd.Series(out["n_scans"], dtype="int32"),
+            "r_sum": pd.Series(out["r_sum"], dtype="int64"),
+            "g_sum": pd.Series(out["g_sum"], dtype="int64"),
+            "b_sum": pd.Series(out["b_sum"], dtype="int64"),
+        }
+    )
+
+
+def extract_jpeg_progressive_color_features(binary_docs: DataFrame) -> DataFrame:
+    """Arrow-batched PROGRESSIVE COLOR JPEG extraction: multi-scan SOF2
+    4:2:0 round-trip per payload, the web's dominant JPEG shape."""
+    return _map_payload_batches(
+        binary_docs,
+        _jpeg_progressive_color_feature_batch,
+        PROG_COLOR_FEATURE_SCHEMA,
     )
 
 

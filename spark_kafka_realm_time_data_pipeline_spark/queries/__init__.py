@@ -78,6 +78,7 @@ def registry() -> dict[str, QuerySpec]:
             # apply_in_arrow (both r10-proven) from the fill below
             "multimodal_jpeg_dri",
             "multimodal_jpeg_progressive",
+            "multimodal_jpeg_progressive_color",
             # (b) the 45 remaining r8-proven names
             "agg_cube",
             "agg_grouping_sets",
@@ -124,14 +125,11 @@ def registry() -> dict[str, QuerySpec]:
             "view_over_agg_max",
             "window_lag_lead",
             "xml_roundtrip",
-            # (c) fill: there are 48 r8-proven names in total (the 45
-            # above plus the three that yielded their r14 fill slots —
-            # cogroup_apply_in_pandas, column_profile, sim_range_search),
-            # and after the two mandated re-proofs and the two r15
-            # additions only 46 slots remain, so the oldest proofs win
-            # the last slot; column_profile + sim_range_search head the
+            # (c) no fill: 2 mandated re-proofs + 3 r15 additions + the
+            # 45 r8-proven names above make exactly 50.  The remaining 3
+            # r8-proven names (cogroup_apply_in_pandas, column_profile,
+            # sim_range_search — displaced from the r14 fill) head the
             # r16 queue (COVERAGE.md)
-            "cogroup_apply_in_pandas",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

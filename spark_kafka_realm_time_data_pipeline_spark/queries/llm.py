@@ -2003,6 +2003,63 @@ FROM t
 """
 
 
+def q_multimodal_jpeg_progressive_color(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE 4:2:0 COLOR JPEG decode (round 15): the web's dominant
+    JPEG shape — SOF2 color with interleaved DC scans (successive
+    approximation, per-component predictors) and non-interleaved
+    per-component AC band scans over each component's own block raster —
+    encoded for real and decoded with the scan-general progressive
+    decoder, routed through decode_image.  Reconstruction runs the same
+    integer fixed-point YCbCr->RGB as the baseline color path, so the
+    oracle replays the per-channel sums plus the spectral-split scan
+    count analytically.  Reference has no counterpart; SURVEY.md §2
+    multimodal rows."""
+    return M.extract_jpeg_progressive_color_features(
+        M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# Same per-channel replay as ORA_MULTIMODAL_JPEG_COLOR (the progressive
+# stream reconstructs the identical RGB raster); n_scans = 2 interleaved DC
+# scans + 3 AC scans (+1 when odd n splits Y's band).
+ORA_MULTIMODAL_JPEG_PROGRESSIVE_COLOR = f"""
+WITH g AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         {M.JPEG_MW_BASE} + octet_length(encode(text)) % {M.JPEG_MW_MOD} AS mw,
+         {M.JPEG_MH_BASE} + octet_length(encode(text)) % {M.JPEG_MH_MOD} AS mh
+  FROM documents
+), q AS (
+  SELECT doc_id, text, n, mw, mh, unnest(range(4 * mw * mh)) AS qi FROM g
+), v AS (
+  SELECT doc_id, n, mw, mh,
+    CASE WHEN n = 0 THEN 0
+         ELSE ascii(substring(text, CAST(qi % n AS INT) + 1, 1)) END AS yv,
+    CASE WHEN n = 0 THEN 128
+         ELSE ascii(substring(text, CAST((qi // 4) % n AS INT) + 1, 1)) END AS cbv,
+    CASE WHEN n = 0 THEN 128
+         ELSE ascii(substring(text, CAST(((qi // 4) + 1) % n AS INT) + 1, 1)) END AS crv
+  FROM q
+), rgb AS (
+  SELECT doc_id, n, mw, mh,
+    least(greatest(yv + (({M._FIX_R_CR} * (crv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS r,
+    least(greatest(yv - (({M._FIX_G_CB} * (cbv - 128) + {M._FIX_G_CR} * (crv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS g,
+    least(greatest(yv + (({M._FIX_B_CB} * (cbv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS b
+  FROM v
+)
+SELECT doc_id,
+  CAST(16 * MAX(mw) AS INT) AS width,
+  CAST(16 * MAX(mh) AS INT) AS height,
+  CAST(5 + MAX(n) % 2 AS INT) AS n_scans,
+  CAST(64 * SUM(r) AS BIGINT) AS r_sum,
+  CAST(64 * SUM(g) AS BIGINT) AS g_sum,
+  CAST(64 * SUM(b) AS BIGINT) AS b_sum
+FROM rgb
+GROUP BY doc_id
+"""
+
+
 def q_multimodal_jpeg_dri(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Restart-marker COLOR JPEG decode (round 15): the 4:2:0 color
     round-trip of multimodal_jpeg_color, but the bitstream is segmented
@@ -2551,6 +2608,12 @@ QUERIES: dict[str, QuerySpec] = {
         ORA_MULTIMODAL_JPEG_PROGRESSIVE,
         "progressive SOF2 JPEG round-trip (spectral selection + "
         "successive approximation, EOBn runs) via mapInPandas",
+    ),
+    "multimodal_jpeg_progressive_color": QuerySpec(
+        q_multimodal_jpeg_progressive_color,
+        ORA_MULTIMODAL_JPEG_PROGRESSIVE_COLOR,
+        "progressive 4:2:0 color JPEG round-trip (interleaved DC scans + "
+        "per-component AC bands) via mapInPandas",
     ),
     "multimodal_jpeg_dri": QuerySpec(
         q_multimodal_jpeg_dri,

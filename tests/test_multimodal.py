@@ -1007,26 +1007,94 @@ def test_jpeg_color_decoder_handles_chroma_ac_from_independent_writer():
             assert tuple(arr[y, x]) == (int(r), int(g), int(b)), (y, x)
 
 
-def test_decode_image_routes_progressive_and_names_color_progressive():
-    """decode_image routes SOF2 grayscale to the progressive decoder
-    (r15) and raises the actionable named error for SOF2 COLOR, which no
-    decoder here implements."""
+def test_decode_image_routes_progressive_gray_and_color():
+    """decode_image routes SOF2 to the progressive decoder for both
+    grayscale and 4:2:0 color (r15); a baseline-color stream with its
+    SOF flipped to SOF2 is structurally a baseline scan, so the
+    progressive scan-layout check rejects it by name."""
     import pytest
 
     from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
         decode_image,
         decode_jpeg,
+        decode_jpeg_color,
         encode_jpeg,
         encode_jpeg_color,
         encode_jpeg_progressive,
+        encode_jpeg_progressive_color,
     )
 
     assert decode_image(encode_jpeg_progressive(b"sof2")) == decode_jpeg(
         encode_jpeg(b"sof2")
     )
-    color_prog = encode_jpeg_color(b"sof2").replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="progressive color"):
-        decode_image(color_prog)
+    assert decode_image(
+        encode_jpeg_progressive_color(b"sof2")
+    ) == decode_jpeg_color(encode_jpeg_color(b"sof2"))
+    # a LYING stream: baseline color scan behind an SOF2 marker — its
+    # single interleaved FULL-BAND SOS is illegal in progressive mode
+    # (interleaved scans must be DC-only, T.81 G.1.1)
+    fake = encode_jpeg_color(b"sof2").replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_image(fake)
+
+
+def test_jpeg_progressive_color_roundtrip_matches_baseline():
+    """Progressive 4:2:0 color streams decode to byte-identical RGB as
+    the baseline color encode of the same payload: interleaved DC
+    first+refine with per-component predictors, then per-component AC
+    band scans (two for Y on odd lengths).  Restart intervals segment
+    the interleaved scans per-MCU and the AC scans per-block."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_jpeg_progressive,
+        encode_jpeg_color,
+        encode_jpeg_progressive_color,
+    )
+
+    for payload in (b"", b"a", b"ab", b"color scans", bytes(range(256))):
+        base = decode_jpeg_color(encode_jpeg_color(payload))
+        assert (
+            decode_jpeg_progressive(encode_jpeg_progressive_color(payload))
+            == base
+        )
+        for interval in (1, 2):
+            assert (
+                decode_jpeg_progressive(
+                    encode_jpeg_progressive_color(
+                        payload, restart_interval=interval
+                    )
+                )
+                == base
+            )
+    enc = encode_jpeg_progressive_color(b"abc")  # odd n: split Y band
+    n_scans = sum(
+        1 for i in range(len(enc) - 1) if enc[i] == 0xFF and enc[i + 1] == 0xDA
+    )
+    assert enc.count(b"\xff\xc2") == 1 and n_scans == 6
+    assert encode_jpeg_progressive_color(b"ab").count(b"\xff\xda") == 5
+
+
+def test_jpeg_progressive_color_roundtrip_property():
+    """Hypothesis sweep: progressive color and baseline color encodes of
+    the same payload decode to identical RGB rasters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_color,
+        decode_jpeg_progressive,
+        encode_jpeg_color,
+        encode_jpeg_progressive_color,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.binary(min_size=0, max_size=300))
+    def check(payload):
+        assert decode_jpeg_progressive(
+            encode_jpeg_progressive_color(payload)
+        ) == decode_jpeg_color(encode_jpeg_color(payload))
+
+    check()
 
 
 def test_jpeg_segment_walk_raises_valueerror_on_truncated_header():
