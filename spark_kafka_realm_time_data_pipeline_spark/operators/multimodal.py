@@ -692,34 +692,48 @@ def _ycbcr_to_rgb_fixed(y, cb, cr, np):
     return r, g, b
 
 
-def encode_jpeg_color(data: bytes, restart_interval: int = 0) -> bytes:
-    """Pack ``data`` into a REAL baseline JFIF 4:2:0 COLOR JPEG: 3
-    components (Y 2x2, Cb/Cr 1x1), two unit quant tables, luma + chroma
-    DHT slots, interleaved MCU scan with per-component differential DC.
-    Within MCU m, the four Y data units carry the cycled bytes
-    ``data[(4m+j) % n]`` and the chroma units ``data[m % n]`` /
-    ``data[(m+1) % n]``; every data unit is a DC-only constant block, so
-    the decode is bit-exact and the oracle replays the RGB sums
-    analytically.  The chroma DHT slots reuse the Annex-K luma contents —
-    spec-legal (readers decode from the transmitted DHT), and it
-    exercises the multi-slot table parse.  ``restart_interval`` > 0 emits
-    DRI + RSTm markers every that-many MCUs with all three DC predictors
-    reset per interval (T.81 E.1.2)."""
+def encode_jpeg_color(
+    data: bytes,
+    restart_interval: int = 0,
+    sampling: tuple = ((2, 2), (1, 1), (1, 1)),
+) -> bytes:
+    """Pack ``data`` into a REAL baseline JFIF COLOR JPEG: 3 components,
+    two unit quant tables, luma + chroma DHT slots, interleaved MCU scan
+    with per-component differential DC.  ``sampling`` sets the
+    per-component (H, V) factors — the default 4:2:0 (Y 2x2, chroma 1x1)
+    matches real camera output byte-for-byte in structure; 4:2:2
+    ``((2,1),(1,1),(1,1))``, 4:4:0 ``((1,2),(1,1),(1,1))``, and 4:4:4
+    ``((1,1),(1,1),(1,1))`` emit the other layouts real encoders use
+    (chroma must be 1x1 here; the DECODER accepts any {1,2} factors whose
+    grids divide luma).  Within MCU m, Y data unit j carries the cycled
+    byte ``data[(nY*m + j) % n]`` (nY = H1*V1) and the chroma units
+    ``data[m % n]`` / ``data[(m+1) % n]``; every data unit is a DC-only
+    constant block, so the decode is bit-exact and the oracle replays the
+    RGB sums analytically.  The chroma DHT slots reuse the Annex-K luma
+    contents — spec-legal (readers decode from the transmitted DHT), and
+    it exercises the multi-slot table parse.  ``restart_interval`` > 0
+    emits DRI + RSTm markers every that-many MCUs with all three DC
+    predictors reset per interval (T.81 E.1.2)."""
     n = len(data)
+    (h1, v1), (h2, v2), (h3, v3) = sampling
+    if (h2, v2) != (1, 1) or (h3, v3) != (1, 1) or not (
+        1 <= h1 <= 2 and 1 <= v1 <= 2
+    ):
+        raise ValueError(f"unsupported encoder sampling {sampling}")
     mw = JPEG_MW_BASE + n % JPEG_MW_MOD
     mh = JPEG_MH_BASE + n % JPEG_MH_MOD
-    w, h = 16 * mw, 16 * mh
+    w, h = 8 * h1 * mw, 8 * v1 * mh
     head = bytearray()
     head += b"\xff\xd8"  # SOI
     head += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     head += _seg(0xFFDB, b"\x00" + bytes([1] * 64))  # DQT slot 0 (luma)
     head += _seg(0xFFDB, b"\x01" + bytes([1] * 64))  # DQT slot 1 (chroma)
-    head += _seg(  # SOF0: Y id1 2x2 Tq0, Cb id2 1x1 Tq1, Cr id3 1x1 Tq1
+    head += _seg(  # SOF0: Y id1 Tq0, Cb id2 Tq1, Cr id3 Tq1
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x22, 0])
-        + bytes([2, 0x11, 1])
-        + bytes([3, 0x11, 1]),
+        + bytes([1, (h1 << 4) | v1, 0])
+        + bytes([2, (h2 << 4) | v2, 1])
+        + bytes([3, (h3 << 4) | v3, 1]),
     )
     head += _seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     head += _seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
@@ -746,27 +760,32 @@ def encode_jpeg_color(data: bytes, restart_interval: int = 0) -> bytes:
         eob_code, eob_len = _AC_ENC[0x00]
         bits.write(eob_code, eob_len)
 
+    n_y = h1 * v1
     for m in range(mw * mh):
         if restart_interval and m and m % restart_interval == 0:
             _emit_restart(bits, m // restart_interval - 1)
             preds[0] = preds[1] = preds[2] = 0
-        for j in range(4):  # Y data units: left-right, top-bottom
-            put(0, data[(4 * m + j) % n] if n else 0)
+        for j in range(n_y):  # Y data units: left-right, top-bottom
+            put(0, data[(n_y * m + j) % n] if n else 0)
         put(1, data[m % n] if n else 128)  # Cb
         put(2, data[(m + 1) % n] if n else 128)  # Cr
     return bytes(head) + bits.flush() + b"\xff\xd9"  # EOI
 
 
 def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
-    """Full baseline 4:2:0 color JPEG decode: marker walk, multi-slot
-    DQT/DHT, SOF0 with per-component sampling factors, interleaved MCU
-    entropy decode (4 Y + Cb + Cr per MCU, per-component DC predictors),
-    2x nearest-neighbor chroma upsample, integer fixed-point YCbCr->RGB,
-    crop.  Returns ``(width, height, interleaved RGB bytes)``.  Restart
-    intervals (DRI + RSTm with modulo-8 verification and per-interval
-    resets of all three DC predictors) decode; sampling layouts other
-    than Y 2x2 + chroma 1x1 and progressive scans raise with the
-    unsupported feature named."""
+    """Full baseline color JPEG decode: marker walk, multi-slot DQT/DHT,
+    SOF0 with per-component sampling factors, interleaved MCU entropy
+    decode (Hi*Vi data units per component per MCU, per-component DC
+    predictors), nearest-neighbor chroma upsample to the luma grid,
+    integer fixed-point YCbCr->RGB, crop.  Returns ``(width, height,
+    interleaved RGB bytes)``.  Supports every sampling layout with
+    factors in {1, 2} whose chroma grids divide the luma grid — 4:2:0
+    (Y 2x2), 4:2:2 (Y 2x1), 4:4:0 (Y 1x2), and 4:4:4 (all 1x1) — i.e.
+    the layouts real encoders emit; anything else raises with the
+    factors named.  Restart intervals (DRI + RSTm with modulo-8
+    verification and per-interval resets of all three DC predictors)
+    decode; progressive scans raise with the unsupported feature
+    named."""
     import numpy as np
 
     qt: dict[int, list[int]] = {}
@@ -794,10 +813,18 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
             for c in range(3):  # entries follow the 6-byte geometry header
                 _cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comp_geom.append((hv >> 4, hv & 0x0F, tq))
-            if [(hh, vv) for hh, vv, _ in comp_geom] != [(2, 2), (1, 1), (1, 1)]:
+            hmax = max(hh for hh, _vv, _tq in comp_geom)
+            vmax = max(vv for _hh, vv, _tq in comp_geom)
+            ok = all(
+                1 <= hh <= 2 and 1 <= vv <= 2
+                and hmax % hh == 0 and vmax % vv == 0
+                for hh, vv, _tq in comp_geom
+            )
+            if not ok:
                 raise ValueError(
-                    "unsupported sampling layout (only 4:2:0 — Y 2x2, "
-                    "chroma 1x1 — decodes)"
+                    "unsupported sampling layout "
+                    f"{[(hh, vv) for hh, vv, _ in comp_geom]} (factors "
+                    "must be 1 or 2 and chroma grids must divide luma)"
                 )
         elif marker in _SOF_UNSUPPORTED:
             raise ValueError(f"unsupported SOF marker {marker:#x} (baseline only)")
@@ -817,10 +844,14 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("missing SOS or SOF0 segment")
     basis = _idct_basis_cached()
     quants = [np.array(qt[tq], dtype=np.int64) for _, _, tq in comp_geom]
-    mw, mh = (w + 15) // 16, (h + 15) // 16
-    yplane = np.zeros((mh * 16, mw * 16), dtype=np.uint8)
-    cbplane = np.zeros((mh * 8, mw * 8), dtype=np.uint8)
-    crplane = np.zeros((mh * 8, mw * 8), dtype=np.uint8)
+    hmax = max(hh for hh, _vv, _tq in comp_geom)
+    vmax = max(vv for _hh, vv, _tq in comp_geom)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mw, mh = (w + mcu_w - 1) // mcu_w, (h + mcu_h - 1) // mcu_h
+    planes = [
+        np.zeros((mh * vv * 8, mw * hh * 8), dtype=np.uint8)
+        for hh, vv, _tq in comp_geom
+    ]
     reader = _BitReader(payload, scan_at)
     preds = [0, 0, 0]
     for m in range(mw * mh):
@@ -828,25 +859,25 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
             _consume_restart(reader, m // restart_interval - 1)
             preds = [0, 0, 0]
         my, mx = divmod(m, mw)
-        for j in range(4):  # Y: left-right, top-bottom within the MCU
-            td, ta = scan_tables[0]
-            px, preds[0] = _decode_du(
-                reader, dc_tables[td], ac_tables[ta], preds[0], quants[0],
-                basis, np,
-            )
-            ry, rx = my * 16 + (j // 2) * 8, mx * 16 + (j % 2) * 8
-            yplane[ry : ry + 8, rx : rx + 8] = px
-        for ci, plane in ((1, cbplane), (2, crplane)):
+        for ci, (hh, vv, _tq) in enumerate(comp_geom):
             td, ta = scan_tables[ci]
-            px, preds[ci] = _decode_du(
-                reader, dc_tables[td], ac_tables[ta], preds[ci], quants[ci],
-                basis, np,
-            )
-            plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = px
-    cb = np.repeat(np.repeat(cbplane, 2, axis=0), 2, axis=1)
-    cr = np.repeat(np.repeat(crplane, 2, axis=0), 2, axis=1)
+            for j in range(hh * vv):  # left-right, top-bottom per T.81 A.2.3
+                px, preds[ci] = _decode_du(
+                    reader, dc_tables[td], ac_tables[ta], preds[ci],
+                    quants[ci], basis, np,
+                )
+                ry = (my * vv + j // hh) * 8
+                rx = (mx * hh + j % hh) * 8
+                planes[ci][ry : ry + 8, rx : rx + 8] = px
+    up = [
+        np.repeat(
+            np.repeat(planes[ci], vmax // vv, axis=0), hmax // hh, axis=1
+        )
+        for ci, (hh, vv, _tq) in enumerate(comp_geom)
+    ]
     r, g, b = _ycbcr_to_rgb_fixed(
-        yplane.astype(np.int64), cb.astype(np.int64), cr.astype(np.int64), np
+        up[0].astype(np.int64), up[1].astype(np.int64), up[2].astype(np.int64),
+        np,
     )
     rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)[:h, :w]
     return w, h, rgb.tobytes()

@@ -548,6 +548,80 @@ def test_jpeg_progressive_ac_first_and_refine_from_independent_writer():
     assert raster == expected.tobytes()
 
 
+def test_jpeg_color_decodes_422_440_and_444_sampling_layouts():
+    """The baseline color decoder is sampling-general (r15): 4:2:2
+    (Y 2x1), 4:4:0 (Y 1x2), and 4:4:4 (all 1x1) round-trip against an
+    analytic per-pixel expectation built straight from the content law +
+    the fixed-point conversion — per-layout MCU geometry, data-unit
+    raster order, and per-axis chroma upsample all pinned.  The default
+    4:2:0 stream stays byte-for-byte what the r14 encoder emitted."""
+    import numpy as np
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators import (
+        multimodal as M,
+    )
+
+    def expected_rgb(payload, sampling):
+        n = len(payload)
+        (h1, v1), _, _ = sampling
+        mw = M.JPEG_MW_BASE + n % M.JPEG_MW_MOD
+        mh = M.JPEG_MH_BASE + n % M.JPEG_MH_MOD
+        w, hgt = 8 * h1 * mw, 8 * v1 * mh
+        ny = h1 * v1
+        y = np.zeros((hgt, w), np.int64)
+        cb = np.zeros_like(y)
+        cr = np.zeros_like(y)
+        for m in range(mw * mh):
+            my, mx = divmod(m, mw)
+            for j in range(ny):
+                val = payload[(ny * m + j) % n] if n else 0
+                ry, rx = (my * v1 + j // h1) * 8, (mx * h1 + j % h1) * 8
+                y[ry : ry + 8, rx : rx + 8] = val
+            cb[my * v1 * 8 : (my + 1) * v1 * 8,
+               mx * h1 * 8 : (mx + 1) * h1 * 8] = payload[m % n] if n else 128
+            cr[my * v1 * 8 : (my + 1) * v1 * 8,
+               mx * h1 * 8 : (mx + 1) * h1 * 8] = (
+                payload[(m + 1) % n] if n else 128
+            )
+        r, g, b = M._ycbcr_to_rgb_fixed(y, cb, cr, np)
+        return np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes(), w, hgt
+
+    layouts = [
+        ((2, 1), (1, 1), (1, 1)),  # 4:2:2
+        ((1, 2), (1, 1), (1, 1)),  # 4:4:0
+        ((1, 1), (1, 1), (1, 1)),  # 4:4:4
+        ((2, 2), (1, 1), (1, 1)),  # 4:2:0 (the default, via the same path)
+    ]
+    for samp in layouts:
+        for payload in (b"", b"a", b"sampling!", bytes(range(256))):
+            w, h, rgb = M.decode_jpeg_color(
+                M.encode_jpeg_color(payload, sampling=samp)
+            )
+            exp, we, he = expected_rgb(payload, samp)
+            assert (w, h) == (we, he)
+            assert rgb == exp
+            w2, h2, rgb2 = M.decode_jpeg_color(
+                M.encode_jpeg_color(payload, restart_interval=2, sampling=samp)
+            )
+            assert rgb2 == rgb
+
+
+def test_jpeg_color_encoder_rejects_unsupported_sampling_request():
+    """The ENCODER only emits the chroma-1x1 layouts (the shapes real
+    encoders use); asking for anything else raises rather than writing a
+    stream the content law cannot describe."""
+    import pytest
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        encode_jpeg_color,
+    )
+
+    with pytest.raises(ValueError, match="sampling"):
+        encode_jpeg_color(b"x", sampling=((2, 2), (2, 1), (1, 1)))
+    with pytest.raises(ValueError, match="sampling"):
+        encode_jpeg_color(b"x", sampling=((3, 1), (1, 1), (1, 1)))
+
+
 def test_jpeg_progressive_interscan_table_redefinition():
     """T.81 allows DHT redefinition BETWEEN scans; the inter-scan walk
     must honor the newest table.  The second DC scan here (a refinement)
@@ -797,9 +871,12 @@ def test_jpeg_color_quadrant_placement_and_chroma_constancy():
             assert (quad == np.array([r, g, b])).all(), (m, j)
 
 
-def test_jpeg_color_decode_rejects_non_420_sampling():
-    """A 4:4:4 layout (Y 1x1) must raise with the layout named, not decode
-    with the wrong MCU geometry."""
+def test_jpeg_color_decode_rejects_unrepresentable_sampling():
+    """Sampling factors outside {1, 2} (here Y 3x1) must raise with the
+    factors named, not decode with the wrong MCU geometry.  (Layouts
+    WITHIN {1,2} — 4:4:4, 4:2:2, 4:4:0, even chroma-denser-than-luma —
+    decode since the r15 generalization; see the layout round-trip
+    test.)"""
     import pytest
 
     from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
@@ -808,8 +885,8 @@ def test_jpeg_color_decode_rejects_non_420_sampling():
     )
 
     good = encode_jpeg_color(b"xyz")
-    # SOF0 component 1 entry: id=1, HV=0x22, Tq=0 -> flip HV to 0x11
-    bad = good.replace(bytes([1, 0x22, 0]), bytes([1, 0x11, 0]), 1)
+    # SOF0 component 1 entry: id=1, HV=0x22, Tq=0 -> flip HV to 0x31
+    bad = good.replace(bytes([1, 0x22, 0]), bytes([1, 0x31, 0]), 1)
     with pytest.raises(ValueError, match="sampling layout"):
         decode_jpeg_color(bad)
 
