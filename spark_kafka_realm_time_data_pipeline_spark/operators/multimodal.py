@@ -778,11 +778,13 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
     decode (Hi*Vi data units per component per MCU, per-component DC
     predictors), nearest-neighbor chroma upsample to the luma grid,
     integer fixed-point YCbCr->RGB, crop.  Returns ``(width, height,
-    interleaved RGB bytes)``.  Supports every sampling layout with
-    factors in {1, 2} whose chroma grids divide the luma grid — 4:2:0
-    (Y 2x2), 4:2:2 (Y 2x1), 4:4:0 (Y 1x2), and 4:4:4 (all 1x1) — i.e.
-    the layouts real encoders emit; anything else raises with the
-    factors named.  Restart intervals (DRI + RSTm with modulo-8
+    interleaved RGB bytes)``.  Supports every sampling layout whose
+    factors are all in {1, 2} — each plane is upsampled to the densest
+    transmitted grid, which covers the layouts real encoders emit
+    (4:2:0 Y 2x2, 4:2:2 Y 2x1, 4:4:0 Y 1x2, 4:4:4 all 1x1) and the
+    spec-legal oddballs (e.g. chroma denser than luma); any factor
+    outside {1, 2} raises with the factors named.  Restart intervals
+    (DRI + RSTm with modulo-8
     verification and per-interval resets of all three DC predictors)
     decode; progressive scans raise with the unsupported feature
     named."""
@@ -813,18 +815,18 @@ def decode_jpeg_color(payload: bytes) -> tuple[int, int, bytes]:
             for c in range(3):  # entries follow the 6-byte geometry header
                 _cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comp_geom.append((hv >> 4, hv & 0x0F, tq))
-            hmax = max(hh for hh, _vv, _tq in comp_geom)
-            vmax = max(vv for _hh, vv, _tq in comp_geom)
+            # every factor in {1, 2} is decodable: with factors capped at
+            # 2, each plane's grid divides the densest (hmax, vmax) grid
+            # by construction, so the np.repeat upsample below is exact —
+            # including the spec-legal chroma-denser-than-luma layouts
             ok = all(
-                1 <= hh <= 2 and 1 <= vv <= 2
-                and hmax % hh == 0 and vmax % vv == 0
-                for hh, vv, _tq in comp_geom
+                1 <= hh <= 2 and 1 <= vv <= 2 for hh, vv, _tq in comp_geom
             )
             if not ok:
                 raise ValueError(
                     "unsupported sampling layout "
-                    f"{[(hh, vv) for hh, vv, _ in comp_geom]} (factors "
-                    "must be 1 or 2 and chroma grids must divide luma)"
+                    f"{[(hh, vv) for hh, vv, _ in comp_geom]} (all "
+                    "factors must be 1 or 2)"
                 )
         elif marker in _SOF_UNSUPPORTED:
             raise ValueError(f"unsupported SOF marker {marker:#x} (baseline only)")
@@ -1269,8 +1271,22 @@ def _parse_prog_sos(body: bytes):
 
 
 def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
+    """Full progressive (SOF2) JPEG decode — ``(width, height, raster)``.
+    Thin wrapper over :func:`decode_jpeg_progressive_counted` keeping the
+    3-tuple contract decode_image's format routing expects."""
+    w, h, raster, _n_scans = decode_jpeg_progressive_counted(payload)
+    return w, h, raster
+
+
+def decode_jpeg_progressive_counted(
+    payload: bytes,
+) -> tuple[int, int, bytes, int]:
     """Full progressive (SOF2) JPEG decode from the public spec —
-    grayscale AND 4:2:0 color.  The header walk collects DQT/DHT/DRI up
+    grayscale AND 4:2:0 color.  Returns ``(width, height, raster,
+    n_scans)`` where ``n_scans`` counts the SOS scans the decoder
+    actually consumed — a measured value, so a scan-sequencing bug
+    surfaces through the count instead of being replayed analytically
+    on both sides.  The header walk collects DQT/DHT/DRI up
     to the first SOS, then scans decode in sequence — each SOS names its
     component(s), a zigzag band (Ss..Se), and an approximation level
     (Ah, Al); DC scans (the only shape T.81 G.1.1 allows to interleave
@@ -1344,12 +1360,22 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
         [[0] * 64 for _ in range(gw * gh)] for gw, gh in grids
     ]  # zigzag-index space, per component
 
+    n_scans = 0
     while True:
         comps, ss, se, ah, al = scan_params
+        n_scans += 1
         reader = _BitReader(payload, pos)
         if len(comps) == 1:
             cid, td, ta = comps[0]
             ci = comp_index[cid]
+            # resolve the tables this scan shape actually reads (DC
+            # refinement is raw bits — no table) so a scan referencing an
+            # untransmitted DHT raises the same named error every other
+            # malformed feature gets, not a NoneType AttributeError
+            if ss == 0 and ah == 0 and td not in dc_tables:
+                raise ValueError(f"undefined DC Huffman table {td} in scan")
+            if ss > 0 and ta not in ac_tables:
+                raise ValueError(f"undefined AC Huffman table {ta} in scan")
             _prog_scan_single(
                 reader, coefs[ci], ss, se, ah, al,
                 dc_tables.get(td), ac_tables.get(ta), restart_interval,
@@ -1357,7 +1383,13 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
         elif len(comps) == ncomp == 3 and ss == 0:
             if se != 0:
                 raise ValueError("DC scan must have Se=0")
-            dc_decs = [dc_tables[td] for _cid, td, _ta in comps]
+            if ah == 0:
+                missing = [td for _c, td, _t in comps if td not in dc_tables]
+                if missing:
+                    raise ValueError(
+                        f"undefined DC Huffman table {missing[0]} in scan"
+                    )
+            dc_decs = [dc_tables.get(td) for _cid, td, _ta in comps]
             _prog_scan_dc_interleaved(
                 reader, coefs, mw, mh, ah, al, dc_decs, restart_interval
             )
@@ -1415,7 +1447,7 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
 
     cids = sorted(comp_index, key=comp_index.get)
     if ncomp == 1:
-        return w, h, comp_plane(0, cids[0])[:h, :w].tobytes()
+        return w, h, comp_plane(0, cids[0])[:h, :w].tobytes(), n_scans
     yplane = comp_plane(0, cids[0])
     cb = np.repeat(np.repeat(comp_plane(1, cids[1]), 2, axis=0), 2, axis=1)
     cr = np.repeat(np.repeat(comp_plane(2, cids[2]), 2, axis=0), 2, axis=1)
@@ -1423,7 +1455,7 @@ def decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
         yplane.astype(np.int64), cb.astype(np.int64), cr.astype(np.int64), np
     )
     rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)[:h, :w]
-    return w, h, rgb.tobytes()
+    return w, h, rgb.tobytes(), n_scans
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -1825,23 +1857,30 @@ PROG_FEATURE_SCHEMA = (
 
 def _jpeg_progressive_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
     """Encode each payload into a progressive (SOF2) grayscale JPEG —
-    DC first + DC refine + one or two spectral AC band scans — and decode
-    it through decode_image (exercising the SOF2 routing peek) with the
-    multi-scan progressive decoder.  Pixels are identical to the baseline
-    encode of the same payload by construction, so the oracle replays
-    pixel_sum analytically and any successive-approximation, EOBRUN, or
-    scan-sequencing bug mis-sums."""
+    DC first + DC refine + one or two spectral AC band scans — route it
+    through the same SOF peek decode_image uses (_jpeg_mode), and decode
+    with the multi-scan progressive decoder.  Pixels are identical to the
+    baseline encode of the same payload by construction, so the oracle
+    replays pixel_sum analytically and any successive-approximation,
+    EOBRUN, or scan-sequencing bug mis-sums.  n_scans is COUNTED from the
+    scans the decoder consumed (r16, per ADVICE) — the oracle replays the
+    encoder's spectral split analytically, so the two routes are
+    independent and a sequencing bug surfaces through the column."""
     import numpy as np
     import pandas as pd
 
     out = {k: [] for k in ("doc_id", "width", "height", "n_scans", "pixel_sum")}
     for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
         payload = payload or b""
-        width, height, raster = decode_image(encode_jpeg_progressive(payload))
+        stream = encode_jpeg_progressive(payload)
+        progressive, _ncomp = _jpeg_mode(stream)  # decode_image's routing peek
+        if not progressive:
+            raise ValueError("encoder emitted a non-SOF2 stream")
+        width, height, raster, n_scans = decode_jpeg_progressive_counted(stream)
         out["doc_id"].append(doc_id)
         out["width"].append(width)
         out["height"].append(height)
-        out["n_scans"].append(3 + len(payload) % 2)
+        out["n_scans"].append(n_scans)
         out["pixel_sum"].append(int(np.frombuffer(raster, np.uint8).sum()))
     return pd.DataFrame(
         {
@@ -1872,11 +1911,13 @@ PROG_COLOR_FEATURE_SCHEMA = (
 def _jpeg_progressive_color_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
     """Encode each payload into a progressive 4:2:0 COLOR JPEG —
     interleaved DC first/refine scans plus per-component AC band scans —
-    and decode through decode_image's SOF2 routing.  Pixels equal the
-    baseline color encode by construction, so the oracle replays the
-    fixed-point per-channel sums plus the scan count analytically; a
-    per-component predictor mixup, scan-sequencing, or upsample bug
-    mis-sums."""
+    route it through the same SOF peek decode_image uses, and decode with
+    the multi-scan progressive decoder.  Pixels equal the baseline color
+    encode by construction, so the oracle replays the fixed-point
+    per-channel sums analytically; n_scans is COUNTED from the scans the
+    decoder consumed (r16, per ADVICE) while the oracle replays the
+    encoder's spectral split, so a per-component predictor mixup,
+    scan-sequencing, or upsample bug mis-sums or mis-counts."""
     import numpy as np
     import pandas as pd
 
@@ -1885,12 +1926,16 @@ def _jpeg_progressive_color_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame"
     )}
     for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
         payload = payload or b""
-        width, height, rgb = decode_image(encode_jpeg_progressive_color(payload))
+        stream = encode_jpeg_progressive_color(payload)
+        progressive, _ncomp = _jpeg_mode(stream)  # decode_image's routing peek
+        if not progressive:
+            raise ValueError("encoder emitted a non-SOF2 stream")
+        width, height, rgb, n_scans = decode_jpeg_progressive_counted(stream)
         arr = np.frombuffer(rgb, np.uint8).reshape(height, width, 3).astype(np.int64)
         out["doc_id"].append(doc_id)
         out["width"].append(width)
         out["height"].append(height)
-        out["n_scans"].append(5 + len(payload) % 2)
+        out["n_scans"].append(n_scans)
         out["r_sum"].append(int(arr[..., 0].sum()))
         out["g_sum"].append(int(arr[..., 1].sum()))
         out["b_sum"].append(int(arr[..., 2].sum()))
@@ -1976,4 +2021,73 @@ def extract_jpeg_dri_features(binary_docs: DataFrame) -> DataFrame:
     most real-world camera/libjpeg output carries."""
     return _map_payload_batches(
         binary_docs, _jpeg_dri_feature_batch, DRI_FEATURE_SCHEMA
+    )
+
+
+SAMPLING_FEATURE_SCHEMA = (
+    "doc_id long, sampling string, width int, height int, n_pixels int, "
+    "r_sum long, g_sum long, b_sum long"
+)
+
+# the non-4:2:0 baseline layouts real encoders emit, cycled per doc by
+# (n // 3) % 3 (decorrelated from the n % 2 / n % 3 MCU geometry keys)
+_JPEG_SAMPLING_CYCLE = (
+    ("4:2:2", ((2, 1), (1, 1), (1, 1))),
+    ("4:4:0", ((1, 2), (1, 1), (1, 1))),
+    ("4:4:4", ((1, 1), (1, 1), (1, 1))),
+)
+
+
+def _jpeg_sampling_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Encode each payload into a baseline color JPEG at a NON-4:2:0
+    sampling layout — 4:2:2 (Y 2x1), 4:4:0 (Y 1x2), or 4:4:4 (all 1x1),
+    cycled by payload length — and run the sampling-general color decode
+    (per-layout MCU geometry, data-unit raster order, per-axis chroma
+    upsample).  Within MCU m, Y data unit j carries the cycled byte
+    ``data[(nY*m + j) % n]`` and the MCU's chroma is ``data[m % n]`` /
+    ``data[(m+1) % n]``, so the oracle replays the per-channel sums with
+    the same exact-BIGINT fixed-point replay as the 4:2:0 query, with nY
+    and the plane geometry parametrized by the layout."""
+    import numpy as np
+    import pandas as pd
+
+    out = {k: [] for k in (
+        "doc_id", "sampling", "width", "height", "n_pixels",
+        "r_sum", "g_sum", "b_sum",
+    )}
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        payload = payload or b""
+        name, layout = _JPEG_SAMPLING_CYCLE[(len(payload) // 3) % 3]
+        width, height, rgb = decode_jpeg_color(
+            encode_jpeg_color(payload, sampling=layout)
+        )
+        arr = np.frombuffer(rgb, np.uint8).reshape(height, width, 3).astype(np.int64)
+        out["doc_id"].append(doc_id)
+        out["sampling"].append(name)
+        out["width"].append(width)
+        out["height"].append(height)
+        out["n_pixels"].append(width * height)
+        out["r_sum"].append(int(arr[..., 0].sum()))
+        out["g_sum"].append(int(arr[..., 1].sum()))
+        out["b_sum"].append(int(arr[..., 2].sum()))
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"],
+            "sampling": out["sampling"],
+            "width": pd.Series(out["width"], dtype="int32"),
+            "height": pd.Series(out["height"], dtype="int32"),
+            "n_pixels": pd.Series(out["n_pixels"], dtype="int32"),
+            "r_sum": pd.Series(out["r_sum"], dtype="int64"),
+            "g_sum": pd.Series(out["g_sum"], dtype="int64"),
+            "b_sum": pd.Series(out["b_sum"], dtype="int64"),
+        }
+    )
+
+
+def extract_jpeg_sampling_features(binary_docs: DataFrame) -> DataFrame:
+    """Arrow-batched NON-4:2:0 COLOR JPEG extraction: baseline color
+    round-trips at the 4:2:2 / 4:4:0 / 4:4:4 layouts (cycled per doc),
+    exercising the sampling-general MCU geometry end-to-end."""
+    return _map_payload_batches(
+        binary_docs, _jpeg_sampling_feature_batch, SAMPLING_FEATURE_SCHEMA
     )

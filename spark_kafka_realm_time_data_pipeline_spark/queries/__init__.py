@@ -44,92 +44,85 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Round-15 rotation (the driver checks the first ~50).  Composition
-    # (executes the r14 verdict's items 1-2 exactly):
-    # (a) positions 0-1: dedup_containment + dedup_keep_containment —
-    #     their shared pipeline (containment_pairs, operators/dedup.py)
-    #     changed plan twice in r14 (rank-stage n_toks count-window +
-    #     verify semi-filter) but they were NOT in the r14 window, so
-    #     their newest driver proof (r13) predates their current
-    #     physical plans.  Mandated re-proofs, ahead of everything;
-    # (b) the 45 remaining r8-proven names (agg_cube .. xml_roundtrip,
-    #     per COVERAGE.md's planned-r15 queue) — after this round every
-    #     oracled name's newest proof is r10-or-newer;
-    # (c) head of the 49 r10-proven names (agg_moments, apply_in_arrow,
-    #     binaryfile_source) to fill 50.  Any r15 additions displace
-    #     from this r10 fill, never from the (a)/(b) head.
-    #     After this round every oracled name's proof is r10-or-newer and
-    #     the window's only overlap with r14's is empty (the containment
-    #     pair's newest proof is r13, so nothing here repeats r14).
+    # Round-16 rotation (the driver checks the first ~50).  Composition
+    # (executes the r15 verdict's items 1 + 3 exactly):
+    # (a) positions 0-1: multimodal_jpeg_stats + multimodal_jpeg_color —
+    #     their shared decoder module (operators/multimodal.py) churned
+    #     in r15 (+941 lines: DRI/SOF2 branches, baseline-color sampling
+    #     generalization) while their newest driver proofs stayed
+    #     r13/r14.  Mandated re-proofs, ahead of everything;
+    # (b) position 2: NEW r16 registration multimodal_jpeg_sampling
+    #     (non-4:2:0 baseline color layouts — decoder + pytests landed
+    #     r15, QuerySpec lands this round);
+    # (c) positions 3-4: the two progressive JPEG queries — r15-proven,
+    #     but r16 changed their VALUE PATH (n_scans is now counted from
+    #     the scans the decoder consumed instead of replaying the
+    #     encoder formula, per ADVICE r15) so the proof must follow;
+    # (d) positions 5-7: the 3 remaining r8-proven stragglers
+    #     (displaced from the r14 fill; the r15 additions left no slot);
+    # (e) positions 8-49: the first 42 of the 48 r10-proven names —
+    #     the oldest-proof tier outside this front.  The alphabetical
+    #     tail (text_repetition .. unpivot_measures) heads the r17
+    #     queue.  Any further r16 additions displace from this r10
+    #     fill tail, never from the (a)-(d) head.
     front = [
         n
         for n in (
-            # (a) r14 plan-changed, proof predates the plan: the shared
-            # containment pipeline (operators/dedup.py containment_pairs)
-            # gained the rank-stage count-window and the verify
-            # semi-filter in r14 while these two sat OUTSIDE the r14
-            # window — mandated re-proofs at positions 0-1
-            "dedup_containment",
-            "dedup_keep_containment",
-            # (a2) NEW in r15: color JPEG decode through DRI restart
-            # intervals, and progressive (SOF2) JPEG decode (never
-            # driver-checked — new queries enter the window in the
-            # registering commit); they displace binaryfile_source and
-            # apply_in_arrow (both r10-proven) from the fill below
-            "multimodal_jpeg_dri",
+            # (a) decoder-module churn re-proofs (VERDICT r15 item 1)
+            "multimodal_jpeg_stats",
+            "multimodal_jpeg_color",
+            # (b) NEW in r16
+            "multimodal_jpeg_sampling",
+            # (c) n_scans value-path change (ADVICE r15)
             "multimodal_jpeg_progressive",
             "multimodal_jpeg_progressive_color",
-            # (b) the 45 remaining r8-proven names
-            "agg_cube",
-            "agg_grouping_sets",
-            "agg_having",
-            "agg_rollup",
-            "agg_string_concat",
-            "bpe_encode",
-            "cast_projection",
-            "compaction_plan",
-            "correlated_min_subquery",
-            "envelope_roundtrip",
-            "exists_subquery",
-            "fk_integrity_audit",
-            "group_stats",
-            "in_aggregate_subquery",
-            "join_anti",
-            "join_full",
-            "join_null_safe",
-            "join_semi",
-            "json_extract",
-            "k_anonymity_audit",
-            "lateral_topk",
-            "mixture_cap_sample",
-            "mixture_repeat_plan",
-            "multi_exists_anti",
-            "mv_incremental_update",
-            "null_filter_split",
-            "percentiles",
-            "recursive_rollup",
-            "scalar_array",
-            "scalar_date",
-            "scalar_string",
-            "scalar_subquery",
-            "set_except",
-            "set_intersect",
-            "set_union",
-            "snapshot_diff",
-            "streaming_mv_update",
-            "streaming_semi_join",
-            "streaming_session_dynamic",
-            "temp_view_sql",
-            "topk_join",
-            "variant_json_get",
-            "view_over_agg_max",
-            "window_lag_lead",
-            "xml_roundtrip",
-            # (c) no fill: 2 mandated re-proofs + 3 r15 additions + the
-            # 45 r8-proven names above make exactly 50.  The remaining 3
-            # r8-proven names (cogroup_apply_in_pandas, column_profile,
-            # sim_range_search — displaced from the r14 fill) head the
-            # r16 queue (COVERAGE.md)
+            # (d) r8-proven stragglers
+            "cogroup_apply_in_pandas",
+            "column_profile",
+            "sim_range_search",
+            # (e) the r10-proven head (42 of 48, alphabetical)
+            "agg_moments",
+            "apply_in_arrow",
+            "binaryfile_source",
+            "bitmap_distinct",
+            "bucketed_join",
+            "cdc_upsert_latest",
+            "collation_group",
+            "compaction_execute",
+            "csv_column_roundtrip",
+            "dedup_simhash_hamming",
+            "distinct_pairs",
+            "dpp_prune_join",
+            "embedding_stats",
+            "envelope_pyds_roundtrip",
+            "envelope_pyds_sink",
+            "envelope_pyds_stream",
+            "join_left",
+            "join_range",
+            "lm_perplexity_filter",
+            "multimodal_frames",
+            "multimodal_meta",
+            "multimodal_resize",
+            "nation_revenue",
+            "pandas_udf_scalar",
+            "param_sql_topk",
+            "python_udtf_table_arg",
+            "scalar_math",
+            "schema_merge_read",
+            "set_except_all",
+            "set_intersect_all",
+            "sim_bruteforce_topk",
+            "sim_lsh_topk",
+            "sql_udf_pricing",
+            "state_store_inspect",
+            "streaming_chained_windows",
+            "streaming_full_outer_join",
+            "streaming_observed_metrics",
+            "streaming_ppl_gate",
+            "streaming_rate_source",
+            "text_fingerprint",
+            "text_langid",
+            "text_quality",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

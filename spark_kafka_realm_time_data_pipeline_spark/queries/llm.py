@@ -2119,6 +2119,73 @@ GROUP BY doc_id
 """
 
 
+def q_multimodal_jpeg_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-4:2:0 baseline COLOR JPEG decode (round 16): each payload is
+    packed at one of the other layouts real encoders emit — 4:2:2
+    (Y 2x1), 4:4:0 (Y 1x2), or 4:4:4 (all 1x1), cycled by
+    (n // 3) % 3 — and decoded with the sampling-general color decoder
+    (per-layout MCU geometry, data-unit raster order, per-axis chroma
+    upsample) inside Arrow-batched mapInPandas.  The content law is the
+    4:2:0 query's with nY = H1*V1 parametrized, so the oracle replays
+    the per-channel sums in exact BIGINT arithmetic with the layout
+    geometry inlined — a raster-order, upsample-axis, or MCU-geometry
+    bug on any layout cannot pass.  Reference has no counterpart (ships
+    no image handling); SURVEY.md §2 multimodal rows."""
+    return M.extract_jpeg_sampling_features(
+        M.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    )
+
+
+# Generalizes ORA_MULTIMODAL_JPEG_COLOR: the layout key (n // 3) % 3 picks
+# (h1, v1) and the sampling label; nY = h1*v1 data units per MCU, so
+# sub-block qi's Y byte is text[qi % n] and the MCU chroma pair comes from
+# qi // nY — the same exact fixed-point replay, geometry parametrized.
+ORA_MULTIMODAL_JPEG_SAMPLING = f"""
+WITH g AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         {M.JPEG_MW_BASE} + octet_length(encode(text)) % {M.JPEG_MW_MOD} AS mw,
+         {M.JPEG_MH_BASE} + octet_length(encode(text)) % {M.JPEG_MH_MOD} AS mh,
+         CASE (octet_length(encode(text)) // 3) % 3
+              WHEN 0 THEN 2 ELSE 1 END AS h1,
+         CASE (octet_length(encode(text)) // 3) % 3
+              WHEN 1 THEN 2 ELSE 1 END AS v1,
+         CASE (octet_length(encode(text)) // 3) % 3
+              WHEN 0 THEN '4:2:2' WHEN 1 THEN '4:4:0' ELSE '4:4:4'
+              END AS sampling
+  FROM documents
+), q AS (
+  SELECT doc_id, text, n, mw, mh, h1, v1, sampling, h1 * v1 AS ny,
+         unnest(range(h1 * v1 * mw * mh)) AS qi
+  FROM g
+), v AS (
+  SELECT doc_id, mw, mh, h1, v1, sampling, ny,
+    CASE WHEN n = 0 THEN 0
+         ELSE ascii(substring(text, CAST(qi % n AS INT) + 1, 1)) END AS yv,
+    CASE WHEN n = 0 THEN 128
+         ELSE ascii(substring(text, CAST((qi // ny) % n AS INT) + 1, 1)) END AS cbv,
+    CASE WHEN n = 0 THEN 128
+         ELSE ascii(substring(text, CAST(((qi // ny) + 1) % n AS INT) + 1, 1)) END AS crv
+  FROM q
+), rgb AS (
+  SELECT doc_id, mw, mh, h1, v1, sampling,
+    least(greatest(yv + (({M._FIX_R_CR} * (crv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS r,
+    least(greatest(yv - (({M._FIX_G_CB} * (cbv - 128) + {M._FIX_G_CR} * (crv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS g,
+    least(greatest(yv + (({M._FIX_B_CB} * (cbv - 128) + 32768 + {M._FIX_BIAS}) // 65536 - 256), 0), 255) AS b
+  FROM v
+)
+SELECT doc_id,
+  MAX(sampling) AS sampling,
+  CAST(8 * MAX(h1) * MAX(mw) AS INT) AS width,
+  CAST(8 * MAX(v1) * MAX(mh) AS INT) AS height,
+  CAST(64 * MAX(h1) * MAX(v1) * MAX(mw) * MAX(mh) AS INT) AS n_pixels,
+  CAST(64 * SUM(r) AS BIGINT) AS r_sum,
+  CAST(64 * SUM(g) AS BIGINT) AS g_sum,
+  CAST(64 * SUM(b) AS BIGINT) AS b_sum
+FROM rgb
+GROUP BY doc_id
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (one-to-many mapInPandas)."""
     return M.sample_frames(M.with_binary_payload(load_table(spark, sf_dir, "documents")))
@@ -2620,6 +2687,12 @@ QUERIES: dict[str, QuerySpec] = {
         ORA_MULTIMODAL_JPEG_DRI,
         "color JPEG round-trip through DRI restart intervals (RSTm "
         "sequencing + per-interval predictor resets) via mapInPandas",
+    ),
+    "multimodal_jpeg_sampling": QuerySpec(
+        q_multimodal_jpeg_sampling,
+        ORA_MULTIMODAL_JPEG_SAMPLING,
+        "non-4:2:0 baseline color JPEG round-trips (4:2:2 / 4:4:0 / "
+        "4:4:4 cycled per doc) via mapInPandas",
     ),
     "multimodal_frames": QuerySpec(
         q_multimodal_frames,

@@ -1186,3 +1186,128 @@ def test_jpeg_segment_walk_raises_valueerror_on_truncated_header():
 
     with pytest.raises(ValueError, match="truncated segment header"):
         decode_jpeg(b"\xff\xd8\xff\xff\xff\xc4")
+
+
+def test_jpeg_progressive_counted_scans_are_measured():
+    """r16 (per ADVICE): n_scans comes from the scans the decoder
+    actually consumed, not the encoder's analytic formula.  The encoded
+    streams' counts still match the spectral split (gray 3 + n%2, color
+    5 + n%2), and a hand-built stream with a NON-formula scan count
+    (one DC scan + one AC scan = 2) reports what was consumed."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        _DC_ENC,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        decode_jpeg_progressive_counted,
+        encode_jpeg_progressive,
+        encode_jpeg_progressive_color,
+    )
+
+    for payload, expect in ((b"even", 3), (b"odd..", 4), (b"", 3)):
+        *_rest, n_scans = decode_jpeg_progressive_counted(
+            encode_jpeg_progressive(payload)
+        )
+        assert n_scans == expect
+    for payload, expect in ((b"even", 5), (b"odd..", 6)):
+        *_rest, n_scans = decode_jpeg_progressive_counted(
+            encode_jpeg_progressive_color(payload)
+        )
+        assert n_scans == expect
+
+    # hand-built 8x8 stream: DC first (Al=0) then one empty AC scan — a
+    # 2-scan layout no encoder formula produces
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    ac_bits = [0] * 16
+    ac_bits[0] = 1  # single 1-bit code: EOB0
+    stream = bytearray()
+    stream += b"\xff\xd8"
+    stream += seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    stream += seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    stream += seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    stream += seg(0xFFC4, b"\x10" + bytes(ac_bits) + bytes((0x00,)))
+    stream += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    code, ln = _DC_ENC[0]  # diff 0: size-0 symbol only
+    stream += bytes([int(format(code, f"0{ln}b").ljust(8, "1"), 2)])
+    stream += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    stream += bytes([0b01111111])  # EOB0 is code '0'; 1-pad fills the byte
+    w, h, raster, n_scans = decode_jpeg_progressive_counted(
+        bytes(stream) + b"\xff\xd9"
+    )
+    assert (w, h, n_scans) == (8, 8, 2)
+    assert raster == bytes([128]) * 64
+
+
+def test_jpeg_progressive_undefined_huffman_table_raises_named_error():
+    """r16 (per ADVICE): a scan referencing an untransmitted Huffman
+    table slot raises the decoder's named ValueError, not an
+    AttributeError out of read_huff(None)."""
+    import pytest
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_progressive,
+        encode_jpeg_progressive,
+    )
+
+    stream = bytearray(encode_jpeg_progressive(b"abc"))
+
+    def sos_offsets(buf):
+        out, i = [], 0
+        while True:
+            j = buf.find(b"\xff\xda", i)
+            if j < 0:
+                return out
+            out.append(j)
+            i = j + 2
+
+    # first SOS is the DC first pass: Td lives in the high nibble of the
+    # table byte at offset +6 (FFDA len2 ns cid tt)
+    dc_bad = bytearray(stream)
+    dc_bad[sos_offsets(dc_bad)[0] + 6] = 0x20  # Td=2: never transmitted
+    with pytest.raises(ValueError, match="undefined DC Huffman table 2"):
+        decode_jpeg_progressive(bytes(dc_bad))
+    # third SOS is the first AC band scan: Ta is the low nibble
+    ac_bad = bytearray(stream)
+    ac_bad[sos_offsets(ac_bad)[2] + 6] = 0x03  # Ta=3: never transmitted
+    with pytest.raises(ValueError, match="undefined AC Huffman table 3"):
+        decode_jpeg_progressive(bytes(ac_bad))
+
+
+def test_jpeg_sampling_feature_batch_matches_analytic_law():
+    """The non-4:2:0 registry batch (4:2:2 / 4:4:0 / 4:4:4 cycled by
+    (n // 3) % 3) reproduces the analytic content law: per MCU, Y unit j
+    carries data[(nY*m + j) % n], chroma is data[m % n]/data[(m+1) % n],
+    and every channel sum is 64 * the fixed-point conversion — the same
+    replay the DuckDB oracle runs."""
+    import numpy as np
+    import pandas as pd
+
+    from spark_kafka_realm_time_data_pipeline_spark.operators import (
+        multimodal as M,
+    )
+
+    payloads = [b"", b"x", b"ab", b"abc", b"abcd", b"quartz!", bytes(range(97))]
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(len(payloads))), "payload": payloads}
+    )
+    got = M._jpeg_sampling_feature_batch(pdf)
+    for i, payload in enumerate(payloads):
+        n = len(payload)
+        name, ((h1, v1), _, _) = M._JPEG_SAMPLING_CYCLE[(n // 3) % 3]
+        mw = M.JPEG_MW_BASE + n % M.JPEG_MW_MOD
+        mh = M.JPEG_MH_BASE + n % M.JPEG_MH_MOD
+        ny = h1 * v1
+        sums = np.zeros(3, np.int64)
+        for m in range(mw * mh):
+            cb = np.int64(payload[m % n] if n else 128)
+            cr = np.int64(payload[(m + 1) % n] if n else 128)
+            for j in range(ny):
+                y = np.int64(payload[(ny * m + j) % n] if n else 0)
+                r, g, b = M._ycbcr_to_rgb_fixed(y, cb, cr, np)
+                sums += 64 * np.array([r, g, b], np.int64)
+        row = got.iloc[i]
+        assert row["sampling"] == name
+        assert (row["width"], row["height"]) == (8 * h1 * mw, 8 * v1 * mh)
+        assert row["n_pixels"] == row["width"] * row["height"]
+        assert (row["r_sum"], row["g_sum"], row["b_sum"]) == tuple(sums)
