@@ -23,10 +23,14 @@ the stream and returns a memory-sink scan, so there is no logical plan
 left to audit (their plans are pinned individually in tests/test_plans.py
 and tests/test_streaming.py).
 
-Output: PLAN_AUDIT.json — {"queries": {name: {counts, flags}}, "flagged":
-{flag: [names]}, "skipped": [names]}.  tests/test_plan_audit.py pins the
-flagged sets against the reviewed allowlists so a re-run that surfaces a
-NEW cartesian/row-UDF/BNLJ fails CI, while count drift does not.
+Output: PLAN_AUDIT.json — {"queries": {name: {counts, flags,
+fingerprint}}, "flagged": {flag: [names]}, "skipped": [names]}.
+tests/test_plan_audit.py pins the flagged sets against the reviewed
+allowlists so a re-run that surfaces a NEW cartesian/row-UDF/BNLJ fails
+CI, while count drift does not.  The per-query ``fingerprint`` is a
+normalized plan-shape hash consumed by the proof-freshness gate
+(tools/proof_ledger.py + tests/test_proof_freshness.py): a query whose
+plan changed since its newest driver proof must re-enter the window.
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
@@ -69,6 +73,37 @@ COUNT_NODES = (
 )
 
 
+_FP_STRIP = [
+    (r"#\d+[A-Za-z]*", "#"),          # expression ids (#123, #45L)
+    (r"plan_id=\d+", "plan_id="),
+    (r"@[0-9a-fA-F]{6,}", "@"),        # object identity hashes
+    (r"file:[^\],\s]+", "file:"),      # staged temp paths
+    (r"/[^\s,\]]*testdata[^\s,\]]*", "<sf>"),  # corpus paths
+    (r"/tmp/[^\s,\]]*", "<tmp>"),
+    (r"\d+(\.\d+)?\s*(B|KiB|MiB|GiB|TiB)\b", "<sz>"),  # size stats
+    (r"Statistics\([^)]*\)", "Statistics()"),
+    (r"paths?=\[[^\]]*\]", "paths=[]"),
+    (r", \d+ entries", ""),
+]
+
+
+def plan_fingerprint(plan: str) -> str:
+    """Normalized hash of a physical plan string: expression ids, object
+    hashes, file paths, and size statistics are stripped so the
+    fingerprint tracks plan SHAPE — it flips on operator/strategy/config
+    changes and stays put across corpus regenerations.  Complements the
+    code-closure fingerprint (tools/closure_fp.py): closure catches
+    Python-side churn that leaves the plan identical (the r15 jpeg
+    incident); this catches session/config-driven plan changes that touch
+    no query-reachable code."""
+    import hashlib
+    import re
+
+    for pat, rep in _FP_STRIP:
+        plan = re.sub(pat, rep, plan)
+    return hashlib.sha256(plan.encode()).hexdigest()[:16]
+
+
 def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
     df = fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -85,7 +120,7 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
         "BatchEvalPythonUDTF"
     ]:
         flags.remove("BatchEvalPython")
-    return {"counts": counts, "flags": flags}
+    return {"counts": counts, "flags": flags, "fingerprint": plan_fingerprint(plan)}
 
 
 def source_hash(root: str) -> str:
