@@ -929,6 +929,175 @@ def incremental_near_dup_batch(
     )
 
 
+def stage_containment_index(
+    base: DataFrame, path: str, max_posting: int = PREFIX_CAP
+) -> None:
+    """Materialize the CONTAINMENT base index as parquet tables — the
+    directed-dedup analog of ``stage_base_index``, built once by the
+    maintenance job so every ingest batch answers "is this new doc
+    already contained in the corpus?" paying only delta-side work:
+
+    - ``{path}/cdf``: (tok, df) — base token document frequencies, the
+      global rarest-first order statistic BOTH sides rank by (a
+      production index owns its statistics; the delta ranks against the
+      index's df, never its own);
+    - ``{path}/cidx``: the per-token posting-capped FULL token index
+      (tok, doc_b, pb, n_b) the delta's prefix probes — containment
+      places no prefix condition on the containing side, so every base
+      token is indexed (under the cap, lowest doc_ids win, the same
+      deterministic degenerate-token guard as containment_pairs);
+    - ``{path}/carrs``: (doc_b, arr) sorted distinct shingle arrays for
+      the exact verify — written LAST so its _SUCCESS marker doubles as
+      the whole-index completeness flag."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    b = base.select("doc_id", "text")
+    target = b.sparkSession.sparkContext.defaultParallelism
+    if b.rdd.getNumPartitions() < target:
+        b = b.repartition(target)
+    toks = doc_shingles(b).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        df = toks.groupBy("tok").agg(F.count("*").alias("df"))
+        df.write.mode("overwrite").parquet(f"{path}/cdf")
+        w = Window.partitionBy("doc_id").orderBy("df", "tok")
+        wt = Window.partitionBy("tok").orderBy("doc_id")
+        (
+            toks.join(df, "tok")
+            .withColumn("pb", F.row_number().over(w))
+            .withColumn(
+                "n_b", F.count("*").over(Window.partitionBy("doc_id"))
+            )
+            .withColumn("rn", F.row_number().over(wt))
+            .filter(F.col("rn") <= max_posting)
+            .select(F.col("doc_id").alias("doc_b"), "tok", "pb", "n_b")
+            .write.mode("overwrite")
+            .parquet(f"{path}/cidx")
+        )
+        toks.groupBy("doc_id").agg(
+            F.array_sort(F.collect_set("tok")).alias("arr")
+        ).write.mode("overwrite").parquet(f"{path}/carrs")
+    finally:
+        toks.unpersist()
+
+
+def containment_vs_base_batch(
+    spark: SparkSession,
+    index_path: str,
+    delta: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    max_posting: int = PREFIX_CAP,
+) -> DataFrame:
+    """Per-micro-batch DIRECTED containment of DELTA docs inside BASE
+    docs against a staged index (``stage_containment_index``): emit
+    (delta_id, base_id) where |shingles(delta) ∩ shingles(base)| /
+    |shingles(delta)| >= t — the ingestion-time question ("is this new
+    document already quoted/contained in the corpus?") that the
+    symmetric incremental Jaccard tier misses on size-mismatched pairs.
+
+    Shaped for the foreachBatch hot loop exactly like
+    ``incremental_near_dup_batch`` — every base-side table stays a
+    parquet SCAN probed by a broadcast of delta-derived frames, so no
+    base data shuffles per trigger:
+
+    - the delta's distinct tokens semi-filter the df table (scan +
+      broadcast probe), then rank delta tokens per doc by the INDEX's
+      (df, tok) order — tokens unseen in the base take df 0 (rarest:
+      they can never match, so they harmlessly occupy prefix slots and
+      the asymmetric prefix bound stays exact);
+    - the delta prefix (first n_a - ceil(t*n_a) + 1 tokens, per-token
+      posting cap) joins the staged full index by broadcast;
+    - the |B| >= ceil(t*|A|) size prune and the PPJoin-style positional
+      upper bound run on the tiny grouped candidate frame;
+    - the verify scans the staged arrays semi-filtered by the broadcast
+      candidate ids and intersects with JVM array_intersect against the
+      broadcast delta arrays.  Integer milli-unit scores, no IEEE
+      rounding anywhere — the oracle replays every stage exactly.
+
+    Value-identical to running the same pipeline in one batch, so the
+    availableNow streaming twin shares the batch oracle verbatim."""
+    from pyspark.sql import Window
+
+    cdf = spark.read.parquet(f"{index_path}/cdf")
+    cidx = spark.read.parquet(f"{index_path}/cidx")
+    carrs = spark.read.parquet(f"{index_path}/carrs")
+
+    target = delta.sparkSession.sparkContext.defaultParallelism
+    d = delta.select("doc_id", "text").repartition(target, "doc_id")
+    darr = doc_shingle_arrays(d).localCheckpoint(eager=True)
+    dtoks = darr.select("doc_id", F.explode("arr").alias("tok"))
+    # df lookup: semi-filter the base df scan by the delta's tokens, then
+    # hang the (small) result off the delta frame by broadcast
+    df_small = cdf.join(
+        F.broadcast(dtoks.select("tok").distinct()), "tok", "left_semi"
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    wt = Window.partitionBy("tok").orderBy("doc_id")
+    ranked = (
+        dtoks.join(F.broadcast(df_small), "tok", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .withColumn("p", F.row_number().over(w))
+        .withColumn("n_a", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix_len = (
+        F.col("n_a")
+        - F.expr(
+            f"({threshold_num} * n_a + {threshold_den} - 1) div {threshold_den}"
+        )
+        + F.lit(1)
+    )
+    dpref = (
+        ranked.filter(F.col("p") <= prefix_len)
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= max_posting)
+        .select(F.col("doc_id").alias("delta_id"), "tok", F.col("p").alias("pa"), "n_a")
+        .localCheckpoint(eager=True)
+    )
+    grouped = (
+        cidx.join(F.broadcast(dpref), "tok")
+        .filter(threshold_den * F.col("n_b") >= threshold_num * F.col("n_a"))
+        .groupBy("delta_id", F.col("doc_b").alias("base_id"))
+        .agg(
+            F.min("pa").alias("fa"),
+            F.min("pb").alias("fb"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    need = F.expr(
+        f"({threshold_num} * n_a + {threshold_den} - 1) div {threshold_den}"
+    )
+    ub = F.lit(1) + F.least(F.col("n_a") - F.col("fa"), F.col("n_b") - F.col("fb"))
+    cands = grouped.filter(ub >= need).select("delta_id", "base_id").localCheckpoint(
+        eager=True
+    )
+    n_a = F.size("arr_a").cast("bigint")
+    n_b = F.size("arr_b").cast("bigint")
+    n_inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint")
+    return (
+        carrs.join(F.broadcast(cands), carrs["doc_id"] == cands["base_id"])
+        .select("delta_id", "base_id", F.col("arr").alias("arr_b"))
+        .join(
+            F.broadcast(
+                darr.select(
+                    F.col("doc_id").alias("delta_id"), F.col("arr").alias("arr_a")
+                )
+            ),
+            "delta_id",
+        )
+        .select(
+            "delta_id",
+            "base_id",
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            n_inter.alias("n_inter"),
+        )
+        .withColumn("containment_milli", F.expr("(1000 * n_inter) div n_a"))
+        .filter(threshold_den * F.col("n_inter") >= threshold_num * F.col("n_a"))
+    )
+
+
 def editdistance_near_dup(
     corpus: DataFrame,
     prefix_len: int = 32,

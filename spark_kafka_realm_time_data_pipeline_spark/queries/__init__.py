@@ -58,13 +58,16 @@ def registry() -> dict[str, QuerySpec]:
     #     but r16 changed their VALUE PATH (n_scans is now counted from
     #     the scans the decoder consumed instead of replaying the
     #     encoder formula, per ADVICE r15) so the proof must follow;
-    # (d) positions 5-7: the 3 remaining r8-proven stragglers
+    # (d) positions 5-6: NEW r16 pair — the incremental containment
+    #     batch query and its availableNow streaming twin (VERDICT r15
+    #     item 5's preferred next surface), sharing one oracle;
+    # (e) positions 7-9: the 3 remaining r8-proven stragglers
     #     (displaced from the r14 fill; the r15 additions left no slot);
-    # (e) positions 8-49: the first 42 of the 48 r10-proven names —
+    # (f) positions 10-49: the first 40 of the 48 r10-proven names —
     #     the oldest-proof tier outside this front.  The alphabetical
-    #     tail (text_repetition .. unpivot_measures) heads the r17
-    #     queue.  Any further r16 additions displace from this r10
-    #     fill tail, never from the (a)-(d) head.
+    #     tail (text_langid .. unpivot_measures) heads the r17 queue.
+    #     Any further r16 additions displace from this r10 fill tail,
+    #     never from the (a)-(e) head.
     front = [
         n
         for n in (
@@ -76,7 +79,10 @@ def registry() -> dict[str, QuerySpec]:
             # (c) n_scans value-path change (ADVICE r15)
             "multimodal_jpeg_progressive",
             "multimodal_jpeg_progressive_color",
-            # (d) r8-proven stragglers
+            # (d) NEW in r16: incremental containment + streaming twin
+            "dedup_containment_incremental",
+            "streaming_dedup_containment",
+            # (e) r8-proven stragglers
             "cogroup_apply_in_pandas",
             "column_profile",
             "sim_range_search",
@@ -121,8 +127,6 @@ def registry() -> dict[str, QuerySpec]:
             "streaming_ppl_gate",
             "streaming_rate_source",
             "text_fingerprint",
-            "text_langid",
-            "text_quality",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -724,6 +724,142 @@ def staged_base_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def _containment_delta(docs: DataFrame) -> DataFrame:
+    """The synthetic ingest stream for the incremental-containment pair:
+    two-thirds-length text PREFIXES (every character 5-gram of a prefix
+    occurs in the full doc, so these are contained at 1000 milli) from
+    docs with doc_id % 3 == 0, plus REVERSED texts (shingle sets disjoint
+    from the originals except degenerate short/repetitive docs — the
+    verify decides) from doc_id % 3 == 1.  Replayed verbatim in SQL by
+    the oracle."""
+    pre = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, greatest((2 * length(text)) div 3, 5))"
+        ).alias("text"),
+    )
+    rev = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.reverse("text").alias("text"),
+    )
+    return pre.unionByName(rev)
+
+
+def staged_containment_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per corpus fingerprint) the containment base index
+    over the raw documents table and return its path — the directed
+    analog of staged_base_index, shared by the batch incremental query
+    and the streaming foreachBatch twin."""
+    import hashlib
+    import os
+    import tempfile
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+    ).hexdigest()[:12]
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    idx = os.path.join(root, f"containment_idx_{tag}")
+    # carrs is written LAST in stage_containment_index, so its _SUCCESS
+    # marker means the whole index is complete
+    if not os.path.exists(os.path.join(idx, "carrs", "_SUCCESS")):
+        D.stage_containment_index(base, idx)
+    return idx
+
+
+def q_dedup_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DIRECTED containment: a synthetic ingest batch
+    (text prefixes = true inclusions, reversed texts = noise) probes the
+    staged containment index of the documents corpus — "is this new doc
+    already contained in something we have?", the delta-vs-base shape of
+    dedup_containment.  Base-side tables stay parquet scans probed by
+    broadcasts of delta frames; see operators/dedup.containment_vs_base_batch."""
+    delta = _containment_delta(load_table(spark, sf_dir, "documents"))
+    idx = staged_containment_index(spark, sf_dir)
+    return D.containment_vs_base_batch(spark, idx, delta)
+
+
+def _ora_shingles_over(src: str, name: str) -> str:
+    """The ORA_SHINGLES CTE parametrized over its source relation."""
+    return (
+        f"{name} AS (SELECT DISTINCT doc_id, "
+        "unnest(list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1), "
+        f"i -> {_ora_gram_hash()}"
+        "))) AS tok FROM (SELECT doc_id, "
+        f"list_transform(string_split(text, ''), c -> ascii(c)) AS codes, text FROM {src}))"
+    )
+
+
+# Replays the staged-index containment probe exactly: base df is the global
+# order statistic (delta tokens unseen in the base take df 0), the A-side
+# prefix n_a - ceil(9 n_a/10) + 1 with per-token caps on both the prefix and
+# the full base index, the n_b >= ceil(0.9 n_a) size prune, the positional
+# upper bound, and the integer milli-unit verify.
+ORA_DEDUP_CONTAINMENT_INCREMENTAL = f"""
+WITH delta AS (
+  SELECT doc_id + 3000000 AS doc_id,
+         substring(text, 1, greatest((2 * length(text)) // 3, 5)) AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 3 = 1
+),
+{_ora_shingles_over("documents", "btoks")},
+{_ora_shingles_over("delta", "dtoks")},
+df AS (SELECT tok, COUNT(*) AS df FROM btoks GROUP BY tok),
+bsizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM btoks GROUP BY doc_id),
+dsizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM dtoks GROUP BY doc_id),
+bidx AS (
+  SELECT t.doc_id AS base_id, t.tok, s.n_toks AS n_b,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS pb
+  FROM btoks t JOIN df d USING (tok) JOIN bsizes s USING (doc_id)
+  QUALIFY row_number() OVER (PARTITION BY t.tok ORDER BY t.doc_id)
+          <= {D.PREFIX_CAP}
+),
+dranked AS (
+  SELECT t.doc_id, t.tok, s.n_toks,
+         row_number() OVER (
+           PARTITION BY t.doc_id ORDER BY coalesce(d.df, 0), t.tok
+         ) AS p
+  FROM dtoks t LEFT JOIN df d USING (tok) JOIN dsizes s USING (doc_id)
+),
+dpref AS (
+  SELECT doc_id, tok, p, n_toks FROM dranked
+  WHERE p <= n_toks - (9 * n_toks + 9) // 10 + 1
+  QUALIFY row_number() OVER (PARTITION BY tok ORDER BY doc_id) <= {D.PREFIX_CAP}
+),
+g AS (
+  SELECT a.doc_id AS delta_id, b.base_id,
+         MIN(a.p) AS fa, MIN(b.pb) AS fb,
+         ANY_VALUE(a.n_toks) AS n_a, ANY_VALUE(b.n_b) AS n_b
+  FROM dpref a JOIN bidx b USING (tok)
+  WHERE 10 * b.n_b >= 9 * a.n_toks
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT delta_id, base_id FROM g
+  WHERE 1 + least(n_a - fa, n_b - fb) >= (9 * n_a + 9) // 10
+),
+inter AS (
+  SELECT c.delta_id, c.base_id, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN dtoks ta ON ta.doc_id = c.delta_id
+  JOIN btoks tb ON tb.doc_id = c.base_id AND tb.tok = ta.tok
+  GROUP BY c.delta_id, c.base_id
+)
+SELECT i.delta_id, i.base_id,
+       CAST(sa.n_toks AS BIGINT) AS n_a,
+       CAST(sb.n_toks AS BIGINT) AS n_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST((1000 * n_inter) // sa.n_toks AS BIGINT) AS containment_milli
+FROM inter i
+JOIN dsizes sa ON sa.doc_id = i.delta_id
+JOIN bsizes sb ON sb.doc_id = i.base_id
+WHERE 10 * n_inter >= 9 * sa.n_toks
+"""
+
+
 ORA_DEDUP_INCREMENTAL = f"""
 WITH {D.ORA_CORPUS},
 {ORA_SHINGLES},
@@ -2496,6 +2632,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_dedup_incremental_indexed,
         ORA_DEDUP_INCREMENTAL,
         "incremental near-dup vs a materialized parquet base index",
+    ),
+    "dedup_containment_incremental": QuerySpec(
+        q_dedup_containment_incremental,
+        ORA_DEDUP_CONTAINMENT_INCREMENTAL,
+        "incremental directed containment of an ingest batch vs the "
+        "staged containment index (is-this-doc-already-contained)",
     ),
     "dedup_editdistance": QuerySpec(
         q_dedup_editdistance,

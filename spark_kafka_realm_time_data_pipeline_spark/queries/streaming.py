@@ -1158,6 +1158,71 @@ def q_streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 from .llm import ORA_DEDUP_INCREMENTAL as _ORA_DEDUP_INCREMENTAL  # noqa: E402
 
 
+def q_streaming_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DIRECTED-containment ingest gate (r16, the containment
+    twin of streaming_dedup_incremental): the synthetic ingest stream —
+    text prefixes (true inclusions) and reversed texts (noise) — arrives
+    AS A STREAM, and each micro-batch asks "is this new doc already
+    CONTAINED in the corpus?" against the staged containment index
+    inside foreachBatch.  The per-batch operator is
+    containment_vs_base_batch: every base-side table (df statistics,
+    capped full token index, shingle arrays) stays a parquet SCAN probed
+    by broadcasts of delta-derived frames — the base never shuffles per
+    trigger, the production posture for continuous ingestion at corpus
+    scale.  availableNow drains the bounded source in one deterministic
+    micro-batch, making the result value-identical to the batch twin
+    (dedup_containment_incremental) — and the oracle IS that query's SQL.
+
+    Same local[]-only sink caveat as streaming_dedup_incremental: on a
+    cluster route ``SPARK_GRAFT_SCRATCH`` to a shared filesystem."""
+    import shutil
+
+    from ..operators import dedup as D
+    from ..streaming.sinks import foreach_batch_sink
+    from .llm import _containment_delta, staged_containment_index
+
+    delta = _containment_delta(stream_table(spark, sf_dir, "documents"))
+    idx = staged_containment_index(spark, sf_dir)
+    out_dir = _scratch_dir("stream_containment_")
+
+    def match_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matches = D.containment_vs_base_batch(spark, idx, batch_df)
+        # repartition(1), NOT coalesce(1): same rationale as the
+        # incremental twin — one file per trigger without propagating the
+        # 1-partition constraint up the broadcast-probe verify plan
+        matches.repartition(1).write.mode("append").parquet(out_dir)
+
+    try:
+        query = foreach_batch_sink(delta, match_batch, output_mode="append")
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError(
+                    "containment-ingest stream replay did not finish in 300s"
+                )
+            progress = [p for p in (query.recentProgress or []) if p]
+            input_rows = sum(int(p["numInputRows"]) for p in progress)
+            proc_ms = sum(
+                int(p.get("durationMs", {}).get("triggerExecution", 0))
+                for p in progress
+            )
+        finally:
+            query.stop()
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        out.stream_input_rows = input_rows
+        if proc_ms > 0:
+            out.stream_processing_secs = proc_ms / 1000.0
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# value-identical to the batch twin (one availableNow micro-batch), so it
+# shares dedup_containment_incremental's oracle verbatim
+from .llm import (  # noqa: E402
+    ORA_DEDUP_CONTAINMENT_INCREMENTAL as _ORA_DEDUP_CONTAINMENT_INCREMENTAL,
+)
+
+
 def q_streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-ONCE foreachBatch sink, crash-proven on every run: the
     production pattern for parquet/JDBC/object-store targets that
@@ -1715,6 +1780,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_streaming_dedup_incremental,
         _ORA_DEDUP_INCREMENTAL,
         "foreachBatch ingest dedup: stream micro-batches vs static base index",
+    ),
+    "streaming_dedup_containment": QuerySpec(
+        q_streaming_dedup_containment,
+        _ORA_DEDUP_CONTAINMENT_INCREMENTAL,
+        "foreachBatch directed-containment ingest gate: stream "
+        "micro-batches vs the staged containment index",
     ),
     "streaming_idempotent_sink": QuerySpec(
         q_streaming_idempotent_sink,

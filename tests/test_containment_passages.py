@@ -112,3 +112,37 @@ def test_passage_dedup_ragged_tail_and_short_doc(spark):
     # doc 2's ragged tail duplicates doc 1's whole text -> dropped
     assert (got[2].n_paras, got[2].n_kept) == (2, 1)
     assert got[2].clean_md5 == hashlib.md5(p1.encode()).hexdigest()
+
+
+def test_containment_vs_base_batch_finds_inclusions_rejects_noise(spark, tmp_path):
+    """r16 incremental containment: a delta doc that is a text PREFIX of
+    a base doc is flagged at 1000 milli against that doc; an unrelated
+    delta doc is not flagged; a delta with ~90%+ overlap lands between.
+    Exercises the staged index end-to-end (stage -> probe -> verify)."""
+    base_texts = {
+        10: "the quick brown fox jumps over the lazy dog again and again",
+        11: "entirely different content about spark physical plans and shuffles",
+        12: "numbers one two three four five six seven eight nine ten eleven",
+    }
+    base = spark.createDataFrame(
+        list(base_texts.items()), "doc_id long, text string"
+    )
+    idx = str(tmp_path / "cidx")
+    D.stage_containment_index(base, idx)
+    delta = spark.createDataFrame(
+        [
+            (100, base_texts[10][: 2 * len(base_texts[10]) // 3]),  # prefix
+            (101, "completely unrelated delta text about nothing here"),
+            (102, base_texts[12]),  # exact copy: contained at 1000
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.delta_id, r.base_id): r
+        for r in D.containment_vs_base_batch(spark, idx, delta).collect()
+    }
+    assert (100, 10) in got and got[(100, 10)].containment_milli == 1000
+    assert (102, 12) in got and got[(102, 12)].containment_milli == 1000
+    assert not any(d == 101 for d, _b in got)
+    # directedness: n_a is the DELTA's shingle count, the denominator
+    assert got[(100, 10)].n_a < got[(100, 10)].n_b

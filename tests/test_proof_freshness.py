@@ -30,7 +30,7 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(ROOT, "tools"))
 
-from proof_ledger import stale_names  # noqa: E402
+from proof_ledger import plan_drift, stale_names  # noqa: E402
 
 WINDOW = 50  # the driver checks the first ~50 registry names
 
@@ -41,24 +41,36 @@ def _ledger():
 
 
 def test_every_changed_query_is_in_the_window():
-    """Any registered query whose CURRENT code-closure or plan
-    fingerprint differs from its at-proof fingerprint in PROOF_LEDGER.json
-    (or that has no ledger entry) must sit inside the driver window.
-    Fix on failure: rotate the named queries to the window front in
-    queries/__init__.py, or — at round start, before any source edit —
-    run `python tools/proof_ledger.py update` to absorb fresh driver
-    proofs."""
+    """Any registered query whose CURRENT code-closure fingerprint
+    (salted with session.py) differs from its at-proof fingerprint in
+    PROOF_LEDGER.json (or that has no ledger entry) must sit inside the
+    driver window.  Fix on failure: rotate the named queries to the
+    window front in queries/__init__.py, or — at round start, before any
+    source edit — run `python tools/proof_ledger.py update` to absorb
+    fresh driver proofs; after a session.py change, re-prove the full
+    registry (tools/check.py, no filter) and re-seed with that basis.
+    Plan-fingerprint drift is surfaced as a warning, not a failure —
+    plan strings carry measured planner nondeterminism (see
+    proof_ledger.stale_names)."""
+    import warnings
+
     from proof_ledger import current_fingerprints
 
     from spark_kafka_realm_time_data_pipeline_spark.queries import registry
 
     closure_fps, plan_fps = current_fingerprints()
     window = list(registry())[:WINDOW]
-    violations = stale_names(_ledger(), closure_fps, plan_fps, window)
+    violations = stale_names(_ledger(), closure_fps, window)
     assert not violations, (
         "changed-since-proof queries outside the driver window: "
         f"{violations}"
     )
+    drift = plan_drift(_ledger(), plan_fps)
+    if drift:
+        warnings.warn(
+            f"advisory plan-fingerprint drift (inspect, not a gate): {drift}",
+            stacklevel=1,
+        )
 
 
 def test_gate_catches_the_r14_and_r15_incidents():
@@ -92,34 +104,44 @@ def test_gate_catches_the_r14_and_r15_incidents():
         "multimodal_jpeg_stats": "ccc2",  # r15: decoder module changed
         "untouched_query": "ffff",
     }
-    current_plan = {
-        "dedup_containment": "ppp2",      # r14: plan changed too
-        "multimodal_jpeg_stats": "qqqq",  # r15: plan IDENTICAL
-        "untouched_query": "rrrr",
-    }
     window = ["untouched_query", "some_other_query"]  # incidents outside
-    flagged = stale_names(ledger, current_closure, current_plan, window)
+    flagged = stale_names(ledger, current_closure, window)
     assert flagged == {
         "dedup_containment": "code closure changed since proof",
         "multimodal_jpeg_stats": "code closure changed since proof",
     }
     # in-window incidents are tolerated (the window IS the re-proof queue)
     assert stale_names(
-        ledger, current_closure, current_plan,
+        ledger, current_closure,
         window + ["dedup_containment", "multimodal_jpeg_stats"],
     ) == {}
-    # a plan-only change (config/session-driven, code closure identical)
-    # is also caught — via the PLAN fingerprint
-    plan_only = dict(current_plan, dedup_containment="ppp3")
-    closure_same = dict(current_closure, dedup_containment="aaaa")
-    assert stale_names(ledger, closure_same, plan_only, window) == {
-        "dedup_containment": "physical plan changed since proof",
-        "multimodal_jpeg_stats": "code closure changed since proof",
-    }
     # a never-proven query must be in the window
     assert stale_names(
-        ledger, {"brand_new": "zzzz"}, {}, window
+        ledger, {"brand_new": "zzzz"}, window
     ) == {"brand_new": "no recorded proof"}
+    # plan drift is surfaced separately as an advisory (r14's plan change
+    # also changed code, so enforcement still catches it via closure)
+    assert plan_drift(ledger, {"dedup_containment": "ppp2"}) == {
+        "dedup_containment": "pppp -> ppp2"
+    }
+    assert plan_drift(ledger, {"untouched_query": "rrrr"}) == {}
+
+
+def test_session_config_change_flips_every_fingerprint():
+    """session.py shapes every query's plan (AQE, shuffle partitions,
+    state-store provider) without appearing in any code closure — the
+    one plan-changes-without-code-change vector this repo has.  The
+    registry fingerprints are salted with session.py's source, so a
+    config edit flips them all and forces the documented full-re-proof
+    protocol (check.py full run + ledger re-seed)."""
+    from closure_fp import closure_fingerprint
+
+    from spark_kafka_realm_time_data_pipeline_spark.queries import registry
+
+    spec = registry()["nation_revenue"]
+    a = closure_fingerprint(spec.fn, spec.oracle, salt="session-v1")
+    b = closure_fingerprint(spec.fn, spec.oracle, salt="session-v2")
+    assert a != b
 
 
 def test_closure_fingerprint_tracks_transitive_callees(tmp_path):

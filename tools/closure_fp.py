@@ -56,27 +56,41 @@ def _as_function(v):
 
 
 def _is_literalish(v, depth: int = 0) -> bool:
+    """IMMUTABLE literal values only.  Mutable containers (dict/list/set)
+    are deliberately excluded: module-level dicts double as runtime memo
+    caches (the staged-pair-graph path cache, decoder table caches), and
+    hashing their reprs made the fingerprint depend on what happened to
+    RUN earlier in the process, not on the code.  A change to a dict
+    constant's CONTENT still flips the fingerprint through the source of
+    the module that builds it (tuple constants + builder functions are
+    hashed)."""
     if isinstance(v, _LITERALS):
         return True
     if depth > 2:
         return False
-    if isinstance(v, (tuple, list)):
+    if isinstance(v, tuple):
         return all(_is_literalish(x, depth + 1) for x in v)
-    if isinstance(v, dict):
-        return all(
-            _is_literalish(k, depth + 1) and _is_literalish(x, depth + 1)
-            for k, x in v.items()
-        )
     return False
 
 
-def closure_fingerprint(fn, oracle: str | None = None, pkg: str = PKG) -> str:
+def closure_fingerprint(
+    fn, oracle: str | None = None, pkg: str = PKG, salt: str = ""
+) -> str:
     """Hex fingerprint of everything package-side the query can execute:
     sources of every reachable package function/class, reprs of every
     reachable package module-level literal constant, and the oracle SQL.
+    ``salt`` folds in context outside any query's reach — the registry
+    pass salts with session.py's source, so a session-config change
+    (which can re-plan every query without touching query-reachable
+    code) flips every fingerprint and forces the full re-proof protocol
+    (tools/proof_ledger.py seed after a green full-registry check).
     Deterministic: all collected items are sorted before hashing."""
+    import dis
+
     fn_sources: dict[str, str] = {}
     const_reprs: dict[str, str] = {}
+    mutated: set[str] = set()  # names some package fn STORE_GLOBALs —
+    # runtime state (lazy caches like _IDCT_BASIS), not code constants
     work: list[types.FunctionType] = []
     visited: set[int] = set()
 
@@ -122,6 +136,9 @@ def closure_fingerprint(fn, oracle: str | None = None, pkg: str = PKG) -> str:
         names: set[str] = set()
         for code in _code_objects(f.__code__):
             names.update(code.co_names)
+            for ins in dis.get_instructions(code):
+                if ins.opname == "STORE_GLOBAL":
+                    mutated.add(ins.argval)
         g = f.__globals__
         mods: list = []
         for name in sorted(names):
@@ -143,10 +160,14 @@ def closure_fingerprint(fn, oracle: str | None = None, pkg: str = PKG) -> str:
             visit_value(d, "<default>", mod, mods)
 
     h = hashlib.sha256()
+    if salt:
+        h.update(salt.encode())
     for key in sorted(fn_sources):
         h.update(key.encode())
         h.update(fn_sources[key].encode())
     for key in sorted(const_reprs):
+        if key.rsplit("::", 1)[-1] in mutated:
+            continue  # runtime-mutated global: value is process state
         h.update(key.encode())
         h.update(const_reprs[key].encode())
     if oracle:
@@ -154,16 +175,30 @@ def closure_fingerprint(fn, oracle: str | None = None, pkg: str = PKG) -> str:
     return h.hexdigest()[:16]
 
 
+def session_salt() -> str:
+    """Hash of session.py — the one module that shapes every query's
+    plan (AQE, shuffle partitions, state-store provider, timezone)
+    without appearing in any query's code closure."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, PKG, "session.py")
+    with open(path, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()[:16]
+
+
 def registry_fingerprints() -> dict[str, str]:
-    """Closure fingerprint for every registered query (fn + oracle)."""
+    """Closure fingerprint for every registered query (fn + oracle),
+    salted with session.py's source."""
     import os
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from spark_kafka_realm_time_data_pipeline_spark.queries import registry
 
+    salt = session_salt()
     return {
-        name: closure_fingerprint(spec.fn, spec.oracle)
+        name: closure_fingerprint(spec.fn, spec.oracle, salt=salt)
         for name, spec in registry().items()
     }
 

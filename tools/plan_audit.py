@@ -75,6 +75,12 @@ COUNT_NODES = (
 
 _FP_STRIP = [
     (r"#\d+[A-Za-z]*", "#"),          # expression ids (#123, #45L)
+    # higher-order-function lambda variables carry a SESSION-monotonic
+    # counter (lambda x_1, x_2, ...) — order-of-execution noise, not shape
+    (r"\blambda x_\d+", "lambda x_"),
+    # session-staged catalog tables (bucketed-join staging) carry a
+    # per-session hex tag in the table name
+    (r"\b(spark_catalog\.[A-Za-z_.]+?)_[0-9a-f]{6,}", r"\1_"),
     (r"plan_id=\d+", "plan_id="),
     (r"@[0-9a-fA-F]{6,}", "@"),        # object identity hashes
     (r"file:[^\],\s]+", "file:"),      # staged temp paths

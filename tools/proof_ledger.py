@@ -86,13 +86,24 @@ def current_fingerprints() -> tuple[dict[str, str], dict[str, str]]:
 def stale_names(
     ledger: dict,
     closure_fps: dict[str, str],
-    plan_fps: dict[str, str],
     window: list[str] | set[str],
 ) -> dict[str, str]:
     """The enforcement core (pure, fixture-testable): every query whose
-    current fingerprints differ from its at-proof fingerprints — or that
-    has no ledger entry at all — must be in `window`.  Returns
-    {name: reason} for violators OUTSIDE the window."""
+    current CODE-CLOSURE fingerprint differs from its at-proof
+    fingerprint — or that has no ledger entry at all — must be in
+    `window`.  Returns {name: reason} for violators OUTSIDE the window.
+
+    Enforcement is deliberately on the closure fingerprint only.  It
+    catches every code-reachable change (both historical incidents) and,
+    via the session.py salt, config-driven re-plans.  The PLAN
+    fingerprint is recorded and surfaced as an ADVISORY (plan_drift)
+    because plan STRINGS carry measured planner nondeterminism that no
+    normalization can cheaply canonicalize — e.g. Catalyst's
+    RewriteDistinctAggregates assigns the gid groups of multiple
+    count_distincts in session-dependent order, flipping
+    contamination_overlap's Expand/aggregate key order between identical
+    runs (observed r16, two back-to-back same-tree audits) — and a gate
+    that can flake on unchanged code trains people to override it."""
     window = set(window)
     out: dict[str, str] = {}
     for name, cfp in closure_fps.items():
@@ -102,14 +113,20 @@ def stale_names(
             reason = "no recorded proof"
         elif ent.get("closure_fp") != cfp:
             reason = "code closure changed since proof"
-        elif (
-            name in plan_fps
-            and ent.get("plan_fp")
-            and ent["plan_fp"] != plan_fps[name]
-        ):
-            reason = "physical plan changed since proof"
         if reason and name not in window:
             out[name] = reason
+    return out
+
+
+def plan_drift(ledger: dict, plan_fps: dict[str, str]) -> dict[str, str]:
+    """Advisory: queries whose recorded plan fingerprint differs from the
+    committed PLAN_AUDIT.json's.  Surfaced as a pytest warning, not a
+    failure (see stale_names for why)."""
+    out: dict[str, str] = {}
+    for name, pfp in plan_fps.items():
+        ent = ledger.get(name)
+        if ent and ent.get("plan_fp") and ent["plan_fp"] != pfp:
+            out[name] = f"{ent['plan_fp']} -> {pfp}"
     return out
 
 
