@@ -219,6 +219,12 @@ HEADLINE += [
     "multimodal_jpeg_dri",
     "multimodal_jpeg_progressive",
     "multimodal_jpeg_progressive_color",
+    # round-16 additions: non-4:2:0 sampling layouts, and the directed-
+    # containment ingest pair (batch twin first: it stages the shared
+    # containment index, so the streaming twin measures warm delta work)
+    "multimodal_jpeg_sampling",
+    "dedup_containment_incremental",
+    "streaming_dedup_containment",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The
