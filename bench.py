@@ -225,6 +225,11 @@ HEADLINE += [
     "multimodal_jpeg_sampling",
     "dedup_containment_incremental",
     "streaming_dedup_containment",
+    # round-16 incremental-ANN pair (same batch-first ordering: the batch
+    # twin stages the cluster-partitioned IVF index, the streaming twin
+    # measures warm per-trigger probe work)
+    "sim_incremental_topk",
+    "streaming_sim_topk",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The

@@ -230,6 +230,49 @@ def range_search(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    cluster_col: str = "label",
+    portable: bool = True,
+) -> DataFrame:
+    """(cluster, centroid) per-cluster mean vectors — the coarse quantizer
+    half of an IVF index, shared by the inline ``ivf_topk`` and the staged
+    ``stage_ivf_index``.  ``portable=True`` folds each dimension's values in
+    vec_id order (sequential double sum / count), bit-identical to DuckDB's
+    ``list_reduce`` replay; see ``ivf_topk`` for when to flip it off."""
+    pe = embeddings.select(
+        cluster_col, "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    if portable:
+        per_dim = (
+            pe.groupBy(cluster_col, "pos")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))).alias("vals"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                cluster_col,
+                "pos",
+                (
+                    fold_sum(
+                        F.transform("vals", lambda p: p.getField("val").cast("double"))
+                    )
+                    / F.col("n")
+                ).alias("cval"),
+            )
+        )
+    else:
+        per_dim = pe.groupBy(cluster_col, "pos").agg(F.avg("val").alias("cval"))
+    return (
+        per_dim.groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select(
+            F.col(cluster_col).alias("cluster"),
+            F.transform("pairs", lambda p: p.getField("cval")).alias("centroid"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -254,40 +297,31 @@ def ivf_topk(
     specific accumulation order — fine in production, unverifiable
     against a replaying oracle).
     """
-    pe = embeddings.select(
-        cluster_col, "vec_id", F.posexplode("embedding").alias("pos", "val")
+    cent = ivf_centroids(embeddings, cluster_col, portable_centroids)
+    vecs = embeddings.select(
+        "vec_id", "embedding", F.col(cluster_col).alias("cluster")
     )
-    if portable_centroids:
-        per_dim = (
-            pe.groupBy(cluster_col, "pos")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("vec_id", "val"))).alias("vals"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .select(
-                cluster_col,
-                "pos",
-                (
-                    fold_sum(
-                        F.transform("vals", lambda p: p.getField("val").cast("double"))
-                    )
-                    / F.col("n")
-                ).alias("cval"),
-            )
-        )
-    else:
-        per_dim = pe.groupBy(cluster_col, "pos").agg(F.avg("val").alias("cval"))
-    cent = (
-        per_dim.groupBy(cluster_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
-        .select(
-            F.col(cluster_col).alias("cluster"),
-            F.transform("pairs", lambda p: p.getField("cval")).alias("centroid"),
-        )
-    )
-    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    return _ivf_probe_topk(cent, vecs, queries, k, n_probe)
+
+
+def _ivf_probe_topk(
+    cent: DataFrame,
+    vecs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """The probe half of IVF, shared by ``ivf_topk`` (inline centroids) and
+    ``ann_vs_base_batch`` (staged scans): rank clusters per query by
+    centroid cosine, keep ``n_probe``, equi-join the probe list onto the
+    (vec_id, embedding, cluster) table, exact cosine top-k inside the probe
+    set.  Both small frames ride broadcasts; the vector table only ever
+    appears as the stream side of an equi-join on cluster."""
     from pyspark.sql import Window
 
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
     qc = (
         q.crossJoin(F.broadcast(cent))
         .withColumn("c_cos", cosine("q_vec", "centroid"))
@@ -296,10 +330,10 @@ def ivf_topk(
     probes = qc.withColumn("crank", F.row_number().over(wq)).filter(
         F.col("crank") <= n_probe
     ).select("query_id", "q_vec", "cluster")
-    c = embeddings.select(
+    c = vecs.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_vec"),
-        F.col(cluster_col).alias("cluster"),
+        "cluster",
     )
     scored = (
         c.join(F.broadcast(probes), "cluster")
@@ -312,6 +346,58 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def stage_ivf_index(
+    embeddings: DataFrame, path: str, cluster_col: str = "label"
+) -> None:
+    """Materialize the IVF ANN index as parquet tables — the similarity
+    analog of ``dedup.stage_containment_index``, built once by the index
+    maintenance job so every ingest/query batch pays only its own work:
+
+    - ``{path}/centroids``: (cluster, centroid) — the deterministic
+      portable fold (``ivf_centroids``), a k-row table every batch
+      broadcasts;
+    - ``{path}/vecs``: (vec_id, embedding) PARTITIONED BY cluster —
+      written LAST so its ``_SUCCESS`` marker doubles as the whole-index
+      completeness flag.  The physical layout IS the inverted file: a
+      probe that equi-joins this scan on ``cluster`` triggers dynamic
+      partition pruning, so a batch reads only the probed clusters'
+      files — |Q| x n_probe x (N / n_clusters) bytes, never the corpus.
+    """
+    cent = ivf_centroids(embeddings, cluster_col)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        embeddings.select(
+            "vec_id", "embedding", F.col(cluster_col).alias("cluster")
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vecs")
+    )
+
+
+def ann_vs_base_batch(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Per-micro-batch ANN top-k of DELTA query vectors against a staged
+    IVF index (``stage_ivf_index``) — the ingestion-time question ("what
+    does this new vector match in the corpus?") shaped like
+    ``dedup.containment_vs_base_batch``: base-side tables stay parquet
+    SCANS probed by broadcasts of delta-derived frames, so no base data
+    shuffles per trigger.  The centroid table broadcasts onto the delta;
+    the probe list (|delta| x n_probe rows) broadcasts onto the
+    cluster-partitioned vector scan, where dynamic partition pruning
+    drops every unprobed cluster's files at the source.  Value-identical
+    to ``ivf_topk`` over the same frames, so the availableNow streaming
+    twin shares the batch oracle verbatim."""
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    vecs = spark.read.parquet(f"{index_path}/vecs")
+    return _ivf_probe_topk(cent, vecs, queries, k, n_probe)
 
 
 # --- product quantization -----------------------------------------------------

@@ -63,11 +63,18 @@ def registry() -> dict[str, QuerySpec]:
     #     item 5's preferred next surface), sharing one oracle;
     # (e) positions 7-9: the 3 remaining r8-proven stragglers
     #     (displaced from the r14 fill; the r15 additions left no slot);
-    # (f) positions 10-49: the first 40 of the 48 r10-proven names —
+    # (f) positions 10-11: NEW r16 pair #2 — the incremental ANN batch
+    #     query (staged cluster-partitioned IVF index, DPP probe) and
+    #     its availableNow streaming twin, sharing one oracle;
+    # (g) positions 12-13: sim_ivf_topk + sim_recall_report — their
+    #     shared centroid computation moved into ivf_centroids /
+    #     _ivf_probe_topk this round (same plan, refactored closure),
+    #     so the proof-freshness gate correctly forces a re-proof;
+    # (h) positions 14-49: the first 36 of the 48 r10-proven names —
     #     the oldest-proof tier outside this front.  The alphabetical
-    #     tail (text_langid .. unpivot_measures) heads the r17 queue.
-    #     Any further r16 additions displace from this r10 fill tail,
-    #     never from the (a)-(e) head.
+    #     tail (streaming_observed_metrics .. unpivot_measures) heads
+    #     the r17 queue.  Any further r16 additions displace from this
+    #     r10 fill tail, never from the (a)-(g) head.
     front = [
         n
         for n in (
@@ -86,7 +93,13 @@ def registry() -> dict[str, QuerySpec]:
             "cogroup_apply_in_pandas",
             "column_profile",
             "sim_range_search",
-            # (e) the r10-proven head (42 of 48, alphabetical)
+            # (f) NEW in r16: incremental ANN + streaming twin
+            "sim_incremental_topk",
+            "streaming_sim_topk",
+            # (g) closure refactored this round (ivf_centroids split)
+            "sim_ivf_topk",
+            "sim_recall_report",
+            # (h) the r10-proven head (36 of 48, alphabetical)
             "agg_moments",
             "apply_in_arrow",
             "binaryfile_source",
@@ -123,10 +136,6 @@ def registry() -> dict[str, QuerySpec]:
             "state_store_inspect",
             "streaming_chained_windows",
             "streaming_full_outer_join",
-            "streaming_observed_metrics",
-            "streaming_ppl_gate",
-            "streaming_rate_source",
-            "text_fingerprint",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -1380,12 +1380,13 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e, queries, k=5, n_probe=3)
 
 
-def _ora_sim_ivf(dim: int = 64, k: int = 5, n_probe: int = 3) -> str:
-    """IVF oracle: the same deterministic centroid fold (list ordered by
-    vec_id, sequential double sum, divide by count), probe ranking, and
-    in-probe cosine top-k — generated from the same constants as the plan."""
-    return f"""
-WITH cent AS (
+def _ora_ivf_cent(dim: int = 64) -> str:
+    """The IVF centroid CTE pair (cent, centroids): the deterministic
+    per-dimension fold (values listed in vec_id order, sequential double
+    sum, divide by count) that replays operators/similarity.ivf_centroids
+    bit-for-bit.  Shared by the inline IVF oracle and the staged-index
+    incremental/streaming oracles."""
+    return f"""cent AS (
   SELECT label AS cluster, i AS pos,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id)),
@@ -1393,7 +1394,15 @@ WITH cent AS (
   FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) dims
   GROUP BY label, i
 ),
-centroids AS (SELECT cluster, list(cval ORDER BY pos) AS centroid FROM cent GROUP BY cluster),
+centroids AS (SELECT cluster, list(cval ORDER BY pos) AS centroid FROM cent GROUP BY cluster)"""
+
+
+def _ora_sim_ivf(dim: int = 64, k: int = 5, n_probe: int = 3) -> str:
+    """IVF oracle: the same deterministic centroid fold (list ordered by
+    vec_id, sequential double sum, divide by count), probe ranking, and
+    in-probe cosine top-k — generated from the same constants as the plan."""
+    return f"""
+WITH {_ora_ivf_cent(dim)},
 q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
 qc AS (
   SELECT q.query_id, q.q_vec, c.cluster,
@@ -1468,6 +1477,96 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _ann_delta(emb: DataFrame) -> DataFrame:
+    """The synthetic query stream for the incremental-ANN pair: vectors
+    from vec_id % 7 == 3, re-keyed above 1000000 and shifted by +0.25 per
+    dimension — near their source's cluster but identical to no stored
+    vector, so probe ranking and in-cluster top-k are both non-trivial.
+    float→double cast and +0.25 are IEEE-exact, so the oracle replays the
+    transform bit-for-bit."""
+    return emb.filter(F.col("vec_id") % 7 == 3).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.25)
+        ).alias("embedding"),
+    )
+
+
+def staged_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per corpus fingerprint) the IVF ANN index over the raw
+    embeddings table and return its path — the similarity analog of
+    staged_containment_index, shared by the batch incremental query and
+    the streaming foreachBatch twin."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+    ).hexdigest()[:12]
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    idx = os.path.join(root, f"ann_ivf_idx_{tag}")
+    # vecs is written LAST in stage_ivf_index, so its _SUCCESS marker
+    # means the whole index (centroids included) is complete
+    if not os.path.exists(os.path.join(idx, "vecs", "_SUCCESS")):
+        S.stage_ivf_index(emb, idx)
+    return idx
+
+
+def q_sim_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN: a synthetic ingest batch of query vectors
+    (shifted copies of every 7th corpus vector) probes the staged IVF
+    index of the embeddings table — "what does this new vector match in
+    the corpus?", the delta-vs-base shape of sim_ivf_topk.  The centroid
+    table broadcasts onto the delta and the probe list broadcasts onto
+    the cluster-partitioned vector scan, which dynamic partition pruning
+    cuts to the probed clusters' files only; see
+    operators/similarity.ann_vs_base_batch."""
+    delta = _ann_delta(load_table(spark, sf_dir, "embeddings"))
+    idx = staged_ivf_index(spark, sf_dir)
+    return S.ann_vs_base_batch(spark, idx, delta)
+
+
+def _ora_sim_incremental(dim: int = 64, k: int = 5, n_probe: int = 3) -> str:
+    """Staged-IVF incremental oracle: the shared centroid fold over the
+    BASE table, the delta transform replayed exactly (+0.25 per dimension,
+    ids re-keyed above 1000000), then the same probe ranking and in-probe
+    cosine top-k as the inline IVF oracle."""
+    return f"""
+WITH {_ora_ivf_cent(dim)},
+q AS (
+  SELECT vec_id + 1000000 AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.25) AS q_vec
+  FROM embeddings WHERE vec_id % 7 = 3
+),
+qc AS (
+  SELECT q.query_id, q.q_vec, c.cluster,
+         {_ora_cosine('q.q_vec', 'c.centroid')} AS c_cos
+  FROM q CROSS JOIN centroids c
+),
+probes AS (
+  SELECT query_id, q_vec, cluster FROM (
+    SELECT query_id, q_vec, cluster,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cluster) AS crank
+    FROM qc
+  ) t WHERE crank <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_ora_cosine('p.q_vec', 'e.embedding')} AS cosine
+  FROM embeddings e JOIN probes p ON e.label = p.cluster
+  WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= {k}
+"""
 
 
 def _ora_sim_recall() -> str:
@@ -2707,6 +2806,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_sim_recall_report,
         _ora_sim_recall(),
         "recall@k of LSH/IVF vs exact brute-force, integer-exact",
+    ),
+    "sim_incremental_topk": QuerySpec(
+        q_sim_incremental_topk,
+        _ora_sim_incremental(),
+        "delta-vs-base ANN against a staged cluster-partitioned IVF index (DPP probe)",
     ),
     "ann_pq_codes": QuerySpec(
         q_ann_pq_codes,

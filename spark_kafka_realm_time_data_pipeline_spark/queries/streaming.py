@@ -1223,6 +1223,68 @@ from .llm import (  # noqa: E402
 )
 
 
+def q_streaming_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN ingest gate (the similarity twin of
+    streaming_dedup_containment): the synthetic query stream — shifted
+    copies of every 7th corpus vector — arrives AS A STREAM, and each
+    micro-batch asks "what does this new vector match in the corpus?"
+    against the staged IVF index inside foreachBatch.  The per-batch
+    operator is ann_vs_base_batch: the k-row centroid table broadcasts
+    onto the delta, the probe list broadcasts onto the
+    cluster-partitioned vector scan, and dynamic partition pruning drops
+    every unprobed cluster's files at the source — the base never
+    shuffles per trigger, the production posture for continuous vector
+    ingestion at corpus scale.  availableNow drains the bounded source
+    deterministically, making the result value-identical to the batch
+    twin (sim_incremental_topk) — and the oracle IS that query's SQL.
+
+    Same local[]-only sink caveat as streaming_dedup_containment: on a
+    cluster route ``SPARK_GRAFT_SCRATCH`` to a shared filesystem."""
+    import shutil
+
+    from ..operators import similarity as S
+    from ..streaming.sinks import foreach_batch_sink
+    from .llm import _ann_delta, staged_ivf_index
+
+    delta = _ann_delta(stream_table(spark, sf_dir, "embeddings"))
+    idx = staged_ivf_index(spark, sf_dir)
+    out_dir = _scratch_dir("stream_sim_topk_")
+
+    def match_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matches = S.ann_vs_base_batch(spark, idx, batch_df)
+        # repartition(1), NOT coalesce(1): one file per trigger without
+        # propagating the 1-partition constraint up the probe plan
+        matches.repartition(1).write.mode("append").parquet(out_dir)
+
+    try:
+        query = foreach_batch_sink(delta, match_batch, output_mode="append")
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError(
+                    "ANN-ingest stream replay did not finish in 300s"
+                )
+            progress = [p for p in (query.recentProgress or []) if p]
+            input_rows = sum(int(p["numInputRows"]) for p in progress)
+            proc_ms = sum(
+                int(p.get("durationMs", {}).get("triggerExecution", 0))
+                for p in progress
+            )
+        finally:
+            query.stop()
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        out.stream_input_rows = input_rows
+        if proc_ms > 0:
+            out.stream_processing_secs = proc_ms / 1000.0
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# value-identical to the batch twin (availableNow drain of a bounded
+# source), so it shares sim_incremental_topk's oracle verbatim
+from .llm import _ora_sim_incremental as _ora_sim_incremental_streaming  # noqa: E402
+
+
 def q_streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-ONCE foreachBatch sink, crash-proven on every run: the
     production pattern for parquet/JDBC/object-store targets that
@@ -1786,6 +1848,12 @@ QUERIES: dict[str, QuerySpec] = {
         _ORA_DEDUP_CONTAINMENT_INCREMENTAL,
         "foreachBatch directed-containment ingest gate: stream "
         "micro-batches vs the staged containment index",
+    ),
+    "streaming_sim_topk": QuerySpec(
+        q_streaming_sim_topk,
+        _ora_sim_incremental_streaming(),
+        "foreachBatch ANN ingest gate: stream micro-batches vs the "
+        "staged cluster-partitioned IVF index (DPP probe)",
     ),
     "streaming_idempotent_sink": QuerySpec(
         q_streaming_idempotent_sink,

@@ -129,3 +129,42 @@ def test_pq_adc_ranks_exact_copy_first(spark, emb):
         assert top[1] == qid + 100000, (qid, by_q[qid])
     out2 = pq_topk(corpus, queries, k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_staged_ivf_matches_inline_ivf(spark, emb, tmp_path):
+    """r16 incremental ANN: probing the staged cluster-partitioned index
+    (stage_ivf_index -> ann_vs_base_batch) is value-identical to the
+    inline ivf_topk over the same frames — the property that lets the
+    incremental/streaming pair share the batch IVF oracle."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.similarity import (
+        ann_vs_base_batch,
+        stage_ivf_index,
+    )
+
+    base = emb.limit(200)
+    queries = base.filter(F.col("vec_id") < 8)
+    idx = str(tmp_path / "ividx")
+    stage_ivf_index(base, idx)
+    staged = sorted(
+        map(tuple, ann_vs_base_batch(spark, idx, queries, k=K, n_probe=N_PROBE).collect())
+    )
+    inline = sorted(map(tuple, ivf_topk(base, queries, k=K, n_probe=N_PROBE).collect()))
+    assert staged == inline and len(staged) > 0
+
+
+def test_staged_ivf_probe_uses_dynamic_partition_pruning(spark, emb, tmp_path):
+    """The staged vector table is partitioned by cluster, and the probe
+    equi-join must reach it through DYNAMIC PARTITION PRUNING — the scan
+    reads only the probed clusters' files, which is the whole point of
+    an inverted file at corpus scale.  Pins the plan property, not just
+    the result."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.similarity import (
+        ann_vs_base_batch,
+        stage_ivf_index,
+    )
+
+    idx = str(tmp_path / "ividx_dpp")
+    stage_ivf_index(emb, idx)
+    df = ann_vs_base_batch(spark, idx, emb.filter(F.col("vec_id") < 4))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
