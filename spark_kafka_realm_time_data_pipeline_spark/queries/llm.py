@@ -1485,8 +1485,14 @@ def _ann_delta(emb: DataFrame) -> DataFrame:
     dimension — near their source's cluster but identical to no stored
     vector, so probe ranking and in-cluster top-k are both non-trivial.
     float→double cast and +0.25 are IEEE-exact, so the oracle replays the
-    transform bit-for-bit."""
-    return emb.filter(F.col("vec_id") % 7 == 3).select(
+    transform bit-for-bit.
+
+    The batch is BOUNDED at 500 vectors (vec_id < 3500): an ingest
+    micro-batch is trigger-sized, not corpus-sized.  The first cut of
+    this delta grew with the corpus, and the sf1 scale proof caught the
+    resulting |delta| x |corpus| quadratic (15x / 45x at 10x data);
+    with the bound the probe work scales only with the corpus side."""
+    return emb.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") < 3500)).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(
             "embedding", lambda x: x.cast("double") + F.lit(0.25)
@@ -1541,7 +1547,7 @@ WITH {_ora_ivf_cent(dim)},
 q AS (
   SELECT vec_id + 1000000 AS query_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.25) AS q_vec
-  FROM embeddings WHERE vec_id % 7 = 3
+  FROM embeddings WHERE vec_id % 7 = 3 AND vec_id < 3500
 ),
 qc AS (
   SELECT q.query_id, q.q_vec, c.cluster,
