@@ -595,3 +595,109 @@ def epoch_shuffle(docs: DataFrame, epoch: int = 1) -> DataFrame:
         F.col("shard").cast("int").alias("shard"),
         F.row_number().over(w).alias("position"),
     )
+
+
+
+# --- in-engine quality-model fitting -------------------------------------------
+
+RIDGE_LAMBDA = 1  # integer L2 term; also guarantees det > 0 for any group
+
+
+def _floor_div(a: Column, d: Column) -> Column:
+    """Exact floor division for possibly-negative integer numerators:
+    pmod is always non-negative, so (a - pmod(a, d)) divides exactly and
+    `div` introduces no engine-specific truncation direction."""
+    return (a - F.pmod(a, d)) / d
+
+
+def quality_linear_fit(docs: DataFrame) -> DataFrame:
+    """Fit the per-language chars~tokens linear model IN the engine — the
+    closed-form ridge least-squares fit that distributed ML systems
+    reduce to at scale: ONE scan aggregates the integer sufficient
+    statistics (n, Σx, Σx², Σt, Σxt) per group with map-side combine,
+    then the 2x2 normal equations solve exactly per group via Cramer's
+    rule.  The fitted slope is the chars-per-token rate (≈ avg word
+    length + 1) each language's corpus should exhibit — the calibration
+    statistic a quality/drift monitor compares fresh crawls against; the
+    supervised sibling of text.quality_logit_score, which only SCORES
+    with fixed weights.
+
+    Determinism contract: features are integers (x = whitespace token
+    count, t = char count), statistics are integer sums, λ = 1 joins the
+    diagonal so det = (n+λ)(Σx²+λ) − (Σx)² > 0, and the reported
+    slope/intercept are exact FLOOR milli-units via the pmod identity
+    (a − pmod(a,d)) / d — no IEEE division anywhere, so the oracle
+    replays the whole fit bit-for-bit.
+
+    100 TB posture: the scan is embarrassingly parallel and the shuffle
+    carries one 5-long row per (partition, lang) after partial
+    aggregation; the per-group solve is O(1).  Integer ranges hold
+    through sf1 (numerators ≤ ~1e18 with these caps: tokens ≤ ~100/doc,
+    chars ≤ ~600/doc, ≤ ~1e4 docs/lang); beyond that promote the final
+    Cramer arithmetic to decimal(38,0) or solve driver-side from the
+    (tiny) statistics table — the statistics stay bigint far longer."""
+    x = F.size(F.split("text", " ")).cast("long")
+    t = F.length("text").cast("long")
+    stats = (
+        docs.select(F.col("lang"), x.alias("x"), t.alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("t").alias("st"),
+            F.sum(F.col("x") * F.col("t")).alias("sxt"),
+        )
+    )
+    lam = F.lit(RIDGE_LAMBDA).cast("long")
+    det = (F.col("n_docs") + lam) * (F.col("sxx") + lam) - F.col("sx") * F.col("sx")
+    slope_num = (F.col("n_docs") + lam) * F.col("sxt") - F.col("sx") * F.col("st")
+    icept_num = (F.col("sxx") + lam) * F.col("st") - F.col("sx") * F.col("sxt")
+    return stats.select(
+        "lang",
+        "n_docs",
+        "sx",
+        "sxx",
+        "st",
+        "sxt",
+        det.cast("long").alias("det"),
+        _floor_div(F.lit(1000).cast("long") * slope_num, det)
+        .cast("long")
+        .alias("slope_milli"),
+        _floor_div(F.lit(1000).cast("long") * icept_num, det)
+        .cast("long")
+        .alias("icept_milli"),
+    )
+
+
+# DuckDB twin: same statistics, same Cramer numerators, same pmod floor-
+# division identity ((a - ((a % d) + d) % d) / d with / on an exact multiple).
+ORA_QUALITY_LINEAR_FIT = f"""
+WITH stats AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x*x) AS BIGINT) AS sxx,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(x*t) AS BIGINT) AS sxt
+  FROM (
+    SELECT lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+           CAST(length(text) AS BIGINT) AS t
+    FROM documents
+  )
+  GROUP BY lang
+),
+solved AS (
+  SELECT *,
+         (n_docs + {RIDGE_LAMBDA}) * (sxx + {RIDGE_LAMBDA}) - sx * sx AS det,
+         (n_docs + {RIDGE_LAMBDA}) * sxt - sx * st AS slope_num,
+         (sxx + {RIDGE_LAMBDA}) * st - sx * sxt AS icept_num
+  FROM stats
+)
+SELECT lang, n_docs, sx, sxx, st, sxt,
+       CAST(det AS BIGINT) AS det,
+       CAST((1000 * slope_num - (((1000 * slope_num) % det) + det) % det) / det AS BIGINT) AS slope_milli,
+       CAST((1000 * icept_num - (((1000 * icept_num) % det) + det) % det) / det AS BIGINT) AS icept_milli
+FROM solved
+"""

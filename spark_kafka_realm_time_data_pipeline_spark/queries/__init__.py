@@ -70,11 +70,14 @@ def registry() -> dict[str, QuerySpec]:
     #     shared centroid computation moved into ivf_centroids /
     #     _ivf_probe_topk this round (same plan, refactored closure),
     #     so the proof-freshness gate correctly forces a re-proof;
-    # (h) positions 14-49: the first 36 of the 48 r10-proven names —
+    # (h) position 14: NEW r16 quality_linear_fit — the in-engine
+    #     closed-form ridge fit (one-scan integer sufficient statistics
+    #     + exact per-group Cramer solve);
+    # (i) positions 15-49: the first 35 of the 48 r10-proven names —
     #     the oldest-proof tier outside this front.  The alphabetical
-    #     tail (streaming_observed_metrics .. unpivot_measures) heads
+    #     tail (streaming_full_outer_join .. unpivot_measures) heads
     #     the r17 queue.  Any further r16 additions displace from this
-    #     r10 fill tail, never from the (a)-(g) head.
+    #     r10 fill tail, never from the (a)-(h) head.
     front = [
         n
         for n in (
@@ -99,7 +102,9 @@ def registry() -> dict[str, QuerySpec]:
             # (g) closure refactored this round (ivf_centroids split)
             "sim_ivf_topk",
             "sim_recall_report",
-            # (h) the r10-proven head (36 of 48, alphabetical)
+            # (h) NEW in r16: in-engine closed-form ridge fit
+            "quality_linear_fit",
+            # (i) the r10-proven head (35 of 48, alphabetical)
             "agg_moments",
             "apply_in_arrow",
             "binaryfile_source",
@@ -135,7 +140,6 @@ def registry() -> dict[str, QuerySpec]:
             "sql_udf_pricing",
             "state_store_inspect",
             "streaming_chained_windows",
-            "streaming_full_outer_join",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -1764,6 +1764,14 @@ def q_quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_logit_score(load_table(spark, sf_dir, "documents"))
 
 
+def q_quality_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train IN the engine: per-language closed-form ridge fit of the
+    chars~tokens model from one-scan integer sufficient statistics +
+    exact Cramer solve (operators/training.quality_linear_fit) — the
+    calibration statistic quality/drift monitors compare crawls against."""
+    return TR.quality_linear_fit(load_table(spark, sf_dir, "documents"))
+
+
 # Same integer milli-unit features and weights; Spark `div` and DuckDB `//`
 # agree (floor) because every dividend here is non-negative.
 ORA_QUALITY_LOGIT = f"""
@@ -2843,6 +2851,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_quality_logit_score,
         ORA_QUALITY_LOGIT,
         "fixed-weight linear quality classifier (integer-exact logit)",
+    ),
+    "quality_linear_fit": QuerySpec(
+        q_quality_linear_fit,
+        TR.ORA_QUALITY_LINEAR_FIT,
+        "in-engine closed-form ridge fit per language (sufficient stats + exact Cramer)",
     ),
     "quantile_sketch_merge": QuerySpec(
         q_quantile_sketch_merge,

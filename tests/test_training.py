@@ -141,3 +141,36 @@ def test_fim_transform_reassembles_and_mixes(spark):
         assert (len(prefix), len(middle), len(suffix)) == (
             r["n_prefix"], r["n_middle"], r["n_suffix"],
         )
+
+
+def test_quality_linear_fit_recovers_planted_relation(spark):
+    """r16 in-engine ridge fit: on a corpus where chars = 6*tokens - 1
+    exactly (5-char words joined by single spaces), the fit must land
+    near slope 6000 / intercept -1000 milli.  λ=1 on a 20-doc group
+    pulls the slope ~1% toward zero and the intercept harder (measured:
+    5931 / -519), so the analytic assertions are deliberately loose —
+    the STRONG check is exact integer replay: every output column is
+    recomputed in pure Python from the emitted sufficient statistics."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.training import (
+        RIDGE_LAMBDA,
+        quality_linear_fit,
+    )
+
+    rows = []
+    for i in range(40):
+        n = 3 + (i % 9)
+        rows.append((i, " ".join("abcde" for _ in range(n)), "en" if i % 2 else "fr"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in quality_linear_fit(docs).collect()}
+    assert set(got) == {"en", "fr"}
+    for lang, r in got.items():
+        assert abs(r["slope_milli"] - 6000) <= 120, r
+        assert abs(r["icept_milli"] + 1000) <= 600, r
+        # exact replay from the emitted statistics
+        lam = RIDGE_LAMBDA
+        det = (r["n_docs"] + lam) * (r["sxx"] + lam) - r["sx"] * r["sx"]
+        assert det == r["det"] > 0
+        s_num = (r["n_docs"] + lam) * r["sxt"] - r["sx"] * r["st"]
+        i_num = (r["sxx"] + lam) * r["st"] - r["sx"] * r["sxt"]
+        assert r["slope_milli"] == (1000 * s_num) // det  # python // is floor
+        assert r["icept_milli"] == (1000 * i_num) // det
