@@ -230,6 +230,10 @@ HEADLINE += [
     # measures warm per-trigger probe work)
     "sim_incremental_topk",
     "streaming_sim_topk",
+    # round-16 ingest-admission funnel (batch twin stages the hash index
+    # and reuses the containment index staged above)
+    "ingest_admission",
+    "streaming_ingest_admission",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The

@@ -73,11 +73,15 @@ def registry() -> dict[str, QuerySpec]:
     # (h) position 14: NEW r16 quality_linear_fit — the in-engine
     #     closed-form ridge fit (one-scan integer sufficient statistics
     #     + exact per-group Cramer solve);
-    # (i) positions 15-49: the first 35 of the 48 r10-proven names —
+    # (i) positions 15-16: NEW r16 pair #3 — the end-to-end
+    #     ingest-admission funnel (exact-hash -> containment -> quality
+    #     gates vs the maintained indexes) and its foreachBatch
+    #     availableNow twin, sharing one oracle;
+    # (j) positions 17-49: the first 33 of the 48 r10-proven names —
     #     the oldest-proof tier outside this front.  The alphabetical
-    #     tail (streaming_full_outer_join .. unpivot_measures) heads
-    #     the r17 queue.  Any further r16 additions displace from this
-    #     r10 fill tail, never from the (a)-(h) head.
+    #     tail (state_store_inspect .. unpivot_measures) heads the r17
+    #     queue.  Any further r16 additions displace from this r10
+    #     fill tail, never from the (a)-(i) head.
     front = [
         n
         for n in (
@@ -104,7 +108,10 @@ def registry() -> dict[str, QuerySpec]:
             "sim_recall_report",
             # (h) NEW in r16: in-engine closed-form ridge fit
             "quality_linear_fit",
-            # (i) the r10-proven head (35 of 48, alphabetical)
+            # (i) NEW in r16: the ingest-admission funnel + streaming twin
+            "ingest_admission",
+            "streaming_ingest_admission",
+            # (j) the r10-proven head (33 of 48, alphabetical)
             "agg_moments",
             "apply_in_arrow",
             "binaryfile_source",
@@ -138,8 +145,6 @@ def registry() -> dict[str, QuerySpec]:
             "sim_bruteforce_topk",
             "sim_lsh_topk",
             "sql_udf_pricing",
-            "state_store_inspect",
-            "streaming_chained_windows",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -780,6 +780,56 @@ def q_dedup_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     return D.containment_vs_base_batch(spark, idx, delta)
 
 
+def _ingest_delta(docs: DataFrame) -> DataFrame:
+    """The synthetic ingest stream for the admission funnel: the
+    containment pair's delta (prefixes = contained, reversed = noise)
+    plus a third arm of EXACT copies (doc_id % 3 == 2, re-keyed above
+    5000000) so every funnel gate has positives.  Replayed verbatim in
+    SQL by the funnel oracle."""
+    exact = docs.filter(F.col("doc_id") % 3 == 2).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+    )
+    return _containment_delta(docs).unionByName(exact)
+
+
+def staged_hash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per corpus fingerprint) the exact-dup hash index over
+    the raw documents table and return its path — the cheapest arm of
+    the admission funnel, maintained exactly like the containment/ANN
+    indexes."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators import ingest as I
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+    ).hexdigest()[:12]
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    idx = os.path.join(root, f"ingest_hash_idx_{tag}")
+    if not os.path.exists(os.path.join(idx, "bh", "_SUCCESS")):
+        I.stage_hash_index(base, idx)
+    return idx
+
+
+def q_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END ingest-admission funnel: a synthetic ingest batch
+    (exact copies + contained prefixes + reversed noise) flows through
+    the exact-hash gate, then (survivors only) the staged-containment
+    gate, then the quality gate, and every doc gets an admit/reject
+    decision with per-gate flags — the composed decision a production
+    corpus makes per incoming document.  See operators/ingest."""
+    delta = _ingest_delta(load_table(spark, sf_dir, "documents"))
+    cidx = staged_containment_index(spark, sf_dir)
+    hidx = staged_hash_index(spark, sf_dir)
+    from ..operators import ingest as I
+
+    return I.ingest_admission_batch(spark, cidx, hidx, delta)
+
+
 def _ora_shingles_over(src: str, name: str) -> str:
     """The ORA_SHINGLES CTE parametrized over its source relation."""
     return (
@@ -791,22 +841,29 @@ def _ora_shingles_over(src: str, name: str) -> str:
     )
 
 
-# Replays the staged-index containment probe exactly: base df is the global
-# order statistic (delta tokens unseen in the base take df 0), the A-side
-# prefix n_a - ceil(9 n_a/10) + 1 with per-token caps on both the prefix and
-# the full base index, the n_b >= ceil(0.9 n_a) size prune, the positional
-# upper bound, and the integer milli-unit verify.
-ORA_DEDUP_CONTAINMENT_INCREMENTAL = f"""
-WITH delta AS (
+# The containment delta CTE body, shared verbatim by the containment pair's
+# oracle and the ingest-admission funnel's (which appends an exact-copy arm).
+_ORA_CONTAINMENT_DELTA = """
   SELECT doc_id + 3000000 AS doc_id,
          substring(text, 1, greatest((2 * length(text)) // 3, 5)) AS text
   FROM documents WHERE doc_id % 3 = 0
   UNION ALL
   SELECT doc_id + 4000000 AS doc_id, reverse(text) AS text
-  FROM documents WHERE doc_id % 3 = 1
-),
-{_ora_shingles_over("documents", "btoks")},
-{_ora_shingles_over("delta", "dtoks")},
+  FROM documents WHERE doc_id % 3 = 1"""
+
+
+def _ora_containment_probe(delta_src: str) -> str:
+    """The staged-index containment probe as a CTE chain parametrized over
+    the delta relation: base df is the global order statistic (delta
+    tokens unseen in the base take df 0), the A-side prefix
+    n_a - ceil(9 n_a/10) + 1 with per-token caps on both the prefix and
+    the full base index, the n_b >= ceil(0.9 n_a) size prune, the
+    positional upper bound, ending at the exact intersection counts
+    (inter) plus both size tables.  Shared by the containment pair's
+    oracle (delta_src='delta') and the ingest-admission funnel's
+    (delta_src='ne' — the not-exact sliver)."""
+    return f"""{_ora_shingles_over("documents", "btoks")},
+{_ora_shingles_over(delta_src, "dtoks")},
 df AS (SELECT tok, COUNT(*) AS df FROM btoks GROUP BY tok),
 bsizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM btoks GROUP BY doc_id),
 dsizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM dtoks GROUP BY doc_id),
@@ -847,7 +904,13 @@ inter AS (
   JOIN dtoks ta ON ta.doc_id = c.delta_id
   JOIN btoks tb ON tb.doc_id = c.base_id AND tb.tok = ta.tok
   GROUP BY c.delta_id, c.base_id
-)
+)"""
+
+
+ORA_DEDUP_CONTAINMENT_INCREMENTAL = f"""
+WITH delta AS ({_ORA_CONTAINMENT_DELTA}
+),
+{_ora_containment_probe("delta")}
 SELECT i.delta_id, i.base_id,
        CAST(sa.n_toks AS BIGINT) AS n_a,
        CAST(sb.n_toks AS BIGINT) AS n_b,
@@ -1774,9 +1837,11 @@ def q_quality_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Same integer milli-unit features and weights; Spark `div` and DuckDB `//`
 # agree (floor) because every dividend here is non-negative.
-ORA_QUALITY_LOGIT = f"""
-WITH f AS (
-  SELECT doc_id,
+def _ora_quality_feats(src: str) -> str:
+    """The quality-classifier feature select parametrized over its source
+    relation — shared verbatim by ORA_QUALITY_LOGIT (src='documents') and
+    the ingest-admission funnel's quality arm (src='delta')."""
+    return f"""SELECT doc_id,
          (1000 * CAST(len(list_filter(string_split(text, ' '),
                  t -> list_contains({_STOP_LIST}, t))) AS BIGINT))
            // CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio_m,
@@ -1786,7 +1851,12 @@ WITH f AS (
            // CAST(greatest(length(text), 1) AS BIGINT) AS digit_ratio_m,
          (1000 * CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT))
            // CAST(greatest(length(text), 1) AS BIGINT) AS punct_ratio_m
-  FROM documents
+  FROM {src}"""
+
+
+ORA_QUALITY_LOGIT = f"""
+WITH f AS (
+  {_ora_quality_feats("documents")}
 )
 SELECT doc_id, stop_ratio_m, wlen_m, digit_ratio_m, punct_ratio_m,
        CAST(-2600 + 6 * stop_ratio_m + wlen_m // 2
@@ -1794,6 +1864,45 @@ SELECT doc_id, stop_ratio_m, wlen_m, digit_ratio_m, punct_ratio_m,
        (-2600 + 6 * stop_ratio_m + wlen_m // 2
             - 3 * digit_ratio_m - 4 * punct_ratio_m) >= 0 AS keep
 FROM f
+"""
+
+
+# Replays the admission funnel exactly: the three-arm delta, the sha256
+# exact gate, the containment probe restricted to the not-exact sliver
+# (the same funnel pruning the Spark plan does), and the quality logit —
+# each arm the same SQL its standalone oracle uses.
+ORA_INGEST_ADMISSION = f"""
+WITH delta AS ({_ORA_CONTAINMENT_DELTA}
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, text
+  FROM documents WHERE doc_id % 3 = 2
+),
+bh AS (SELECT DISTINCT sha256(text) AS h FROM documents),
+exact AS (
+  SELECT DISTINCT d.doc_id
+  FROM (SELECT doc_id, sha256(text) AS h FROM delta) d JOIN bh USING (h)
+),
+ne AS (SELECT * FROM delta WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+{_ora_containment_probe("ne")},
+cont AS (
+  SELECT DISTINCT i.delta_id AS doc_id
+  FROM inter i JOIN dsizes sa ON sa.doc_id = i.delta_id
+  WHERE 10 * n_inter >= 9 * sa.n_toks
+),
+q AS (
+  SELECT doc_id,
+         (-2600 + 6 * stop_ratio_m + wlen_m // 2
+              - 3 * digit_ratio_m - 4 * punct_ratio_m) >= 0 AS keep
+  FROM ({_ora_quality_feats("delta")}) f
+)
+SELECT d.doc_id,
+       (d.doc_id IN (SELECT doc_id FROM exact)) AS is_exact,
+       (d.doc_id IN (SELECT doc_id FROM cont)) AS is_contained,
+       q.keep AS quality_keep,
+       (d.doc_id NOT IN (SELECT doc_id FROM exact)
+        AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+        AND q.keep) AS admitted
+FROM delta d JOIN q USING (doc_id)
 """
 
 
@@ -2856,6 +2965,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_quality_linear_fit,
         TR.ORA_QUALITY_LINEAR_FIT,
         "in-engine closed-form ridge fit per language (sufficient stats + exact Cramer)",
+    ),
+    "ingest_admission": QuerySpec(
+        q_ingest_admission,
+        ORA_INGEST_ADMISSION,
+        "end-to-end ingest-admission funnel: exact-hash -> containment -> quality gates",
     ),
     "quantile_sketch_merge": QuerySpec(
         q_quantile_sketch_merge,

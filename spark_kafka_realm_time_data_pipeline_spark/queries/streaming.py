@@ -1285,6 +1285,66 @@ def q_streaming_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .llm import _ora_sim_incremental as _ora_sim_incremental_streaming  # noqa: E402
 
 
+def q_streaming_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-admission funnel AS A STREAM — the deployment shape of
+    the whole dedup/quality tier: incoming documents (exact copies +
+    contained prefixes + reversed noise) arrive as micro-batches, and
+    foreachBatch runs the composed funnel (exact-hash gate -> staged
+    containment gate on the survivors -> quality gate) against the
+    maintained indexes, emitting an admit/reject decision with per-gate
+    flags for every doc.  Each gate's base side stays a parquet scan
+    probed by broadcasts of delta frames; the funnel ORDER is the
+    optimization (only not-exact docs pay the shingle probe).
+    availableNow drains the bounded source deterministically, so the
+    result is value-identical to the batch twin (ingest_admission) —
+    the oracle IS that query's SQL.
+
+    Same local[]-only sink caveat as the other staged-index twins: on a
+    cluster route ``SPARK_GRAFT_SCRATCH`` to a shared filesystem."""
+    import shutil
+
+    from ..operators import ingest as I
+    from ..streaming.sinks import foreach_batch_sink
+    from .llm import _ingest_delta, staged_containment_index, staged_hash_index
+
+    delta = _ingest_delta(stream_table(spark, sf_dir, "documents"))
+    cidx = staged_containment_index(spark, sf_dir)
+    hidx = staged_hash_index(spark, sf_dir)
+    out_dir = _scratch_dir("stream_ingest_adm_")
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decisions = I.ingest_admission_batch(spark, cidx, hidx, batch_df)
+        decisions.repartition(1).write.mode("append").parquet(out_dir)
+
+    try:
+        query = foreach_batch_sink(delta, admit_batch, output_mode="append")
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError(
+                    "ingest-admission stream replay did not finish in 300s"
+                )
+            progress = [p for p in (query.recentProgress or []) if p]
+            input_rows = sum(int(p["numInputRows"]) for p in progress)
+            proc_ms = sum(
+                int(p.get("durationMs", {}).get("triggerExecution", 0))
+                for p in progress
+            )
+        finally:
+            query.stop()
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        out.stream_input_rows = input_rows
+        if proc_ms > 0:
+            out.stream_processing_secs = proc_ms / 1000.0
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# value-identical to the batch twin (one availableNow drain), so it shares
+# ingest_admission's oracle verbatim
+from .llm import ORA_INGEST_ADMISSION as _ORA_INGEST_ADMISSION  # noqa: E402
+
+
 def q_streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-ONCE foreachBatch sink, crash-proven on every run: the
     production pattern for parquet/JDBC/object-store targets that
@@ -1854,6 +1914,12 @@ QUERIES: dict[str, QuerySpec] = {
         _ora_sim_incremental_streaming(),
         "foreachBatch ANN ingest gate: stream micro-batches vs the "
         "staged cluster-partitioned IVF index (DPP probe)",
+    ),
+    "streaming_ingest_admission": QuerySpec(
+        q_streaming_ingest_admission,
+        _ORA_INGEST_ADMISSION,
+        "foreachBatch admission funnel: exact-hash -> containment -> "
+        "quality gates per micro-batch vs the maintained indexes",
     ),
     "streaming_idempotent_sink": QuerySpec(
         q_streaming_idempotent_sink,
