@@ -670,10 +670,13 @@ def quality_linear_fit(docs: DataFrame) -> DataFrame:
     )
 
 
-# DuckDB twin: same statistics, same Cramer numerators, same pmod floor-
-# division identity ((a - ((a % d) + d) % d) / d with / on an exact multiple).
-ORA_QUALITY_LINEAR_FIT = f"""
-WITH stats AS (
+def ora_linear_fit(src: str) -> str:
+    """The whole ridge fit as a SQL SELECT parametrized over its source
+    relation — same statistics, same Cramer numerators, same pmod floor-
+    division identity ((a - ((a % d) + d) % d) / d with / on an exact
+    multiple).  Shared by ORA_QUALITY_LINEAR_FIT (src='documents') and
+    the drift monitor's base/fresh arms."""
+    return f"""WITH stats AS (
   SELECT lang,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(x) AS BIGINT) AS sx,
@@ -684,7 +687,7 @@ WITH stats AS (
     SELECT lang,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
            CAST(length(text) AS BIGINT) AS t
-    FROM documents
+    FROM {src}
   )
   GROUP BY lang
 ),
@@ -699,5 +702,55 @@ SELECT lang, n_docs, sx, sxx, st, sxt,
        CAST(det AS BIGINT) AS det,
        CAST((1000 * slope_num - (((1000 * slope_num) % det) + det) % det) / det AS BIGINT) AS slope_milli,
        CAST((1000 * icept_num - (((1000 * icept_num) % det) + det) % det) / det AS BIGINT) AS icept_milli
-FROM solved
+FROM solved"""
+
+
+# DuckDB twin of quality_linear_fit over the raw documents table.
+ORA_QUALITY_LINEAR_FIT = f"""
+{ora_linear_fit("documents")}
 """
+
+
+DRIFT_TOL_MILLI = 150  # |fresh slope - base slope| beyond this flags the lang
+
+
+def quality_fit_drift(
+    base_fit: DataFrame, fresh: DataFrame, tol_milli: int = DRIFT_TOL_MILLI
+) -> DataFrame:
+    """The monitor that completes the in-engine trainer: re-fit the
+    chars~tokens model on a FRESH batch of documents and compare each
+    language's slope against the STAGED base fit — the calibration-drift
+    check a crawl pipeline runs per ingest batch ("did this batch's
+    text-shape statistics move?").  A drifted slope means the batch's
+    chars-per-token relation changed (tokenizer damage, markup leak,
+    language mislabel), which is exactly the regression a fixed quality
+    threshold would silently absorb.
+
+    ``base_fit`` is the (staged, k-row) output of ``quality_linear_fit``
+    on the corpus; it rides a broadcast onto the fresh batch's fit, so
+    the monitor's only corpus-scale work is the fresh batch's one-scan
+    sufficient statistics.  Drift is an exact integer milli-unit
+    difference — the oracle replays both fits and the comparison."""
+    fresh_fit = quality_linear_fit(fresh).select(
+        "lang",
+        F.col("n_docs").alias("n_fresh"),
+        F.col("slope_milli").alias("fresh_slope_milli"),
+        F.col("icept_milli").alias("fresh_icept_milli"),
+    )
+    base = base_fit.select(
+        "lang",
+        F.col("slope_milli").alias("base_slope_milli"),
+        F.col("icept_milli").alias("base_icept_milli"),
+    )
+    drift = F.abs(F.col("fresh_slope_milli") - F.col("base_slope_milli"))
+    return (
+        fresh_fit.join(F.broadcast(base), "lang")
+        .select(
+            "lang",
+            "n_fresh",
+            "base_slope_milli",
+            "fresh_slope_milli",
+            drift.cast("long").alias("slope_drift_milli"),
+            (drift > tol_milli).alias("drifted"),
+        )
+    )

@@ -77,11 +77,14 @@ def registry() -> dict[str, QuerySpec]:
     #     ingest-admission funnel (exact-hash -> containment -> quality
     #     gates vs the maintained indexes) and its foreachBatch
     #     availableNow twin, sharing one oracle;
-    # (j) positions 17-49: the first 33 of the 48 r10-proven names —
+    # (j) positions 17-18: NEW r16 pair #4 — the fit-drift monitor
+    #     (fresh-batch ridge re-fit vs the staged base model table)
+    #     and its foreachBatch availableNow twin, sharing one oracle;
+    # (k) positions 19-49: the first 31 of the 48 r10-proven names —
     #     the oldest-proof tier outside this front.  The alphabetical
-    #     tail (state_store_inspect .. unpivot_measures) heads the r17
+    #     tail (sim_lsh_topk .. unpivot_measures) heads the r17
     #     queue.  Any further r16 additions displace from this r10
-    #     fill tail, never from the (a)-(i) head.
+    #     fill tail, never from the (a)-(j) head.
     front = [
         n
         for n in (
@@ -111,7 +114,10 @@ def registry() -> dict[str, QuerySpec]:
             # (i) NEW in r16: the ingest-admission funnel + streaming twin
             "ingest_admission",
             "streaming_ingest_admission",
-            # (j) the r10-proven head (33 of 48, alphabetical)
+            # (j) NEW in r16: fit-drift monitor + streaming twin
+            "quality_fit_drift",
+            "streaming_quality_drift",
+            # (k) the r10-proven head (31 of 48, alphabetical)
             "agg_moments",
             "apply_in_arrow",
             "binaryfile_source",
@@ -143,8 +149,6 @@ def registry() -> dict[str, QuerySpec]:
             "set_except_all",
             "set_intersect_all",
             "sim_bruteforce_topk",
-            "sim_lsh_topk",
-            "sql_udf_pricing",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

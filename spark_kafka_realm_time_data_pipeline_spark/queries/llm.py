@@ -1835,6 +1835,76 @@ def q_quality_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.quality_linear_fit(load_table(spark, sf_dir, "documents"))
 
 
+def _drift_delta(docs: DataFrame) -> DataFrame:
+    """The synthetic fresh batch for the fit-drift monitor: every doc
+    re-keyed above 6000000, and 'en' docs damaged by inserting a 4-char
+    token between every pair of words (replace ' ' -> ' zzzz ') — the
+    markup-leak shape that moves the chars~tokens slope toward
+    (slope+5)/2 for that language only.  Replayed verbatim in SQL."""
+    damaged = F.when(
+        F.col("lang") == "en",
+        F.replace(F.col("text"), F.lit(" "), F.lit(" zzzz ")),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        (F.col("doc_id") + 6000000).alias("doc_id"),
+        F.col("lang"),
+        damaged.alias("text"),
+    )
+
+
+def staged_fit_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per corpus fingerprint) the base quality fit — the
+    k-row model table the drift monitor's every batch broadcasts,
+    maintained exactly like the dedup/ANN/hash indexes."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+    ).hexdigest()[:12]
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    idx = os.path.join(root, f"quality_fit_idx_{tag}")
+    if not os.path.exists(os.path.join(idx, "fit", "_SUCCESS")):
+        TR.quality_linear_fit(
+            load_table(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(os.path.join(idx, "fit"))
+    return idx
+
+
+def q_quality_fit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitor the trained model: re-fit chars~tokens on a fresh batch
+    (with 'en' deterministically damaged) and compare each language's
+    slope against the staged base fit — the per-ingest-batch calibration
+    check; see operators/training.quality_fit_drift."""
+    import os
+
+    idx = staged_fit_index(spark, sf_dir)
+    base_fit = spark.read.parquet(os.path.join(idx, "fit"))
+    fresh = _drift_delta(load_table(spark, sf_dir, "documents"))
+    return TR.quality_fit_drift(base_fit, fresh)
+
+
+ORA_QUALITY_FIT_DRIFT = f"""
+WITH fresh AS (
+  SELECT doc_id + 6000000 AS doc_id, lang,
+         CASE WHEN lang = 'en' THEN replace(text, ' ', ' zzzz ')
+              ELSE text END AS text
+  FROM documents
+),
+base_fit AS ({TR.ora_linear_fit("documents")}),
+fresh_fit AS ({TR.ora_linear_fit("fresh")})
+SELECT f.lang,
+       f.n_docs AS n_fresh,
+       b.slope_milli AS base_slope_milli,
+       f.slope_milli AS fresh_slope_milli,
+       CAST(abs(f.slope_milli - b.slope_milli) AS BIGINT) AS slope_drift_milli,
+       abs(f.slope_milli - b.slope_milli) > {TR.DRIFT_TOL_MILLI} AS drifted
+FROM fresh_fit f JOIN base_fit b USING (lang)
+"""
+
+
 # Same integer milli-unit features and weights; Spark `div` and DuckDB `//`
 # agree (floor) because every dividend here is non-negative.
 def _ora_quality_feats(src: str) -> str:
@@ -2970,6 +3040,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_ingest_admission,
         ORA_INGEST_ADMISSION,
         "end-to-end ingest-admission funnel: exact-hash -> containment -> quality gates",
+    ),
+    "quality_fit_drift": QuerySpec(
+        q_quality_fit_drift,
+        ORA_QUALITY_FIT_DRIFT,
+        "fit-drift monitor: fresh-batch ridge fit vs the staged base fit, per language",
     ),
     "quantile_sketch_merge": QuerySpec(
         q_quantile_sketch_merge,

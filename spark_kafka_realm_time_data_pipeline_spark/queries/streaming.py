@@ -1345,6 +1345,68 @@ def q_streaming_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .llm import ORA_INGEST_ADMISSION as _ORA_INGEST_ADMISSION  # noqa: E402
 
 
+def q_streaming_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fit-drift monitor AS A STREAM: fresh documents (with 'en'
+    deterministically damaged) arrive as micro-batches, and foreachBatch
+    re-fits the per-language chars~tokens model on each batch and
+    compares slopes against the STAGED base fit (broadcast k-row model
+    table) — the per-trigger calibration check a crawl pipeline runs
+    continuously.  The only per-trigger work that scales with the batch
+    is the one-scan sufficient-statistics aggregate.  availableNow
+    drains the bounded source in one deterministic batch, so the result
+    is value-identical to the batch twin (quality_fit_drift) — the
+    oracle IS that query's SQL.
+
+    NOTE the statistical caveat a real deployment tunes: a drift fit on
+    a SMALL trigger is noisy; availableNow's single full-corpus batch
+    sidesteps it here, and a production trigger would size batches or
+    window the statistics before comparing."""
+    import os
+    import shutil
+
+    from ..operators import training as TRo
+    from .llm import _drift_delta, staged_fit_index
+
+    fresh = _drift_delta(stream_table(spark, sf_dir, "documents"))
+    idx = staged_fit_index(spark, sf_dir)
+    base_fit = spark.read.parquet(os.path.join(idx, "fit"))
+    out_dir = _scratch_dir("stream_fit_drift_")
+
+    from ..streaming.sinks import foreach_batch_sink
+
+    def drift_batch(batch_df: DataFrame, batch_id: int) -> None:
+        report = TRo.quality_fit_drift(base_fit, batch_df)
+        report.repartition(1).write.mode("append").parquet(out_dir)
+
+    try:
+        query = foreach_batch_sink(fresh, drift_batch, output_mode="append")
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError(
+                    "fit-drift stream replay did not finish in 300s"
+                )
+            progress = [p for p in (query.recentProgress or []) if p]
+            input_rows = sum(int(p["numInputRows"]) for p in progress)
+            proc_ms = sum(
+                int(p.get("durationMs", {}).get("triggerExecution", 0))
+                for p in progress
+            )
+        finally:
+            query.stop()
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        out.stream_input_rows = input_rows
+        if proc_ms > 0:
+            out.stream_processing_secs = proc_ms / 1000.0
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# value-identical to the batch twin (one availableNow drain), so it shares
+# quality_fit_drift's oracle verbatim
+from .llm import ORA_QUALITY_FIT_DRIFT as _ORA_QUALITY_FIT_DRIFT  # noqa: E402
+
+
 def q_streaming_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-ONCE foreachBatch sink, crash-proven on every run: the
     production pattern for parquet/JDBC/object-store targets that
@@ -1920,6 +1982,12 @@ QUERIES: dict[str, QuerySpec] = {
         _ORA_INGEST_ADMISSION,
         "foreachBatch admission funnel: exact-hash -> containment -> "
         "quality gates per micro-batch vs the maintained indexes",
+    ),
+    "streaming_quality_drift": QuerySpec(
+        q_streaming_quality_drift,
+        _ORA_QUALITY_FIT_DRIFT,
+        "foreachBatch fit-drift monitor: per-trigger ridge re-fit vs "
+        "the staged base model table",
     ),
     "streaming_idempotent_sink": QuerySpec(
         q_streaming_idempotent_sink,

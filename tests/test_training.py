@@ -174,3 +174,34 @@ def test_quality_linear_fit_recovers_planted_relation(spark):
         i_num = (r["sxx"] + lam) * r["st"] - r["sx"] * r["sxt"]
         assert r["slope_milli"] == (1000 * s_num) // det  # python // is floor
         assert r["icept_milli"] == (1000 * i_num) // det
+
+
+def test_quality_fit_drift_flags_only_damaged_language(spark):
+    """r16 drift monitor: damaging one language's fresh batch (a 4-char
+    token inserted between every word pair — slope moves toward
+    (s+5)/2) flags that language and no other; an undamaged fresh batch
+    flags nothing."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.training import (
+        quality_fit_drift,
+        quality_linear_fit,
+    )
+
+    rows = []
+    for i in range(60):
+        n = 4 + (i % 7)
+        rows.append((i, " ".join("abcdefgh" for _ in range(n)), "en" if i % 2 else "fr"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base_fit = quality_linear_fit(docs)
+    damaged = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("lang") == "en",
+            F.replace(F.col("text"), F.lit(" "), F.lit(" zz ")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    got = {r.lang: r for r in quality_fit_drift(base_fit, damaged).collect()}
+    assert got["en"].drifted and got["en"].slope_drift_milli > 150, got["en"]
+    assert not got["fr"].drifted and got["fr"].slope_drift_milli == 0, got["fr"]
+    clean = {r.lang: r for r in quality_fit_drift(base_fit, docs).collect()}
+    assert not any(r.drifted for r in clean.values())
