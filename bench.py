@@ -234,6 +234,8 @@ HEADLINE += [
     # and reuses the containment index staged above)
     "ingest_admission",
     "streaming_ingest_admission",
+    # round-16 embedding near-dup ingest gate (reuses the staged IVF index)
+    "sim_incremental_range",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The

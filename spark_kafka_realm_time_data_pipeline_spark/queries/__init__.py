@@ -80,11 +80,13 @@ def registry() -> dict[str, QuerySpec]:
     # (j) positions 17-18: NEW r16 pair #4 — the fit-drift monitor
     #     (fresh-batch ridge re-fit vs the staged base model table)
     #     and its foreachBatch availableNow twin, sharing one oracle;
-    # (k) positions 19-49: the first 31 of the 48 r10-proven names —
+    # (k) position 19: NEW r16 sim_incremental_range — the embedding
+    #     near-dup ingest gate (k=1 staged-IVF probe, cosine>=0.99);
+    # (l) positions 20-49: the first 30 of the 48 r10-proven names —
     #     the oldest-proof tier outside this front.  The alphabetical
-    #     tail (sim_lsh_topk .. unpivot_measures) heads the r17
+    #     tail (sim_bruteforce_topk .. unpivot_measures) heads the r17
     #     queue.  Any further r16 additions displace from this r10
-    #     fill tail, never from the (a)-(j) head.
+    #     fill tail, never from the (a)-(k) head.
     front = [
         n
         for n in (
@@ -117,7 +119,9 @@ def registry() -> dict[str, QuerySpec]:
             # (j) NEW in r16: fit-drift monitor + streaming twin
             "quality_fit_drift",
             "streaming_quality_drift",
-            # (k) the r10-proven head (31 of 48, alphabetical)
+            # (k) NEW in r16: embedding near-dup ingest gate
+            "sim_incremental_range",
+            # (l) the r10-proven head (30 of 48, alphabetical)
             "agg_moments",
             "apply_in_arrow",
             "binaryfile_source",
@@ -148,7 +152,6 @@ def registry() -> dict[str, QuerySpec]:
             "schema_merge_read",
             "set_except_all",
             "set_intersect_all",
-            "sim_bruteforce_topk",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -1586,6 +1586,75 @@ def staged_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def q_sim_incremental_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding NEAR-DUP ingest gate — the vector twin of the
+    admission funnel's containment arm: each incoming vector probes the
+    staged IVF index for its single nearest corpus neighbor (k=1 probe,
+    same ann_vs_base_batch plan as the top-k query) and is flagged when
+    max cosine >= 0.99.  The synthetic batch mixes EXACT copies of every
+    11th corpus vector (re-keyed above 2000000 — true near-dups, cosine
+    ~1.0 when their source's cluster is probed) with the +0.25-shifted
+    noise arm (never near-dups).  Approximate by design: a copy whose
+    source cluster falls outside the n_probe set is missed — the same
+    recall trade every IVF deployment makes, and both engines replay the
+    identical probe so the result is still hash-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    near = emb.filter((F.col("vec_id") % 11 == 5) & (F.col("vec_id") < 3300)).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    delta = near.unionByName(_ann_delta(emb))
+    idx = staged_ivf_index(spark, sf_dir)
+    top1 = S.ann_vs_base_batch(spark, idx, delta, k=1)
+    return top1.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        (F.col("cosine") >= 0.99).alias("is_dup"),
+    )
+
+
+def _ora_sim_incremental_range(dim: int = 64, n_probe: int = 3) -> str:
+    """Staged-IVF near-dup-gate oracle: the shared centroid fold, the
+    two-arm delta (exact copies + shifted noise) replayed exactly, the
+    same probe ranking, and the k=1 top neighbor with the 0.99 flag."""
+    return f"""
+WITH {_ora_ivf_cent(dim)},
+q AS (
+  SELECT vec_id + 2000000 AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
+  FROM embeddings WHERE vec_id % 11 = 5 AND vec_id < 3300
+  UNION ALL
+  SELECT vec_id + 1000000 AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.25) AS q_vec
+  FROM embeddings WHERE vec_id % 7 = 3 AND vec_id < 3500
+),
+qc AS (
+  SELECT q.query_id, q.q_vec, c.cluster,
+         {_ora_cosine('q.q_vec', 'c.centroid')} AS c_cos
+  FROM q CROSS JOIN centroids c
+),
+probes AS (
+  SELECT query_id, q_vec, cluster FROM (
+    SELECT query_id, q_vec, cluster,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cluster) AS crank
+    FROM qc
+  ) t WHERE crank <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_ora_cosine('p.q_vec', 'e.embedding')} AS cosine
+  FROM embeddings e JOIN probes p ON e.label = p.cluster
+  WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, cosine >= 0.99 AS is_dup FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= 1
+"""
+
+
 def q_sim_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN: a synthetic ingest batch of query vectors
     (shifted copies of every 7th corpus vector) probes the staged IVF
@@ -3004,6 +3073,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_sim_incremental_topk,
         _ora_sim_incremental(),
         "delta-vs-base ANN against a staged cluster-partitioned IVF index (DPP probe)",
+    ),
+    "sim_incremental_range": QuerySpec(
+        q_sim_incremental_range,
+        _ora_sim_incremental_range(),
+        "embedding near-dup ingest gate: k=1 staged-IVF probe + cosine>=0.99 flag",
     ),
     "ann_pq_codes": QuerySpec(
         q_ann_pq_codes,

@@ -34,6 +34,7 @@ ALLOWED_BNLJ = {
     "kmeans_embeddings",
     "length_drift_report",
     "sim_bruteforce_topk",
+    "sim_incremental_range",  # delta x broadcast(centroids): n_clusters rows
     "sim_incremental_topk",  # delta x broadcast(centroids): n_clusters rows
     "sim_ivf_topk",
     "sim_recall_report",

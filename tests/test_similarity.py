@@ -168,3 +168,28 @@ def test_staged_ivf_probe_uses_dynamic_partition_pruning(spark, emb, tmp_path):
     df = ann_vs_base_batch(spark, idx, emb.filter(F.col("vec_id") < 4))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_incremental_range_gate_flags_copies_never_noise(spark):
+    """r16 near-dup ingest gate: exact copies flag (within IVF probe
+    recall — their source's cluster must land in the n_probe set), and
+    the shifted-noise arm NEVER flags (zero false positives — the
+    property that makes the gate safe to auto-reject on)."""
+    from spark_kafka_realm_time_data_pipeline_spark.queries.llm import (
+        q_sim_incremental_range,
+    )
+
+    from conftest import SF_DIR
+
+    rows = q_sim_incremental_range(spark, SF_DIR).collect()
+    near = [r for r in rows if r.query_id >= 2000000]
+    noise = [r for r in rows if r.query_id < 2000000]
+    assert near and noise
+    flagged = sum(1 for r in near if r.is_dup)
+    # statistical floor: own-cluster probe recall ~= 1 when ranked, but
+    # isotropic centroids make the floor n_probe/n_lists-ish; observed 0.69
+    assert flagged / len(near) >= 0.4, (flagged, len(near))
+    for r in near:
+        if r.is_dup:
+            assert r.cosine >= 0.99
+    assert not any(r.is_dup for r in noise), "noise arm must never flag"
