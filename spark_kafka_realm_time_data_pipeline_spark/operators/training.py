@@ -603,11 +603,16 @@ def epoch_shuffle(docs: DataFrame, epoch: int = 1) -> DataFrame:
 RIDGE_LAMBDA = 1  # integer L2 term; also guarantees det > 0 for any group
 
 
-def _floor_div(a: Column, d: Column) -> Column:
-    """Exact floor division for possibly-negative integer numerators:
-    pmod is always non-negative, so (a - pmod(a, d)) divides exactly and
-    `div` introduces no engine-specific truncation direction."""
-    return (a - F.pmod(a, d)) / d
+def _floor_div_expr(a: str, d: str) -> str:
+    """Exact floor division for possibly-negative integer numerators as a
+    SQL fragment over NAMED bigint columns: pmod is always non-negative,
+    so (a - pmod(a, d)) divides exactly, and integral `div` on the exact
+    multiple introduces no truncation-direction ambiguity.  Everything
+    stays in bigint — no double roundtrip: `/` would evaluate as IEEE
+    long/long -> double, which silently loses exactness once
+    |numerator| exceeds 2^53 (~9.0e15; with the documented sf1 caps the
+    milli numerators reach ~6e17)."""
+    return f"(({a}) - pmod({a}, {d})) div ({d})"
 
 
 def quality_linear_fit(docs: DataFrame) -> DataFrame:
@@ -626,8 +631,9 @@ def quality_linear_fit(docs: DataFrame) -> DataFrame:
     count, t = char count), statistics are integer sums, λ = 1 joins the
     diagonal so det = (n+λ)(Σx²+λ) − (Σx)² > 0, and the reported
     slope/intercept are exact FLOOR milli-units via the pmod identity
-    (a − pmod(a,d)) / d — no IEEE division anywhere, so the oracle
-    replays the whole fit bit-for-bit.
+    (a − pmod(a,d)) div d — integral division end-to-end, no IEEE
+    division (or double roundtrip) anywhere, so the oracle replays the
+    whole fit bit-for-bit at any magnitude the bigint range holds.
 
     100 TB posture: the scan is embarrassingly parallel and the shuffle
     carries one 5-long row per (partition, lang) after partial
@@ -653,7 +659,7 @@ def quality_linear_fit(docs: DataFrame) -> DataFrame:
     det = (F.col("n_docs") + lam) * (F.col("sxx") + lam) - F.col("sx") * F.col("sx")
     slope_num = (F.col("n_docs") + lam) * F.col("sxt") - F.col("sx") * F.col("st")
     icept_num = (F.col("sxx") + lam) * F.col("st") - F.col("sx") * F.col("sxt")
-    return stats.select(
+    solved = stats.select(
         "lang",
         "n_docs",
         "sx",
@@ -661,10 +667,21 @@ def quality_linear_fit(docs: DataFrame) -> DataFrame:
         "st",
         "sxt",
         det.cast("long").alias("det"),
-        _floor_div(F.lit(1000).cast("long") * slope_num, det)
+        (F.lit(1000).cast("long") * slope_num).alias("_slope_num_m"),
+        (F.lit(1000).cast("long") * icept_num).alias("_icept_num_m"),
+    )
+    return solved.select(
+        "lang",
+        "n_docs",
+        "sx",
+        "sxx",
+        "st",
+        "sxt",
+        "det",
+        F.expr(_floor_div_expr("_slope_num_m", "det"))
         .cast("long")
         .alias("slope_milli"),
-        _floor_div(F.lit(1000).cast("long") * icept_num, det)
+        F.expr(_floor_div_expr("_icept_num_m", "det"))
         .cast("long")
         .alias("icept_milli"),
     )
@@ -673,9 +690,11 @@ def quality_linear_fit(docs: DataFrame) -> DataFrame:
 def ora_linear_fit(src: str) -> str:
     """The whole ridge fit as a SQL SELECT parametrized over its source
     relation — same statistics, same Cramer numerators, same pmod floor-
-    division identity ((a - ((a % d) + d) % d) / d with / on an exact
-    multiple).  Shared by ORA_QUALITY_LINEAR_FIT (src='documents') and
-    the drift monitor's base/fresh arms."""
+    division identity ((a - ((a % d) + d) % d) // d, INTEGER division on
+    an exact multiple — `//` keeps the arithmetic in bigint exactly as
+    Spark's `div` does, where `/` would roundtrip through double and
+    diverge past 2^53).  Shared by ORA_QUALITY_LINEAR_FIT
+    (src='documents') and the drift monitor's base/fresh arms."""
     return f"""WITH stats AS (
   SELECT lang,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -700,8 +719,8 @@ solved AS (
 )
 SELECT lang, n_docs, sx, sxx, st, sxt,
        CAST(det AS BIGINT) AS det,
-       CAST((1000 * slope_num - (((1000 * slope_num) % det) + det) % det) / det AS BIGINT) AS slope_milli,
-       CAST((1000 * icept_num - (((1000 * icept_num) % det) + det) % det) / det AS BIGINT) AS icept_milli
+       CAST((1000 * slope_num - (((1000 * slope_num) % det) + det) % det) // det AS BIGINT) AS slope_milli,
+       CAST((1000 * icept_num - (((1000 * icept_num) % det) + det) % det) // det AS BIGINT) AS icept_milli
 FROM solved"""
 
 
@@ -730,7 +749,13 @@ def quality_fit_drift(
     on the corpus; it rides a broadcast onto the fresh batch's fit, so
     the monitor's only corpus-scale work is the fresh batch's one-scan
     sufficient statistics.  Drift is an exact integer milli-unit
-    difference — the oracle replays both fits and the comparison."""
+    difference — the oracle replays both fits and the comparison.
+
+    The join is LEFT from the fresh fit: a language present only in the
+    fresh batch — a mislabel or a brand-new language, the strongest
+    drift signal there is — surfaces as a row with NULL base columns and
+    ``drifted`` forced true, instead of silently vanishing the way an
+    inner join would drop it."""
     fresh_fit = quality_linear_fit(fresh).select(
         "lang",
         F.col("n_docs").alias("n_fresh"),
@@ -744,13 +769,15 @@ def quality_fit_drift(
     )
     drift = F.abs(F.col("fresh_slope_milli") - F.col("base_slope_milli"))
     return (
-        fresh_fit.join(F.broadcast(base), "lang")
+        fresh_fit.join(F.broadcast(base), "lang", "left")
         .select(
             "lang",
             "n_fresh",
             "base_slope_milli",
             "fresh_slope_milli",
             drift.cast("long").alias("slope_drift_milli"),
-            (drift > tol_milli).alias("drifted"),
+            F.when(F.col("base_slope_milli").isNull(), F.lit(True))
+            .otherwise(drift > tol_milli)
+            .alias("drifted"),
         )
     )

@@ -698,30 +698,63 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_near_dup_indexed(spark, idx, delta, threshold=0.8)
 
 
-def staged_base_index(spark: SparkSession, sf_dir: str) -> str:
-    """Stage (once per corpus fingerprint) the incremental-dedup base
-    index over the raw documents table and return its path.  Shared by
-    the batch indexed query and the streaming foreachBatch twin — the
-    base side of both is the same frame (planted_corpus below 1000000 IS
-    the raw documents table), so they read one maintained index, exactly
-    as a daily-ingest pipeline would."""
+def _staged_index(
+    spark: SparkSession,
+    sf_dir: str,
+    src_table: str,
+    prefix: str,
+    success_subdir: str,
+    build,
+) -> str:
+    """The ONE staging boilerplate every maintained index shares (near-dup
+    bands, containment, exact-hash, IVF, quality fit): the index lives at
+    a scratch path keyed by the SOURCE FILE's identity fingerprint
+    (path:mtime:size), so repeat invocations — the bench's median-of-N,
+    a daily delta batch — pay only delta-side work, while a regenerated
+    corpus invalidates the key and restages.  The _SUCCESS marker of the
+    LAST-written sub-table doubles as the whole-index completeness flag
+    (a partially-staged index restages).  Honors SPARK_GRAFT_SCRATCH
+    (shared-FS location on a real cluster; local tmp here).  One
+    definition, so the fingerprint scheme can never drift between the
+    five indexes that used to each carry a private copy of this logic.
+
+    ``build(idx_path)`` materializes the index's sub-tables under the
+    given path, writing ``success_subdir`` last."""
     import hashlib
     import os
     import tempfile
 
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
     tag = hashlib.md5(
         f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
     ).hexdigest()[:12]
     root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
-    idx = os.path.join(root, f"dedup_base_idx_{tag}")
-    # toks_arr is written LAST in stage_base_index, so its _SUCCESS marker
-    # means the whole index is complete (and pre-r11 indexes lacking the
-    # array frame restage)
-    if not os.path.exists(os.path.join(idx, "toks_arr", "_SUCCESS")):
-        D.stage_base_index(base, idx)
+    idx = os.path.join(root, f"{prefix}_{tag}")
+    if not os.path.exists(os.path.join(idx, success_subdir, "_SUCCESS")):
+        build(idx)
     return idx
+
+
+def staged_base_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per corpus fingerprint) the incremental-dedup base
+    index over the raw documents table and return its path.  Shared by
+    the batch indexed query, the streaming foreachBatch twin, and the
+    admission funnel's near-dup gate — the base side of all three is the
+    same frame (planted_corpus below 1000000 IS the raw documents
+    table), so they read one maintained index, exactly as a daily-ingest
+    pipeline would.  toks_arr is written LAST in stage_base_index, so
+    its _SUCCESS marker means the whole index is complete (and pre-r11
+    indexes lacking the array frame restage)."""
+    return _staged_index(
+        spark,
+        sf_dir,
+        "documents",
+        "dedup_base_idx",
+        "toks_arr",
+        lambda idx: D.stage_base_index(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"), idx
+        ),
+    )
 
 
 def _containment_delta(docs: DataFrame) -> DataFrame:
@@ -749,23 +782,19 @@ def staged_containment_index(spark: SparkSession, sf_dir: str) -> str:
     """Stage (once per corpus fingerprint) the containment base index
     over the raw documents table and return its path — the directed
     analog of staged_base_index, shared by the batch incremental query
-    and the streaming foreachBatch twin."""
-    import hashlib
-    import os
-    import tempfile
-
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.md5(
-        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
-    ).hexdigest()[:12]
-    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
-    idx = os.path.join(root, f"containment_idx_{tag}")
-    # carrs is written LAST in stage_containment_index, so its _SUCCESS
-    # marker means the whole index is complete
-    if not os.path.exists(os.path.join(idx, "carrs", "_SUCCESS")):
-        D.stage_containment_index(base, idx)
-    return idx
+    and the streaming foreachBatch twin.  carrs is written LAST in
+    stage_containment_index, so its _SUCCESS marker means the whole
+    index is complete."""
+    return _staged_index(
+        spark,
+        sf_dir,
+        "documents",
+        "containment_idx",
+        "carrs",
+        lambda idx: D.stage_containment_index(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"), idx
+        ),
+    )
 
 
 def q_dedup_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,22 +826,18 @@ def staged_hash_index(spark: SparkSession, sf_dir: str) -> str:
     the raw documents table and return its path — the cheapest arm of
     the admission funnel, maintained exactly like the containment/ANN
     indexes."""
-    import hashlib
-    import os
-    import tempfile
-
     from ..operators import ingest as I
 
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.md5(
-        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
-    ).hexdigest()[:12]
-    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
-    idx = os.path.join(root, f"ingest_hash_idx_{tag}")
-    if not os.path.exists(os.path.join(idx, "bh", "_SUCCESS")):
-        I.stage_hash_index(base, idx)
-    return idx
+    return _staged_index(
+        spark,
+        sf_dir,
+        "documents",
+        "ingest_hash_idx",
+        "bh",
+        lambda idx: I.stage_hash_index(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"), idx
+        ),
+    )
 
 
 def q_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1567,23 +1592,17 @@ def staged_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Stage (once per corpus fingerprint) the IVF ANN index over the raw
     embeddings table and return its path — the similarity analog of
     staged_containment_index, shared by the batch incremental query and
-    the streaming foreachBatch twin."""
-    import hashlib
-    import os
-    import tempfile
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    tag = hashlib.md5(
-        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
-    ).hexdigest()[:12]
-    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
-    idx = os.path.join(root, f"ann_ivf_idx_{tag}")
-    # vecs is written LAST in stage_ivf_index, so its _SUCCESS marker
-    # means the whole index (centroids included) is complete
-    if not os.path.exists(os.path.join(idx, "vecs", "_SUCCESS")):
-        S.stage_ivf_index(emb, idx)
-    return idx
+    the streaming foreachBatch twin.  vecs is written LAST in
+    stage_ivf_index, so its _SUCCESS marker means the whole index
+    (centroids included) is complete."""
+    return _staged_index(
+        spark,
+        sf_dir,
+        "embeddings",
+        "ann_ivf_idx",
+        "vecs",
+        lambda idx: S.stage_ivf_index(load_table(spark, sf_dir, "embeddings"), idx),
+    )
 
 
 def q_sim_incremental_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1909,37 +1928,44 @@ def _drift_delta(docs: DataFrame) -> DataFrame:
     re-keyed above 6000000, and 'en' docs damaged by inserting a 4-char
     token between every pair of words (replace ' ' -> ' zzzz ') — the
     markup-leak shape that moves the chars~tokens slope toward
-    (slope+5)/2 for that language only.  Replayed verbatim in SQL."""
+    (slope+5)/2 for that language only.  A third arm relabels every
+    97th doc as the NOVEL language 'xx' (re-keyed above 8000000) — a
+    language the base fit has never seen, exercising the monitor's
+    fresh-only path (left join -> drifted forced true).  Replayed
+    verbatim in SQL."""
     damaged = F.when(
         F.col("lang") == "en",
         F.replace(F.col("text"), F.lit(" "), F.lit(" zzzz ")),
     ).otherwise(F.col("text"))
-    return docs.select(
+    rekeyed = docs.select(
         (F.col("doc_id") + 6000000).alias("doc_id"),
         F.col("lang"),
         damaged.alias("text"),
     )
+    novel = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        F.col("text"),
+    )
+    return rekeyed.unionByName(novel)
 
 
 def staged_fit_index(spark: SparkSession, sf_dir: str) -> str:
     """Stage (once per corpus fingerprint) the base quality fit — the
     k-row model table the drift monitor's every batch broadcasts,
     maintained exactly like the dedup/ANN/hash indexes."""
-    import hashlib
     import os
-    import tempfile
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.md5(
-        f"{src}:{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
-    ).hexdigest()[:12]
-    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
-    idx = os.path.join(root, f"quality_fit_idx_{tag}")
-    if not os.path.exists(os.path.join(idx, "fit", "_SUCCESS")):
-        TR.quality_linear_fit(
-            load_table(spark, sf_dir, "documents")
-        ).write.mode("overwrite").parquet(os.path.join(idx, "fit"))
-    return idx
+    return _staged_index(
+        spark,
+        sf_dir,
+        "documents",
+        "quality_fit_idx",
+        "fit",
+        lambda idx: TR.quality_linear_fit(load_table(spark, sf_dir, "documents"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(idx, "fit")),
+    )
 
 
 def q_quality_fit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1961,6 +1987,9 @@ WITH fresh AS (
          CASE WHEN lang = 'en' THEN replace(text, ' ', ' zzzz ')
               ELSE text END AS text
   FROM documents
+  UNION ALL
+  SELECT doc_id + 8000000 AS doc_id, 'xx' AS lang, text
+  FROM documents WHERE doc_id % 97 = 0
 ),
 base_fit AS ({TR.ora_linear_fit("documents")}),
 fresh_fit AS ({TR.ora_linear_fit("fresh")})
@@ -1969,8 +1998,10 @@ SELECT f.lang,
        b.slope_milli AS base_slope_milli,
        f.slope_milli AS fresh_slope_milli,
        CAST(abs(f.slope_milli - b.slope_milli) AS BIGINT) AS slope_drift_milli,
-       abs(f.slope_milli - b.slope_milli) > {TR.DRIFT_TOL_MILLI} AS drifted
-FROM fresh_fit f JOIN base_fit b USING (lang)
+       CASE WHEN b.slope_milli IS NULL THEN true
+            ELSE abs(f.slope_milli - b.slope_milli) > {TR.DRIFT_TOL_MILLI}
+       END AS drifted
+FROM fresh_fit f LEFT JOIN base_fit b USING (lang)
 """
 
 

@@ -1360,7 +1360,13 @@ def q_streaming_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOTE the statistical caveat a real deployment tunes: a drift fit on
     a SMALL trigger is noisy; availableNow's single full-corpus batch
     sidesteps it here, and a production trigger would size batches or
-    window the statistics before comparing."""
+    window the statistics before comparing.  Because the per-batch
+    RE-FIT is NOT split-safe (two half-batches fit two different models,
+    unlike the per-row gates of the other streaming twins), drift_batch
+    fails fast if the source ever delivers a second micro-batch instead
+    of silently diverging from the shared batch oracle — a deployment
+    that wants multi-trigger fits must accumulate the integer
+    sufficient statistics across batches and solve once at the end."""
     import os
     import shutil
 
@@ -1375,6 +1381,14 @@ def q_streaming_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import foreach_batch_sink
 
     def drift_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > 0:
+            raise RuntimeError(
+                "fit-drift stream delivered a second micro-batch "
+                f"(batch_id={batch_id}): the per-batch re-fit is not "
+                "split-safe and would diverge from the single-batch "
+                "oracle — accumulate sufficient statistics across "
+                "batches instead of re-fitting per trigger"
+            )
         report = TRo.quality_fit_drift(base_fit, batch_df)
         report.repartition(1).write.mode("append").parquet(out_dir)
 

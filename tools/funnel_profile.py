@@ -63,6 +63,10 @@ def profile(spark, sf_dir: str) -> dict:
         dh = delta.select("doc_id", F.sha2("text", 256).alias("h"))
         return bh.join(F.broadcast(dh), "h").select("doc_id").distinct()
 
+    # warm the exact gate too (hash-index read + codegen), mirroring the
+    # containment warm-up below — otherwise t_exact absorbs the staged
+    # index's first read and skews the per-gate comparison
+    exact_ids().count()
     t_exact, n_exact = _timed(lambda: exact_ids().count())
     ids = exact_ids().localCheckpoint(eager=True)
     not_exact = delta.join(F.broadcast(ids), "doc_id", "left_anti").localCheckpoint(
