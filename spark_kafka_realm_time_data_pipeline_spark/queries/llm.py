@@ -813,12 +813,24 @@ def _ingest_delta(docs: DataFrame) -> DataFrame:
     """The synthetic ingest stream for the admission funnel: the
     containment pair's delta (prefixes = contained, reversed = noise)
     plus a third arm of EXACT copies (doc_id % 3 == 2, re-keyed above
-    5000000) so every funnel gate has positives.  Replayed verbatim in
-    SQL by the funnel oracle."""
+    5000000) and a fourth arm of NEAR-DUP edits (same docs re-keyed
+    above 7000000 with ~1/6 of the doc's reversed text APPENDED) so
+    every funnel gate has positives.  The appended-tail shape is chosen
+    to be exactly what the near-dup gate exists to catch: adding
+    material keeps Jaccard high (~0.84 for typical lengths, above the
+    0.8 LSH threshold) while pushing directed containment of the NEW
+    doc below its 0.9 threshold (the tail's reversed-text shingles are
+    not in the base), so the doc clears gates 1-2 and is caught only by
+    gate 3.  Replayed verbatim in SQL by the funnel oracle."""
     exact = docs.filter(F.col("doc_id") % 3 == 2).select(
         (F.col("doc_id") + 5000000).alias("doc_id"), "text"
     )
-    return _containment_delta(docs).unionByName(exact)
+    tail = F.expr("substring(reverse(text), 1, greatest(length(text) div 6, 6))")
+    near = docs.filter(F.col("doc_id") % 3 == 2).select(
+        (F.col("doc_id") + 7000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), tail).alias("text"),
+    )
+    return _containment_delta(docs).unionByName(exact).unionByName(near)
 
 
 def staged_hash_index(spark: SparkSession, sf_dir: str) -> str:
@@ -842,17 +854,20 @@ def staged_hash_index(spark: SparkSession, sf_dir: str) -> str:
 
 def q_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END ingest-admission funnel: a synthetic ingest batch
-    (exact copies + contained prefixes + reversed noise) flows through
-    the exact-hash gate, then (survivors only) the staged-containment
-    gate, then the quality gate, and every doc gets an admit/reject
-    decision with per-gate flags — the composed decision a production
-    corpus makes per incoming document.  See operators/ingest."""
+    (exact copies + contained prefixes + appended-tail near-dups +
+    reversed noise) flows through the exact-hash gate, then (survivors
+    only) the staged-containment gate, then (doubly-cleared survivors
+    only) the staged MinHash band-index near-dup gate, then the quality
+    gate, and every doc gets an admit/reject decision with per-gate
+    flags — the composed decision a production corpus makes per
+    incoming document.  See operators/ingest."""
     delta = _ingest_delta(load_table(spark, sf_dir, "documents"))
     cidx = staged_containment_index(spark, sf_dir)
     hidx = staged_hash_index(spark, sf_dir)
+    bidx = staged_base_index(spark, sf_dir)
     from ..operators import ingest as I
 
-    return I.ingest_admission_batch(spark, cidx, hidx, delta)
+    return I.ingest_admission_batch(spark, cidx, hidx, bidx, delta)
 
 
 def _ora_shingles_over(src: str, name: str) -> str:
@@ -2046,6 +2061,11 @@ WITH delta AS ({_ORA_CONTAINMENT_DELTA}
   UNION ALL
   SELECT doc_id + 5000000 AS doc_id, text
   FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 7000000 AS doc_id,
+         text || ' ' || substring(reverse(text), 1,
+                                  greatest(length(text) // 6, 6)) AS text
+  FROM documents WHERE doc_id % 3 = 2
 ),
 bh AS (SELECT DISTINCT sha256(text) AS h FROM documents),
 exact AS (
@@ -2059,6 +2079,53 @@ cont AS (
   FROM inter i JOIN dsizes sa ON sa.doc_id = i.delta_id
   WHERE 10 * n_inter >= 9 * sa.n_toks
 ),
+nc AS (SELECT * FROM ne WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+{_ora_shingles_over("nc", "nctoks")},
+nd_hashed AS (
+  SELECT doc_id, tok % {D.MINHASH_PRIME} AS a, tok % {D.MINHASH_PRIME_B} AS b
+  FROM (SELECT doc_id, tok FROM btoks UNION ALL SELECT doc_id, tok FROM nctoks)
+),
+nd_sigs AS (
+  SELECT doc_id, seed, MIN((a + seed * (2*b + 1)) % {D.MINHASH_PRIME}) AS sig
+  FROM nd_hashed CROSS JOIN (SELECT unnest([{_MINHASH_SEEDS}]) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+nd_bands AS (
+  SELECT doc_id, seed // {D.BAND_ROWS} AS band_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(sig ORDER BY seed)),
+                     (acc, s) -> (acc * {D.SHINGLE_B} + s) % {D.SHINGLE_P}) AS band_key
+  FROM nd_sigs GROUP BY doc_id, seed // {D.BAND_ROWS}
+),
+nd_base AS (
+  SELECT doc_id, band_id, band_key FROM nd_bands WHERE doc_id < 1000000
+  QUALIFY row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id)
+          <= {D.MAX_BUCKET}
+),
+nd_delta AS (
+  SELECT doc_id, band_id, band_key FROM nd_bands WHERE doc_id >= 1000000
+  QUALIFY row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id)
+          <= {D.MAX_BUCKET}
+),
+nd_cands AS (
+  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+  FROM nd_delta d JOIN nd_base b USING (band_id, band_key)
+),
+nd_inter AS (
+  SELECT c.delta_id, c.base_id, COUNT(*) AS n_inter
+  FROM nd_cands c
+  JOIN nctoks ta ON ta.doc_id = c.delta_id
+  JOIN btoks tb ON tb.doc_id = c.base_id AND tb.tok = ta.tok
+  GROUP BY c.delta_id, c.base_id
+),
+ncsizes AS (SELECT doc_id, COUNT(*) AS n_toks FROM nctoks GROUP BY doc_id),
+nd AS (
+  SELECT DISTINCT i.delta_id AS doc_id
+  FROM nd_inter i
+  JOIN ncsizes sa ON sa.doc_id = i.delta_id
+  JOIN bsizes sb ON sb.doc_id = i.base_id
+  WHERE CAST(n_inter AS DOUBLE)
+        / CAST(sa.n_toks + sb.n_toks - n_inter AS DOUBLE) >= 0.8
+),
 q AS (
   SELECT doc_id,
          (-2600 + 6 * stop_ratio_m + wlen_m // 2
@@ -2068,9 +2135,11 @@ q AS (
 SELECT d.doc_id,
        (d.doc_id IN (SELECT doc_id FROM exact)) AS is_exact,
        (d.doc_id IN (SELECT doc_id FROM cont)) AS is_contained,
+       (d.doc_id IN (SELECT doc_id FROM nd)) AS is_near_dup,
        q.keep AS quality_keep,
        (d.doc_id NOT IN (SELECT doc_id FROM exact)
         AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+        AND d.doc_id NOT IN (SELECT doc_id FROM nd)
         AND q.keep) AS admitted
 FROM delta d JOIN q USING (doc_id)
 """

@@ -1288,16 +1288,22 @@ from .llm import _ora_sim_incremental as _ora_sim_incremental_streaming  # noqa:
 def q_streaming_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingest-admission funnel AS A STREAM — the deployment shape of
     the whole dedup/quality tier: incoming documents (exact copies +
-    contained prefixes + reversed noise) arrive as micro-batches, and
-    foreachBatch runs the composed funnel (exact-hash gate -> staged
-    containment gate on the survivors -> quality gate) against the
-    maintained indexes, emitting an admit/reject decision with per-gate
-    flags for every doc.  Each gate's base side stays a parquet scan
-    probed by broadcasts of delta frames; the funnel ORDER is the
-    optimization (only not-exact docs pay the shingle probe).
-    availableNow drains the bounded source deterministically, so the
-    result is value-identical to the batch twin (ingest_admission) —
-    the oracle IS that query's SQL.
+    contained prefixes + appended-tail near-dups + reversed noise)
+    arrive as micro-batches, and foreachBatch runs the composed funnel
+    (exact-hash gate -> staged containment gate on the survivors ->
+    staged MinHash band-index near-dup gate on the doubly-cleared
+    sliver -> quality gate) against the maintained indexes, emitting an
+    admit/reject decision with per-gate flags for every doc.  Each
+    gate's base side stays a parquet scan probed by broadcasts of delta
+    frames; the funnel ORDER is the optimization (only not-exact docs
+    pay the shingle probe, only un-contained docs pay the signature
+    chain).  availableNow drains the bounded source deterministically,
+    so the result is value-identical to the batch twin
+    (ingest_admission) — the oracle IS that query's SQL.
+
+    Per-gate decisions are per-row and each gate probes only STAGED
+    base state, so unlike the fit-drift twin this funnel is split-safe:
+    any micro-batch partitioning of the delta yields the same rows.
 
     Same local[]-only sink caveat as the other staged-index twins: on a
     cluster route ``SPARK_GRAFT_SCRATCH`` to a shared filesystem."""
@@ -1305,15 +1311,21 @@ def q_streaming_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import ingest as I
     from ..streaming.sinks import foreach_batch_sink
-    from .llm import _ingest_delta, staged_containment_index, staged_hash_index
+    from .llm import (
+        _ingest_delta,
+        staged_base_index,
+        staged_containment_index,
+        staged_hash_index,
+    )
 
     delta = _ingest_delta(stream_table(spark, sf_dir, "documents"))
     cidx = staged_containment_index(spark, sf_dir)
     hidx = staged_hash_index(spark, sf_dir)
+    bidx = staged_base_index(spark, sf_dir)
     out_dir = _scratch_dir("stream_ingest_adm_")
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        decisions = I.ingest_admission_batch(spark, cidx, hidx, batch_df)
+        decisions = I.ingest_admission_batch(spark, cidx, hidx, bidx, batch_df)
         decisions.repartition(1).write.mode("append").parquet(out_dir)
 
     try:

@@ -1,11 +1,13 @@
 """Ingest-admission funnel: per-gate flags on a planted corpus, and the
-funnel-pruning property (exact rejects never reach the containment probe).
+funnel-pruning property (each dup gate's rejects never reach the more
+expensive probes downstream).
 """
 
 from pyspark.sql import functions as F
 
 from spark_kafka_realm_time_data_pipeline_spark.operators import ingest as I
 from spark_kafka_realm_time_data_pipeline_spark.operators.dedup import (
+    stage_base_index,
     stage_containment_index,
 )
 
@@ -23,23 +25,40 @@ def test_admission_gates_fire_independently(spark, tmp_path):
     base = _base(spark)
     cidx = str(tmp_path / "cidx")
     hidx = str(tmp_path / "hidx")
+    bidx = str(tmp_path / "bidx")
     stage_containment_index(base, cidx)
     I.stage_hash_index(base, hidx)
+    stage_base_index(base, bidx)
     base_texts = {r.doc_id: r.text for r in base.collect()}
+    # near-dup arm: doc 1's text with ~1/6 of its reversed text appended —
+    # Jaccard stays above 0.8 while directed containment of the NEW doc
+    # falls below 0.9 (the reversed-tail shingles are not in the base)
+    t1 = base_texts[1]
+    near_text = t1 + " " + t1[::-1][: max(len(t1) // 6, 6)]
     delta = spark.createDataFrame(
         [
             (100, base_texts[1]),  # exact copy -> exact gate
             (101, base_texts[2][: 2 * len(base_texts[2]) // 3]),  # prefix -> containment
             (102, "the and for with that this from they have been well said done"),  # stopword-rich -> admitted
             (103, "9481 7512 0034 5520 1147 8923 3310 6644 2098 7731 5456 1023"),  # digits -> quality reject
+            (104, near_text),  # appended-tail edit -> near-dup gate
         ],
         "doc_id long, text string",
     )
-    got = {r.doc_id: r for r in I.ingest_admission_batch(spark, cidx, hidx, delta).collect()}
-    assert len(got) == 4
+    got = {
+        r.doc_id: r
+        for r in I.ingest_admission_batch(spark, cidx, hidx, bidx, delta).collect()
+    }
+    assert len(got) == 5
     assert got[100].is_exact and not got[100].admitted
-    # funnel pruning: the exact reject never reaches the containment probe
-    assert not got[100].is_contained
+    # funnel pruning: the exact reject never reaches the downstream probes
+    assert not got[100].is_contained and not got[100].is_near_dup
     assert got[101].is_contained and not got[101].is_exact and not got[101].admitted
+    # ...and the containment reject never reaches the near-dup probe
+    assert not got[101].is_near_dup
     assert got[102].admitted and not got[102].is_exact and not got[102].is_contained
+    assert not got[102].is_near_dup
     assert not got[103].quality_keep and not got[103].admitted
+    # the appended-tail edit clears gates 1-2 and is caught ONLY by gate 3
+    assert got[104].is_near_dup and not got[104].admitted
+    assert not got[104].is_exact and not got[104].is_contained
