@@ -1177,31 +1177,11 @@ KM_K = 8
 KM_ITERS = 3
 
 
-def kmeans_embeddings(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
-    """Lloyd's k-means over fixed-point-quantized embeddings — the
-    clustering stage SemDeDup / topic-balancing / IVF-index training all
-    sit on (here ``label`` is NOT used: the clusters are discovered).
-
-    Determinism contract: components are quantized to integers
-    (floor(x * 2^10)), centroids are the exact floor of the per-cluster
-    component mean ((s - pmod(s, n)) div n — integer division after
-    removing the positive remainder, identical in Spark and DuckDB), the
-    argmin tie-breaks on cluster id, and seeds are the k smallest vec_ids.
-    Every iteration is therefore a pure integer fixpoint step the DuckDB
-    oracle unrolls CTE-for-CTE — no float accumulation anywhere.
-
-    Shape per iteration: assignment is a crossJoin against the BROADCAST
-    k-row centroid frame with a whole-array zip_with distance (no ×dim
-    row explosion), so its cost is one narrow pass over the vectors; the
-    rebuild posexplodes only for the (cluster, pos) sum — ONE shuffle of
-    k × dim groups after map-side combine.  The quantized vector frame is
-    persisted once and reused by all iterations; the k-row centroid frame
-    is eagerly localCheckpoint'ed so the plan does not deepen with the
-    iteration count.  At 100 TB nothing here is corpus-bounded except the
-    two narrow passes per iteration — the textbook scalable k-means shape.
-
-    Output per discovered cluster: member count, centroid L1 mass, and
-    the exact quantized inertia of the final assignment — all BIGINT."""
+def _km_loop(emb: DataFrame, k: int, iters: int):
+    """The shared Lloyd loop: quantize, seed from the k smallest vec_ids,
+    iterate assign/rebuild ``iters`` times.  Returns (assigned, cent) for
+    the FINAL iteration — assigned is (vec_id, cluster, d2, qv), cent is
+    the k-row centroid frame rebuilt from that assignment."""
     qv = F.transform(
         F.col("embedding"), lambda x: F.floor(x.cast("double") * KM_SCALE).cast("long")
     )
@@ -1239,6 +1219,50 @@ def kmeans_embeddings(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> D
             )
             .localCheckpoint(eager=True)
         )
+    return assigned, cent
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS
+) -> DataFrame:
+    """The assignment half of ``kmeans_embeddings``, exposed for callers
+    that need the PER-VECTOR cluster ids rather than per-cluster stats —
+    IVF-index training above all (``similarity.stage_ivf_index`` re-
+    clusters with this when the corpus outgrows its label quantizer).
+    Returns (vec_id, cluster) for the final iteration's assignment; same
+    determinism contract and per-iteration shape as the stats query (one
+    broadcast-crossJoin pass + one k x dim shuffle per iteration,
+    quantized-integer math throughout)."""
+    assigned, _ = _km_loop(emb, k, iters)
+    return assigned.select("vec_id", "cluster")
+
+
+def kmeans_embeddings(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """Lloyd's k-means over fixed-point-quantized embeddings — the
+    clustering stage SemDeDup / topic-balancing / IVF-index training all
+    sit on (here ``label`` is NOT used: the clusters are discovered).
+
+    Determinism contract: components are quantized to integers
+    (floor(x * 2^10)), centroids are the exact floor of the per-cluster
+    component mean ((s - pmod(s, n)) div n — integer division after
+    removing the positive remainder, identical in Spark and DuckDB), the
+    argmin tie-breaks on cluster id, and seeds are the k smallest vec_ids.
+    Every iteration is therefore a pure integer fixpoint step the DuckDB
+    oracle unrolls CTE-for-CTE — no float accumulation anywhere.
+
+    Shape per iteration: assignment is a crossJoin against the BROADCAST
+    k-row centroid frame with a whole-array zip_with distance (no ×dim
+    row explosion), so its cost is one narrow pass over the vectors; the
+    rebuild posexplodes only for the (cluster, pos) sum — ONE shuffle of
+    k × dim groups after map-side combine.  The quantized vector frame is
+    persisted once and reused by all iterations; the k-row centroid frame
+    is eagerly localCheckpoint'ed so the plan does not deepen with the
+    iteration count.  At 100 TB nothing here is corpus-bounded except the
+    two narrow passes per iteration — the textbook scalable k-means shape.
+
+    Output per discovered cluster: member count, centroid L1 mass, and
+    the exact quantized inertia of the final assignment — all BIGINT."""
+    assigned, cent = _km_loop(emb, k, iters)
     stats = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.sum("d2").alias("inertia_q")
     )

@@ -872,7 +872,13 @@ def incremental_near_dup_batch(
     so it shares that operator's oracle verbatim.  At cluster scale the
     broadcast bound is the delta batch's band table (n_delta x n_bands
     8-byte keys); a batch too large to broadcast belongs on the shuffling
-    indexed path instead."""
+    indexed path instead.
+
+    Durability: the ``localCheckpoint(eager=True)`` barriers here hold
+    delta-sized frames unreplicated on executors — executor loss
+    mid-batch fails (and retries) the batch rather than recomputing;
+    switch to reliable ``checkpoint()`` if batch retries are
+    unacceptable (see operators/ingest's module docstring)."""
     base_bands = spark.read.parquet(f"{index_path}/bands").select(
         F.col("doc_id").alias("base_id"), "band_id", "band_key"
     )
@@ -1016,7 +1022,16 @@ def containment_vs_base_batch(
       rounding anywhere — the oracle replays every stage exactly.
 
     Value-identical to running the same pipeline in one batch, so the
-    availableNow streaming twin shares the batch oracle verbatim."""
+    availableNow streaming twin shares the batch oracle verbatim.
+
+    Durability: the ``localCheckpoint(eager=True)`` plan-stability
+    barriers on the delta-sized frames store blocks UNREPLICATED on
+    executors — on a real cluster an executor loss mid-batch fails the
+    batch (retried by the driver; the probe is idempotent against the
+    staged index) rather than recomputing lineage.  A deployment that
+    cannot tolerate batch retries should use reliable ``checkpoint()``
+    on a shared filesystem instead; see operators/ingest's module
+    docstring for the full trade."""
     from pyspark.sql import Window
 
     cdf = spark.read.parquet(f"{index_path}/cdf")

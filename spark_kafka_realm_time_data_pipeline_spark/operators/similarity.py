@@ -349,7 +349,10 @@ def _ivf_probe_topk(
 
 
 def stage_ivf_index(
-    embeddings: DataFrame, path: str, cluster_col: str = "label"
+    embeddings: DataFrame,
+    path: str,
+    cluster_col: str = "label",
+    n_lists: int | None = None,
 ) -> None:
     """Materialize the IVF ANN index as parquet tables — the similarity
     analog of ``dedup.stage_containment_index``, built once by the index
@@ -363,18 +366,33 @@ def stage_ivf_index(
       completeness flag.  The physical layout IS the inverted file: a
       probe that equi-joins this scan on ``cluster`` triggers dynamic
       partition pruning, so a batch reads only the probed clusters'
-      files — |Q| x n_probe x (N / n_clusters) bytes, never the corpus.
-    """
-    cent = ivf_centroids(embeddings, cluster_col)
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
-    (
-        embeddings.select(
+      files — |Q| x n_probe x (N / n_lists) bytes, never the corpus.
+
+    ``n_lists``: when set, the index is built from a DISCOVERED
+    clustering — ``curation.kmeans_assign`` trains ``n_lists`` Lloyd
+    clusters over the corpus and the assignment replaces ``cluster_col``
+    — the production growth path: n_lists must scale ~sqrt(N) for the
+    probe cost n_probe x N / n_lists to stay sub-linear per batch, and
+    a fixed label vocabulary cannot do that.  Re-clustering trades a
+    little recall (a query's true neighbor can land just outside the
+    probed lists more easily when lists are finer) for the sqrt-scaled
+    probe; measure with the recall tooling before growing further."""
+    if n_lists is not None:
+        from .curation import kmeans_assign
+
+        assign = kmeans_assign(embeddings, k=n_lists)
+        src = embeddings.join(assign, "vec_id").select(
+            "vec_id", "embedding", "cluster"
+        )
+        cluster_col = "cluster"
+    else:
+        src = embeddings.select(
             "vec_id", "embedding", F.col(cluster_col).alias("cluster")
         )
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(f"{path}/vecs")
-    )
+        cluster_col = "cluster"
+    cent = ivf_centroids(src, cluster_col)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    src.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/vecs")
 
 
 def ann_vs_base_batch(
@@ -394,7 +412,14 @@ def ann_vs_base_batch(
     cluster-partitioned vector scan, where dynamic partition pruning
     drops every unprobed cluster's files at the source.  Value-identical
     to ``ivf_topk`` over the same frames, so the availableNow streaming
-    twin shares the batch oracle verbatim."""
+    twin shares the batch oracle verbatim.
+
+    Durability: any ``localCheckpoint(eager=True)`` barriers the caller
+    composes around this probe hold delta-sized frames unreplicated on
+    executors — executor loss mid-batch fails (and retries) the batch
+    rather than recomputing; use reliable ``checkpoint()`` if batch
+    retries are unacceptable (see operators/ingest's module
+    docstring)."""
     cent = spark.read.parquet(f"{index_path}/centroids")
     vecs = spark.read.parquet(f"{index_path}/vecs")
     return _ivf_probe_topk(cent, vecs, queries, k, n_probe)

@@ -44,114 +44,95 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Round-16 rotation (the driver checks the first ~50).  Composition
-    # (executes the r15 verdict's items 1 + 3 exactly):
-    # (a) positions 0-1: multimodal_jpeg_stats + multimodal_jpeg_color —
-    #     their shared decoder module (operators/multimodal.py) churned
-    #     in r15 (+941 lines: DRI/SOF2 branches, baseline-color sampling
-    #     generalization) while their newest driver proofs stayed
-    #     r13/r14.  Mandated re-proofs, ahead of everything;
-    # (b) position 2: NEW r16 registration multimodal_jpeg_sampling
-    #     (non-4:2:0 baseline color layouts — decoder + pytests landed
-    #     r15, QuerySpec lands this round);
-    # (c) positions 3-4: the two progressive JPEG queries — r15-proven,
-    #     but r16 changed their VALUE PATH (n_scans is now counted from
-    #     the scans the decoder consumed instead of replaying the
-    #     encoder formula, per ADVICE r15) so the proof must follow;
-    # (d) positions 5-6: NEW r16 pair — the incremental containment
-    #     batch query and its availableNow streaming twin (VERDICT r15
-    #     item 5's preferred next surface), sharing one oracle;
-    # (e) positions 7-9: the 3 remaining r8-proven stragglers
-    #     (displaced from the r14 fill; the r15 additions left no slot);
-    # (f) positions 10-11: NEW r16 pair #2 — the incremental ANN batch
-    #     query (staged cluster-partitioned IVF index, DPP probe) and
-    #     its availableNow streaming twin, sharing one oracle;
-    # (g) positions 12-13: sim_ivf_topk + sim_recall_report — their
-    #     shared centroid computation moved into ivf_centroids /
-    #     _ivf_probe_topk this round (same plan, refactored closure),
-    #     so the proof-freshness gate correctly forces a re-proof;
-    # (h) position 14: NEW r16 quality_linear_fit — the in-engine
-    #     closed-form ridge fit (one-scan integer sufficient statistics
-    #     + exact per-group Cramer solve);
-    # (i) positions 15-16: NEW r16 pair #3 — the end-to-end
-    #     ingest-admission funnel (exact-hash -> containment -> quality
-    #     gates vs the maintained indexes) and its foreachBatch
-    #     availableNow twin, sharing one oracle;
-    # (j) positions 17-18: NEW r16 pair #4 — the fit-drift monitor
-    #     (fresh-batch ridge re-fit vs the staged base model table)
-    #     and its foreachBatch availableNow twin, sharing one oracle;
-    # (k) position 19: NEW r16 sim_incremental_range — the embedding
-    #     near-dup ingest gate (k=1 staged-IVF probe, cosine>=0.99);
-    # (l) positions 20-49: the first 30 of the 48 r10-proven names —
-    #     the oldest-proof tier outside this front.  The alphabetical
-    #     tail (sim_bruteforce_topk .. unpivot_measures) heads the r17
-    #     queue.  Any further r16 additions displace from this r10
-    #     fill tail, never from the (a)-(k) head.
+    # Round-17 rotation (the driver checks the first ~50).  Composition
+    # (executes the r16 verdict's items 1-4 exactly; the changed set below
+    # is MECHANICAL — the fixed closure walker (tools/closure_fp.py now
+    # resolves function-body imports) diffed against the r16-close tree):
+    # (a) positions 0-2: the fit trio — quality_linear_fit's milli
+    #     outputs moved from IEEE double division to integral `div`
+    #     (ADVICE r16 medium: the old path diverges past 2^53), the
+    #     drift monitor became a LEFT join surfacing fresh-only
+    #     languages (with a new novel-lang 'xx' delta arm), and the
+    #     streaming twin gained the second-micro-batch guard;
+    # (b) positions 3-4: the admission funnel pair — now FOUR gates
+    #     (exact -> containment -> MinHash near-dup on the
+    #     doubly-cleared sliver -> quality) with a fourth
+    #     appended-tail delta arm and the band-chain oracle;
+    # (c) positions 5-8: the containment/near-dup incremental pairs —
+    #     their staging boilerplate moved into the shared _staged_index
+    #     helper (ADVICE r16), flipping their closures;
+    # (d) positions 9-11: the staged-IVF trio — same helper move PLUS
+    #     the n_lists growth rule (label quantizer <= 4000 vectors,
+    #     sqrt(N)-scaled k-means lists beyond — VERDICT r16 item 3);
+    # (e) position 12: kmeans_embeddings — the Lloyd loop moved into
+    #     _km_loop (shared with the new kmeans_assign that IVF staging
+    #     trains on) and its oracle's centroid rebuild switched to `//`
+    #     on the exact multiple (same class as the ADVICE medium);
+    # (f) positions 13-30: ALL 18 r10-proven names — the oldest-proof
+    #     tier retires this round (VERDICT r16 item 1);
+    # (g) positions 31-49: the first 19 of the 48 remaining r11-proven
+    #     names (alphabetical).  Any further r17 additions displace
+    #     from this r11 fill tail, never from the (a)-(f) head.
     front = [
         n
         for n in (
-            # (a) decoder-module churn re-proofs (VERDICT r15 item 1)
-            "multimodal_jpeg_stats",
-            "multimodal_jpeg_color",
-            # (b) NEW in r16
-            "multimodal_jpeg_sampling",
-            # (c) n_scans value-path change (ADVICE r15)
-            "multimodal_jpeg_progressive",
-            "multimodal_jpeg_progressive_color",
-            # (d) NEW in r16: incremental containment + streaming twin
-            "dedup_containment_incremental",
-            "streaming_dedup_containment",
-            # (e) r8-proven stragglers
-            "cogroup_apply_in_pandas",
-            "column_profile",
-            "sim_range_search",
-            # (f) NEW in r16: incremental ANN + streaming twin
-            "sim_incremental_topk",
-            "streaming_sim_topk",
-            # (g) closure refactored this round (ivf_centroids split)
-            "sim_ivf_topk",
-            "sim_recall_report",
-            # (h) NEW in r16: in-engine closed-form ridge fit
+            # (a) fit trio: integer-div fix + left-join drift + guard
             "quality_linear_fit",
-            # (i) NEW in r16: the ingest-admission funnel + streaming twin
-            "ingest_admission",
-            "streaming_ingest_admission",
-            # (j) NEW in r16: fit-drift monitor + streaming twin
             "quality_fit_drift",
             "streaming_quality_drift",
-            # (k) NEW in r16: embedding near-dup ingest gate
+            # (b) 4-gate admission funnel + streaming twin
+            "ingest_admission",
+            "streaming_ingest_admission",
+            # (c) staging-helper closure changes: containment + near-dup
+            "dedup_containment_incremental",
+            "streaming_dedup_containment",
+            "dedup_incremental_indexed",
+            "streaming_dedup_incremental",
+            # (d) staged-IVF trio: helper move + n_lists growth rule
+            "sim_incremental_topk",
+            "streaming_sim_topk",
             "sim_incremental_range",
-            # (l) the r10-proven head (30 of 48, alphabetical)
-            "agg_moments",
-            "apply_in_arrow",
-            "binaryfile_source",
-            "bitmap_distinct",
-            "bucketed_join",
-            "cdc_upsert_latest",
-            "collation_group",
-            "compaction_execute",
-            "csv_column_roundtrip",
-            "dedup_simhash_hamming",
-            "distinct_pairs",
-            "dpp_prune_join",
-            "embedding_stats",
-            "envelope_pyds_roundtrip",
-            "envelope_pyds_sink",
-            "envelope_pyds_stream",
-            "join_left",
-            "join_range",
-            "lm_perplexity_filter",
-            "multimodal_frames",
-            "multimodal_meta",
-            "multimodal_resize",
-            "nation_revenue",
-            "pandas_udf_scalar",
-            "param_sql_topk",
-            "python_udtf_table_arg",
-            "scalar_math",
-            "schema_merge_read",
-            "set_except_all",
-            "set_intersect_all",
+            # (e) kmeans refactor + oracle `//`
+            "kmeans_embeddings",
+            # (f) the 18 r10-proven names — oldest tier retires
+            "sim_bruteforce_topk",
+            "sim_lsh_topk",
+            "sql_udf_pricing",
+            "state_store_inspect",
+            "streaming_chained_windows",
+            "streaming_full_outer_join",
+            "streaming_observed_metrics",
+            "streaming_ppl_gate",
+            "streaming_rate_source",
+            "text_fingerprint",
+            "text_langid",
+            "text_quality",
+            "text_repetition",
+            "text_tokens",
+            "time_rollup",
+            "tpch_q14_promo",
+            "transpose_metrics",
+            "unpivot_measures",
+            # (g) the r11-proven head (19 of 48, alphabetical)
+            "agg_listagg",
+            "ann_ivf_centroids",
+            "apply_in_pandas",
+            "bpe_pair_counts",
+            "curation_pipeline_e2e",
+            "curriculum_buckets",
+            "dedup_exact",
+            "dedup_simhash",
+            "doc_chunk_overlap",
+            "domain_mix_weights",
+            "embedding_normalize",
+            "fim_transform",
+            "heavy_hitters",
+            "join_skew_aqe",
+            "join_theta_band",
+            "length_histogram",
+            "map_entries_explode",
+            "map_functions",
+            "map_in_arrow",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -1603,20 +1603,49 @@ def _ann_delta(emb: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_grown_n_lists(sf_dir: str) -> int | None:
+    """The n_lists growth rule for the staged IVF index: None (use the
+    10-label quantizer) while the corpus holds <= 4000 vectors (<= 400
+    per list), else isqrt(N) // 4 discovered k-means lists (~sqrt(N)/4:
+    35 at N=20000) so the probe cost n_probe x N / n_lists grows as
+    sqrt(N) instead of linearly — the scaling a fixed list count cannot
+    provide.  Reads N from the parquet footer (no Spark job).  All
+    driver-registered corpora hold 2000 vectors, so their staged index
+    — and the DuckDB oracle that replays the label quantizer — is
+    untouched; the rule engages on the 10x scale corpus and beyond."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    if n_vecs <= 4000:
+        return None
+    return max(10, math.isqrt(n_vecs) // 4)
+
+
 def staged_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Stage (once per corpus fingerprint) the IVF ANN index over the raw
     embeddings table and return its path — the similarity analog of
     staged_containment_index, shared by the batch incremental query and
     the streaming foreachBatch twin.  vecs is written LAST in
     stage_ivf_index, so its _SUCCESS marker means the whole index
-    (centroids included) is complete."""
+    (centroids included) is complete.  n_lists follows
+    ``_ivf_grown_n_lists`` (label quantizer at registered scales,
+    discovered sqrt(N)-scaled k-means lists beyond); the list count is
+    part of the index path, so a growth-rule change restages rather
+    than silently reusing a differently-shaped index."""
+    n_lists = _ivf_grown_n_lists(sf_dir)
+    prefix = "ann_ivf_idx" if n_lists is None else f"ann_ivf_idx_k{n_lists}"
     return _staged_index(
         spark,
         sf_dir,
         "embeddings",
-        "ann_ivf_idx",
+        prefix,
         "vecs",
-        lambda idx: S.stage_ivf_index(load_table(spark, sf_dir, "embeddings"), idx),
+        lambda idx: S.stage_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), idx, n_lists=n_lists
+        ),
     )
 
 

@@ -212,6 +212,64 @@ def test_closure_fingerprint_tracks_transitive_callees(tmp_path):
     assert fps2["v1"] == fps2["v3"], "unreachable change must not flip fp"
 
 
+def test_function_body_import_is_absorbed(tmp_path):
+    """Replay of the r17 blind-spot incident: a query that reaches a
+    helper ONLY through a function-BODY relative import
+    (``from .helpers import helper`` inside the function) must still
+    absorb the helper's source into its fingerprint.  Before the
+    IMPORT_NAME fix, the name resolved against module globals only, so
+    three streaming twins' fingerprints survived a staging-helper
+    refactor unchanged — exactly the staleness class the gate exists
+    to catch."""
+    import importlib
+
+    from closure_fp import closure_fingerprint
+
+    fps = {}
+    for tag, body in (
+        ("v1", "def helper():\n    return 1\n"),
+        ("v2", "def helper():\n    return 2\n"),
+    ):
+        name = f"minipkg_fb{tag}"
+        pkg = tmp_path / name
+        pkg.mkdir()
+        (pkg / "__init__.py").write_text("")
+        (pkg / "helpers.py").write_text(body)
+        (pkg / "q.py").write_text(
+            "def query():\n"
+            "    from .helpers import helper\n"
+            "    return helper()\n"
+        )
+        sys.path.insert(0, str(tmp_path))
+        try:
+            q = importlib.import_module(f"{name}.q")
+            # the function-body import has not run, so helpers is not yet
+            # in sys.modules — mirror production, where the walker's
+            # sys.modules-first resolution finds package modules already
+            # imported by the registry, by importing it here
+            importlib.import_module(f"{name}.helpers")
+        finally:
+            sys.path.remove(str(tmp_path))
+        # normalize module identity to a shared prefix (as above) so only
+        # SOURCE differences affect the hash; alias the helpers module
+        # under the normalized name so the import resolution finds it
+        h = sys.modules[f"{name}.helpers"]
+        q.query.__module__ = "minipkg_X.q"
+        h.__name__ = "minipkg_X.helpers"
+        for v in vars(h).values():
+            if callable(v):
+                v.__module__ = "minipkg_X.helpers"
+        sys.modules["minipkg_X.helpers"] = h
+        try:
+            fps[tag] = closure_fingerprint(q.query, oracle=None, pkg="minipkg_X")
+        finally:
+            del sys.modules["minipkg_X.helpers"]
+    assert fps["v1"] != fps["v2"], (
+        "a helper reached only via a function-body import must be part "
+        "of the closure fingerprint"
+    )
+
+
 def test_oracle_change_flips_fingerprint():
     """A changed DuckDB oracle needs a re-proof exactly like changed code
     (the r7 HUGEINT incident class): the oracle text is part of the

@@ -16,7 +16,13 @@ inside the driver's correctness window until a new proof lands.
 The walk is static-ish: it scans code objects' ``co_names`` / closure
 cells / defaults and resolves them against the function's globals and
 against every package module the function references (so ``M.decode_jpeg``
-pulls in ``operators.multimodal.decode_jpeg`` transitively).  It
+pulls in ``operators.multimodal.decode_jpeg`` transitively).  Function-
+BODY imports are resolved too: each ``IMPORT_NAME`` instruction's operand
+is mapped to its package module (absolute or relative), so
+``from .llm import staged_ivf_index`` inside a query function pulls the
+helper into the closure even though the name never appears in the
+function's module globals — the blind spot that let r17's staging-helper
+refactor slip past two streaming twins' fingerprints before this fix.  It
 over-approximates — a name that happens to exist on a referenced module is
 included even if never called — which errs toward flagging, never toward
 missing a change.  Known blind spots, documented rather than hidden:
@@ -41,6 +47,34 @@ def _code_objects(code):
     for c in code.co_consts:
         if isinstance(c, types.CodeType):
             yield from _code_objects(c)
+
+
+def _resolve_import(mod_name: str, from_module: str, pkg: str):
+    """Map an IMPORT_NAME operand to its (package) module: try the name
+    absolutely, then package-relative at every ancestor level of the
+    importing module (``llm`` inside pkg.queries.streaming resolves to
+    pkg.queries.llm; ``operators`` to pkg.operators).  Prefers
+    sys.modules (no side effects); falls back to an import only for
+    package modules, whose init is side-effect-free."""
+    import importlib
+    import sys as _sys
+
+    parts = from_module.split(".")
+    cands = [mod_name] + [
+        ".".join(parts[:-up] + [mod_name]) for up in range(1, len(parts) + 1)
+    ]
+    for c in cands:
+        m = _sys.modules.get(c)
+        if m is not None and (m.__name__ or "").startswith(pkg):
+            return m
+    for c in cands:
+        if not c.startswith(pkg):
+            continue
+        try:
+            return importlib.import_module(c)
+        except ImportError:
+            pass
+    return None
 
 
 def _as_function(v):
@@ -134,13 +168,20 @@ def closure_fingerprint(
             except (OSError, TypeError):
                 fn_sources[key] = f.__code__.co_code.hex()
         names: set[str] = set()
+        imported: set[str] = set()
         for code in _code_objects(f.__code__):
             names.update(code.co_names)
             for ins in dis.get_instructions(code):
                 if ins.opname == "STORE_GLOBAL":
                     mutated.add(ins.argval)
+                elif ins.opname == "IMPORT_NAME":
+                    imported.add(ins.argval)
         g = f.__globals__
         mods: list = []
+        for mod_name in sorted(imported):
+            m = _resolve_import(mod_name, mod, pkg)
+            if m is not None:
+                mods.append(m)
         for name in sorted(names):
             if name in g:
                 visit_value(g[name], name, mod, mods)

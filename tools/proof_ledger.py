@@ -178,10 +178,40 @@ def cmd_seed(basis: str) -> None:
     print(f"seeded {len(entries)} entries")
 
 
+def cmd_queue(size: int = 50) -> None:
+    """Emit the suggested driver window for the next round — the
+    mechanical replacement for hand-writing the rotation (the r16
+    COVERAGE row had to correct a hand-counted tally): first every
+    STALE name (fingerprint differs from its at-proof value, or no
+    proof at all — these MUST be in the window), then the remaining
+    slots filled oldest-proof-first (alphabetical within a round).
+    Copy the output into queries/__init__.py's `front` tuple and
+    re-order the stale head by theme as the comment block explains."""
+    ledger = _load_ledger()["entries"]
+    closure, _ = current_fingerprints()
+    stale = sorted(
+        n
+        for n, fp in closure.items()
+        if n not in ledger or ledger[n].get("closure_fp") != fp
+    )
+    rest = sorted(
+        (ledger[n]["round"], n) for n in closure if n not in set(stale)
+    )
+    fill = [n for _, n in rest][: max(0, size - len(stale))]
+    print(f"# stale ({len(stale)}) — MUST be in the window:")
+    for n in stale:
+        print(f"  {n}")
+    print(f"# fill oldest-proof-first ({len(fill)}):")
+    for n in fill:
+        print(f"  {n}  (r{ledger[n]['round']})")
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "update"
     if cmd == "update":
         cmd_update()
+    elif cmd == "queue":
+        cmd_queue(int(sys.argv[2]) if len(sys.argv) > 2 else 50)
     elif cmd == "seed":
         if "--basis" not in sys.argv:
             sys.exit(
@@ -193,7 +223,10 @@ def main() -> None:
         basis = sys.argv[sys.argv.index("--basis") + 1]
         cmd_seed(basis)
     else:
-        sys.exit(f"unknown command {cmd!r} (use: update | seed --basis ...)")
+        sys.exit(
+            f"unknown command {cmd!r} (use: update | queue [size] | "
+            "seed --basis ...)"
+        )
 
 
 if __name__ == "__main__":
