@@ -65,6 +65,96 @@ def stage_hash_index(base: DataFrame, path: str) -> None:
     )
 
 
+def merge_admitted_into_indexes(
+    spark: SparkSession,
+    hash_index: str,
+    band_index: str,
+    delta: DataFrame,
+    admitted_ids: DataFrame,
+    extension_path: str,
+) -> DataFrame:
+    """The MERGE-shaped maintenance twin of the admission funnel: append
+    the ADMITTED docs' per-doc index rows to the maintained exact-hash
+    and near-dup band indexes, so tomorrow's batches are deduplicated
+    against today's admissions.  Emits one row per index sub-table:
+    (index_table, rows_before, rows_appended, rows_after);
+    rows_appended is counted by READING THE WRITTEN FILES BACK, so the
+    report reflects what actually landed on disk, never pre-write
+    arithmetic.
+
+    Only the per-doc sub-tables are appendable — and that property is
+    exactly why the staged layout keeps them per-doc:
+
+    - ``bh``: the admitted docs' distinct sha256 hashes minus the ones
+      already present (computed as a base SCAN probed by the broadcast
+      delta hashes, then an anti-join against the broadcast matches —
+      the base never shuffles);
+    - ``bands``: the admitted docs' LSH band rows, recomputed from their
+      text alone (a MinHash signature depends on nothing but the doc),
+      appended UNCAPPED — bucket caps are a build/compaction-time
+      property, re-applied by the periodic compaction job, and the
+      probe's own delta-side cap bounds the join meanwhile;
+    - ``sizes`` / ``toks_arr``: one row per admitted doc.
+
+    The stats-bearing containment index (df order statistic, prefix
+    ranks) is deliberately NOT appended: merging a batch changes every
+    df, so its refresh is the periodic REBUILD job
+    (``dedup.stage_containment_index``), not an append.
+
+    The appended files land under ``extension_path`` (production
+    appends the same frames into the index dirs with mode("append");
+    writing beside them here keeps the shared fingerprint-keyed staged
+    indexes byte-stable for concurrent readers).  All work is
+    delta-sized: base tables contribute only parquet-footer row counts
+    and one hash-probe scan."""
+    adm = delta.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
+    # exact-hash extension: admitted hashes not already in the base index
+    bh = spark.read.parquet(f"{hash_index}/bh")
+    dh = adm.select(F.sha2("text", 256).alias("h")).distinct()
+    matched = (
+        bh.join(F.broadcast(dh), "h", "left_semi").localCheckpoint(eager=True)
+    )
+    new_hashes = dh.join(F.broadcast(matched), "h", "left_anti")
+    new_hashes.write.mode("overwrite").parquet(f"{extension_path}/bh")
+    # band/size/array extensions: per-doc rows recomputed from admitted text
+    from .dedup import (
+        doc_shingle_arrays,
+        minhash_signatures,
+        signature_bands,
+    )
+
+    target = adm.sparkSession.sparkContext.defaultParallelism
+    a = adm.select("doc_id", "text").repartition(target, "doc_id")
+    darr = doc_shingle_arrays(a).localCheckpoint(eager=True)
+    dsigs = minhash_signatures(
+        darr.select("doc_id", F.explode("arr").alias("tok")),
+        tok_hashed=True,
+        with_size=True,
+    )
+    signature_bands(dsigs).write.mode("overwrite").parquet(
+        f"{extension_path}/bands"
+    )
+    dsigs.select("doc_id", "n_toks").write.mode("overwrite").parquet(
+        f"{extension_path}/sizes"
+    )
+    darr.write.mode("overwrite").parquet(f"{extension_path}/toks_arr")
+
+    rows = []
+    for table, base_path in (
+        ("bh", f"{hash_index}/bh"),
+        ("bands", f"{band_index}/bands"),
+        ("sizes", f"{band_index}/sizes"),
+        ("toks_arr", f"{band_index}/toks_arr"),
+    ):
+        before = spark.read.parquet(base_path).count()
+        appended = spark.read.parquet(f"{extension_path}/{table}").count()
+        rows.append((table, before, appended, before + appended))
+    return spark.createDataFrame(
+        rows,
+        "index_table string, rows_before long, rows_appended long, rows_after long",
+    )
+
+
 def ingest_admission_batch(
     spark: SparkSession,
     containment_index: str,

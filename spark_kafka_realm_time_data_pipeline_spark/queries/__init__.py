@@ -68,9 +68,14 @@ def registry() -> dict[str, QuerySpec]:
     #     _km_loop (shared with the new kmeans_assign that IVF staging
     #     trains on) and its oracle's centroid rebuild switched to `//`
     #     on the exact multiple (same class as the ADVICE medium);
-    # (f) positions 13-30: ALL 18 r10-proven names — the oldest-proof
+    # (f) position 13: NEW r17 ingest_index_merge — the MERGE-shaped
+    #     maintenance twin (append admitted docs' rows to the hash/band
+    #     indexes, read-back-verified counts; VERDICT r16 item 8's
+    #     first option); its slot displaced map_in_arrow from the r11
+    #     fill tail per the displacement rule;
+    # (g) positions 14-31: ALL 18 r10-proven names — the oldest-proof
     #     tier retires this round (VERDICT r16 item 1);
-    # (g) positions 31-49: the first 19 of the 48 remaining r11-proven
+    # (h) positions 32-49: the first 18 of the 48 remaining r11-proven
     #     names (alphabetical).  Any further r17 additions displace
     #     from this r11 fill tail, never from the (a)-(f) head.
     front = [
@@ -94,7 +99,9 @@ def registry() -> dict[str, QuerySpec]:
             "sim_incremental_range",
             # (e) kmeans refactor + oracle `//`
             "kmeans_embeddings",
-            # (f) the 18 r10-proven names — oldest tier retires
+            # (f) NEW r17: MERGE-shaped index maintenance
+            "ingest_index_merge",
+            # (g) the 18 r10-proven names — oldest tier retires
             "sim_bruteforce_topk",
             "sim_lsh_topk",
             "sql_udf_pricing",
@@ -113,7 +120,7 @@ def registry() -> dict[str, QuerySpec]:
             "tpch_q14_promo",
             "transpose_metrics",
             "unpivot_measures",
-            # (g) the r11-proven head (19 of 48, alphabetical)
+            # (h) the r11-proven head (18 of 48, alphabetical)
             "agg_listagg",
             "ann_ivf_centroids",
             "apply_in_pandas",
@@ -132,7 +139,6 @@ def registry() -> dict[str, QuerySpec]:
             "length_histogram",
             "map_entries_explode",
             "map_functions",
-            "map_in_arrow",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -2085,7 +2085,10 @@ FROM f
 # exact gate, the containment probe restricted to the not-exact sliver
 # (the same funnel pruning the Spark plan does), and the quality logit —
 # each arm the same SQL its standalone oracle uses.
-ORA_INGEST_ADMISSION = f"""
+# The admission funnel's full CTE chain (delta arms -> exact -> containment
+# -> near-dup band probe -> quality), shared verbatim by the funnel oracle
+# and the index-merge oracle built on the admitted set.
+_ORA_ADMISSION_CTES = f"""
 WITH delta AS ({_ORA_CONTAINMENT_DELTA}
   UNION ALL
   SELECT doc_id + 5000000 AS doc_id, text
@@ -2160,7 +2163,10 @@ q AS (
          (-2600 + 6 * stop_ratio_m + wlen_m // 2
               - 3 * digit_ratio_m - 4 * punct_ratio_m) >= 0 AS keep
   FROM ({_ora_quality_feats("delta")}) f
-)
+)"""
+
+
+ORA_INGEST_ADMISSION = f"""{_ORA_ADMISSION_CTES}
 SELECT d.doc_id,
        (d.doc_id IN (SELECT doc_id FROM exact)) AS is_exact,
        (d.doc_id IN (SELECT doc_id FROM cont)) AS is_contained,
@@ -2171,6 +2177,80 @@ SELECT d.doc_id,
         AND d.doc_id NOT IN (SELECT doc_id FROM nd)
         AND q.keep) AS admitted
 FROM delta d JOIN q USING (doc_id)
+"""
+
+
+def q_ingest_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-shaped index-maintenance job that completes the ingest
+    story: run the 4-gate admission funnel, then APPEND the admitted
+    docs' per-doc rows to the maintained exact-hash and near-dup band
+    indexes (operators/ingest.merge_admitted_into_indexes) — so
+    tomorrow's batches are deduplicated against today's admissions.
+    Emits (index_table, rows_before, rows_appended, rows_after) per
+    appendable sub-table, with rows_appended counted from the files
+    actually written.  The stats-bearing containment index is
+    deliberately excluded (df changes on merge: it refreshes by
+    periodic rebuild, not append)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import ingest as I
+
+    delta = _ingest_delta(load_table(spark, sf_dir, "documents"))
+    cidx = staged_containment_index(spark, sf_dir)
+    hidx = staged_hash_index(spark, sf_dir)
+    bidx = staged_base_index(spark, sf_dir)
+    decisions = I.ingest_admission_batch(spark, cidx, hidx, bidx, delta)
+    admitted = decisions.filter("admitted").select("doc_id")
+    ext = tempfile.mkdtemp(
+        prefix="ingest_idx_ext_",
+        dir=os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+    )
+    try:
+        # the returned frame is a local table built from read-back counts,
+        # so the extension files can be reclaimed once it is constructed
+        return I.merge_admitted_into_indexes(
+            spark, hidx, bidx, delta, admitted, ext
+        )
+    finally:
+        shutil.rmtree(ext, ignore_errors=True)
+
+
+ORA_INGEST_INDEX_MERGE = f"""{_ORA_ADMISSION_CTES},
+admitted AS (
+  SELECT d.doc_id FROM delta d JOIN q USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM exact)
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+    AND d.doc_id NOT IN (SELECT doc_id FROM nd)
+    AND q.keep
+),
+counts AS (
+  SELECT 'bh' AS index_table,
+         (SELECT COUNT(DISTINCT sha256(text)) FROM documents) AS rows_before,
+         (SELECT COUNT(DISTINCT h) FROM (
+             SELECT sha256(text) AS h FROM delta
+             WHERE doc_id IN (SELECT doc_id FROM admitted)) x
+          WHERE h NOT IN (SELECT sha256(text) FROM documents)) AS rows_appended
+  UNION ALL
+  SELECT 'bands',
+         (SELECT COUNT(*) FROM nd_base),
+         (SELECT COUNT(*) FROM nd_bands
+          WHERE doc_id IN (SELECT doc_id FROM admitted))
+  UNION ALL
+  SELECT 'sizes',
+         (SELECT COUNT(*) FROM documents),
+         (SELECT COUNT(*) FROM admitted)
+  UNION ALL
+  SELECT 'toks_arr',
+         (SELECT COUNT(*) FROM documents),
+         (SELECT COUNT(*) FROM admitted)
+)
+SELECT index_table,
+       CAST(rows_before AS BIGINT) AS rows_before,
+       CAST(rows_appended AS BIGINT) AS rows_appended,
+       CAST(rows_before + rows_appended AS BIGINT) AS rows_after
+FROM counts
 """
 
 
@@ -3242,7 +3322,14 @@ QUERIES: dict[str, QuerySpec] = {
     "ingest_admission": QuerySpec(
         q_ingest_admission,
         ORA_INGEST_ADMISSION,
-        "end-to-end ingest-admission funnel: exact-hash -> containment -> quality gates",
+        "end-to-end ingest-admission funnel: exact-hash -> containment -> "
+        "near-dup -> quality gates",
+    ),
+    "ingest_index_merge": QuerySpec(
+        q_ingest_index_merge,
+        ORA_INGEST_INDEX_MERGE,
+        "MERGE-shaped maintenance: append admitted docs' rows to the "
+        "hash/band indexes, read-back-verified counts",
     ),
     "quality_fit_drift": QuerySpec(
         q_quality_fit_drift,

@@ -62,3 +62,50 @@ def test_admission_gates_fire_independently(spark, tmp_path):
     # the appended-tail edit clears gates 1-2 and is caught ONLY by gate 3
     assert got[104].is_near_dup and not got[104].admitted
     assert not got[104].is_exact and not got[104].is_contained
+
+
+def test_index_merge_appends_admitted_rows(spark, tmp_path):
+    """The MERGE maintenance twin: only ADMITTED docs' rows are appended,
+    counts are read back from the written files, and rows_after is the
+    sum — one new hash / 6 band rows / 1 size row / 1 array row for the
+    single admitted doc in the planted funnel."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.dedup import (
+        N_MINHASH,
+        BAND_ROWS,
+    )
+
+    base = _base(spark)
+    cidx = str(tmp_path / "cidx")
+    hidx = str(tmp_path / "hidx")
+    bidx = str(tmp_path / "bidx")
+    ext = str(tmp_path / "ext")
+    stage_containment_index(base, cidx)
+    I.stage_hash_index(base, hidx)
+    stage_base_index(base, bidx)
+    base_texts = {r.doc_id: r.text for r in base.collect()}
+    delta = spark.createDataFrame(
+        [
+            (100, base_texts[1]),  # exact copy -> rejected, never merged
+            (102, "the and for with that this from they have been well said done"),  # admitted
+        ],
+        "doc_id long, text string",
+    )
+    decisions = I.ingest_admission_batch(spark, cidx, hidx, bidx, delta)
+    admitted = decisions.filter("admitted").select("doc_id")
+    report = {
+        r.index_table: r
+        for r in I.merge_admitted_into_indexes(
+            spark, hidx, bidx, delta, admitted, ext
+        ).collect()
+    }
+    assert report["bh"].rows_before == 3 and report["bh"].rows_appended == 1
+    assert report["bands"].rows_appended == N_MINHASH // BAND_ROWS  # 6 per doc
+    assert report["sizes"].rows_appended == 1
+    assert report["toks_arr"].rows_appended == 1
+    for r in report.values():
+        assert r.rows_after == r.rows_before + r.rows_appended
+    # the rejected exact copy's hash must NOT be in the extension
+    ext_hashes = {r.h for r in spark.read.parquet(f"{ext}/bh").collect()}
+    import hashlib
+
+    assert hashlib.sha256(base_texts[1].encode()).hexdigest() not in ext_hashes
