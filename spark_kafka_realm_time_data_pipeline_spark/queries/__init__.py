@@ -68,14 +68,17 @@ def registry() -> dict[str, QuerySpec]:
     #     _km_loop (shared with the new kmeans_assign that IVF staging
     #     trains on) and its oracle's centroid rebuild switched to `//`
     #     on the exact multiple (same class as the ADVICE medium);
-    # (f) position 13: NEW r17 ingest_index_merge — the MERGE-shaped
-    #     maintenance twin (append admitted docs' rows to the hash/band
-    #     indexes, read-back-verified counts; VERDICT r16 item 8's
-    #     first option); its slot displaced map_in_arrow from the r11
-    #     fill tail per the displacement rule;
-    # (g) positions 14-31: ALL 18 r10-proven names — the oldest-proof
+    # (f) positions 13-14: the NEW r17 queries — ingest_index_merge
+    #     (MERGE-shaped maintenance: append admitted docs' rows to the
+    #     hash/band indexes, read-back-verified counts) and
+    #     curation_admission_e2e (the full ingest story: 4-gate
+    #     admission -> admitted join the corpus -> curation funnel
+    #     report) — VERDICT r16 item 8's two options, both shipped;
+    #     their slots displaced map_in_arrow and map_entries_explode
+    #     from the r11 fill tail per the displacement rule;
+    # (g) positions 15-32: ALL 18 r10-proven names — the oldest-proof
     #     tier retires this round (VERDICT r16 item 1);
-    # (h) positions 32-49: the first 18 of the 48 remaining r11-proven
+    # (h) positions 33-49: the first 17 of the 48 remaining r11-proven
     #     names (alphabetical).  Any further r17 additions displace
     #     from this r11 fill tail, never from the (a)-(f) head.
     front = [
@@ -99,8 +102,9 @@ def registry() -> dict[str, QuerySpec]:
             "sim_incremental_range",
             # (e) kmeans refactor + oracle `//`
             "kmeans_embeddings",
-            # (f) NEW r17: MERGE-shaped index maintenance
+            # (f) NEW r17: MERGE-shaped index maintenance + e2e chain
             "ingest_index_merge",
+            "curation_admission_e2e",
             # (g) the 18 r10-proven names — oldest tier retires
             "sim_bruteforce_topk",
             "sim_lsh_topk",
@@ -120,7 +124,7 @@ def registry() -> dict[str, QuerySpec]:
             "tpch_q14_promo",
             "transpose_metrics",
             "unpivot_measures",
-            # (h) the r11-proven head (18 of 48, alphabetical)
+            # (h) the r11-proven head (17 of 48, alphabetical)
             "agg_listagg",
             "ann_ivf_centroids",
             "apply_in_pandas",
@@ -137,7 +141,6 @@ def registry() -> dict[str, QuerySpec]:
             "join_skew_aqe",
             "join_theta_band",
             "length_histogram",
-            "map_entries_explode",
             "map_functions",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()

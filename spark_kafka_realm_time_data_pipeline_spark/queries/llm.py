@@ -2217,6 +2217,67 @@ def q_ingest_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ext, ignore_errors=True)
 
 
+def q_curation_admission_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ingest-to-curation story in one composed run — VERDICT
+    r16 item 8's second option, registered at every SF: the synthetic
+    ingest batch flows through the 4-gate admission funnel, the ADMITTED
+    docs join the corpus, and the combined corpus flows through the
+    curation funnel (normalize -> exact-dedup -> quality gate -> per-
+    language report).  This is the daily pipeline a production corpus
+    runs end-to-end: gates keep near/exact/contained duplicates OUT at
+    the door, and the report shows what the curation tier still drops
+    from the survivors.  Language attrs re-attach via the delta id
+    scheme (every arm's orig id is doc_id % 1000000)."""
+    from ..operators import curation as Cur
+    from ..operators import ingest as I
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta = _ingest_delta(docs)
+    cidx = staged_containment_index(spark, sf_dir)
+    hidx = staged_hash_index(spark, sf_dir)
+    bidx = staged_base_index(spark, sf_dir)
+    decisions = I.ingest_admission_batch(spark, cidx, hidx, bidx, delta)
+    admitted_ids = decisions.filter("admitted").select("doc_id")
+    adm = delta.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
+    corpus = docs.select("doc_id", "text").unionByName(adm)
+    attrs = docs.select(F.col("doc_id").alias("orig_id"), "lang")
+    with_lang = (
+        corpus.withColumn("orig_id", F.col("doc_id") % 1000000)
+        .join(attrs, "orig_id")
+        .select("doc_id", "text", "lang")
+    )
+    return Cur.curation_pipeline(with_lang)
+
+
+def _ora_curation_admission_e2e() -> str:
+    """Compose the two shared oracle pieces verbatim: the admission
+    funnel's full CTE chain defines the admitted set, a corpus CTE
+    unions base docs with the admitted delta, and the parametrized
+    curation-pipeline oracle replays the funnel report over it."""
+    from ..operators import curation as Cur
+
+    corpus_cte = (
+        _ORA_ADMISSION_CTES.replace("WITH ", "", 1)
+        + """,
+admitted AS (
+  SELECT d.doc_id FROM delta d JOIN q USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM exact)
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+    AND d.doc_id NOT IN (SELECT doc_id FROM nd)
+    AND q.keep
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM delta
+  WHERE doc_id IN (SELECT doc_id FROM admitted)
+),"""
+    )
+    return Cur.ORA_CURATION_PIPELINE.format(
+        corpus_cte=corpus_cte, stop_list=_STOP_LIST
+    )
+
+
 ORA_INGEST_INDEX_MERGE = f"""{_ORA_ADMISSION_CTES},
 admitted AS (
   SELECT d.doc_id FROM delta d JOIN q USING (doc_id)
@@ -3330,6 +3391,12 @@ QUERIES: dict[str, QuerySpec] = {
         ORA_INGEST_INDEX_MERGE,
         "MERGE-shaped maintenance: append admitted docs' rows to the "
         "hash/band indexes, read-back-verified counts",
+    ),
+    "curation_admission_e2e": QuerySpec(
+        q_curation_admission_e2e,
+        _ora_curation_admission_e2e(),
+        "full ingest story: 4-gate admission -> admitted join the corpus "
+        "-> curation funnel per-language report",
     ),
     "quality_fit_drift": QuerySpec(
         q_quality_fit_drift,
