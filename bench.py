@@ -236,6 +236,12 @@ HEADLINE += [
     "streaming_ingest_admission",
     # round-16 embedding near-dup ingest gate (reuses the staged IVF index)
     "sim_incremental_range",
+    # round-17 additions: the MERGE-shaped index maintenance job and the
+    # full ingest-to-curation chain — each re-runs the 4-gate funnel on
+    # its own (honest per-query cost; the staged indexes are warm from
+    # the funnel lines above)
+    "ingest_index_merge",
+    "curation_admission_e2e",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The

@@ -186,10 +186,23 @@ def closure_fingerprint(
             if name in g:
                 visit_value(g[name], name, mod, mods)
         # attribute access through referenced package modules: for
-        # `M.decode_jpeg`, co_names holds both "M" and "decode_jpeg"
+        # `M.decode_jpeg`, co_names holds both "M" and "decode_jpeg".
+        # When the attribute is a not-yet-imported SUBMODULE of a package
+        # (``from ..sources import avro_source`` in a function body),
+        # getattr returns None until something imports it — which made
+        # fingerprints depend on process import state (observed: running
+        # the avro pytest first flipped avro_pyds_roundtrip's fp).
+        # Resolve submodules explicitly so the walk is deterministic.
+        import importlib
+
         for m in mods:
             for name in sorted(names):
                 v = getattr(m, name, None)
+                if v is None and hasattr(m, "__path__"):
+                    try:
+                        v = importlib.import_module(f"{m.__name__}.{name}")
+                    except ImportError:
+                        v = None
                 if v is not None:
                     visit_value(v, name, m.__name__, mods)
         for cell in f.__closure__ or ():
