@@ -387,11 +387,13 @@ def main() -> None:
 
     # Soft wall budget: past it, remaining queries run once instead of
     # ``runs`` times — a complete single-shot tail beats a truncated
-    # median-of-3 artifact.  720 (was 480): the r12 headline's 129 queries
-    # take ~520 s of wall at 3 runs, and the old budget silently degraded
-    # the tail to COLD single-shots — the BENCH_sf1 ratio artifact pinned
-    # in PLANS.md (agg_moments "5.2" that is warm-ratio ~1).
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "720"))
+    # median-of-3 artifact.  1080 (was 720, was 480): each time the
+    # headline grows past the budget the tail silently degrades to COLD
+    # single-shots and fabricates 1.3-1.9x "movers" on unchanged code —
+    # caught in r12 (BENCH_sf1 agg_moments "5.2" that is warm-ratio ~1)
+    # and again in r17 (the 148-query headline's ~790 s wall pushed
+    # positions 138+ past the old 720, and exactly those lines "moved").
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1080"))
 
     for name in names:
         fn = qs[name]

@@ -193,3 +193,27 @@ def test_incremental_range_gate_flags_copies_never_noise(spark):
         if r.is_dup:
             assert r.cosine >= 0.99
     assert not any(r.is_dup for r in noise), "noise arm must never flag"
+
+
+def test_ivf_growth_rule_thresholds(tmp_path):
+    """The staged-IVF n_lists growth rule (VERDICT r16 item 3): registered
+    corpora (2000 vectors) keep the label quantizer — their staged index
+    and DuckDB oracle must never change — while a 10x corpus grows to
+    isqrt(N)//4 discovered k-means lists."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_kafka_realm_time_data_pipeline_spark.queries.llm import (
+        _ivf_grown_n_lists,
+    )
+
+    assert _ivf_grown_n_lists("/root/testdata/sf0.001") is None
+    assert _ivf_grown_n_lists("/root/testdata/sf0.01") is None
+    pq.write_table(
+        pa.table({"x": pa.array(range(20000))}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    grown = _ivf_grown_n_lists(str(tmp_path))
+    assert grown == math.isqrt(20000) // 4 == 35
