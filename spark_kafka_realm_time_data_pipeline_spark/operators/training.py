@@ -642,9 +642,19 @@ def quality_linear_fit(docs: DataFrame) -> DataFrame:
     chars ≤ ~600/doc, ≤ ~1e4 docs/lang); beyond that promote the final
     Cramer arithmetic to decimal(38,0) or solve driver-side from the
     (tiny) statistics table — the statistics stay bigint far longer."""
+    return quality_fit_solve(quality_fit_stats(docs))
+
+
+def quality_fit_stats(docs: DataFrame) -> DataFrame:
+    """The MERGEABLE half of quality_linear_fit: one scan aggregates the
+    integer sufficient statistics (lang, n_docs, Σx, Σx², Σt, Σxt) with
+    map-side combine.  Because bigint addition is associative, partial
+    stats rows from DISJOINT batches merge exactly (merge_fit_stats), so
+    a multi-trigger stream accumulates per-batch rows and solves ONCE at
+    the end — the split-safe formulation of the fit."""
     x = F.size(F.split("text", " ")).cast("long")
     t = F.length("text").cast("long")
-    stats = (
+    return (
         docs.select(F.col("lang"), x.alias("x"), t.alias("t"))
         .groupBy("lang")
         .agg(
@@ -655,6 +665,27 @@ def quality_linear_fit(docs: DataFrame) -> DataFrame:
             F.sum(F.col("x") * F.col("t")).alias("sxt"),
         )
     )
+
+
+def merge_fit_stats(parts: DataFrame) -> DataFrame:
+    """Merge per-batch sufficient-statistic rows (the quality_fit_stats
+    schema) into corpus totals: integer sums of sums, exact at any split
+    of the input into batches.  k_langs × n_batches tiny rows in, k_langs
+    rows out — driver-free and shuffle-bounded by the language count."""
+    return parts.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("sxx").cast("long").alias("sxx"),
+        F.sum("st").cast("long").alias("st"),
+        F.sum("sxt").cast("long").alias("sxt"),
+    )
+
+
+def quality_fit_solve(stats: DataFrame) -> DataFrame:
+    """The per-group 2×2 Cramer solve over a sufficient-statistics frame
+    (see quality_linear_fit for the determinism contract): O(1) integer
+    arithmetic per language, exact FLOOR milli-units via the pmod
+    identity, no IEEE division anywhere."""
     lam = F.lit(RIDGE_LAMBDA).cast("long")
     det = (F.col("n_docs") + lam) * (F.col("sxx") + lam) - F.col("sx") * F.col("sx")
     slope_num = (F.col("n_docs") + lam) * F.col("sxt") - F.col("sx") * F.col("st")
@@ -756,7 +787,23 @@ def quality_fit_drift(
     drift signal there is — surfaces as a row with NULL base columns and
     ``drifted`` forced true, instead of silently vanishing the way an
     inner join would drop it."""
-    fresh_fit = quality_linear_fit(fresh).select(
+    return quality_fit_drift_from_stats(
+        base_fit, quality_fit_stats(fresh), tol_milli
+    )
+
+
+def quality_fit_drift_from_stats(
+    base_fit: DataFrame,
+    fresh_stats: DataFrame,
+    tol_milli: int = DRIFT_TOL_MILLI,
+) -> DataFrame:
+    """quality_fit_drift over PRE-AGGREGATED sufficient statistics (the
+    quality_fit_stats schema) — the split-safe entry point a multi-
+    trigger stream uses: accumulate per-batch stats rows, merge with
+    merge_fit_stats, solve and compare ONCE here.  Value-identical to
+    quality_fit_drift on the concatenation of the batches, whatever the
+    split, because the statistics are exact integer sums."""
+    fresh_fit = quality_fit_solve(fresh_stats).select(
         "lang",
         F.col("n_docs").alias("n_fresh"),
         F.col("slope_milli").alias("fresh_slope_milli"),

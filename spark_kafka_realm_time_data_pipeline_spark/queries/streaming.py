@@ -1369,16 +1369,18 @@ def q_streaming_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is value-identical to the batch twin (quality_fit_drift) — the
     oracle IS that query's SQL.
 
-    NOTE the statistical caveat a real deployment tunes: a drift fit on
-    a SMALL trigger is noisy; availableNow's single full-corpus batch
-    sidesteps it here, and a production trigger would size batches or
-    window the statistics before comparing.  Because the per-batch
-    RE-FIT is NOT split-safe (two half-batches fit two different models,
-    unlike the per-row gates of the other streaming twins), drift_batch
-    fails fast if the source ever delivers a second micro-batch instead
-    of silently diverging from the shared batch oracle — a deployment
-    that wants multi-trigger fits must accumulate the integer
-    sufficient statistics across batches and solve once at the end."""
+    SPLIT-SAFE by construction: each trigger appends only its batch's
+    integer sufficient-statistics rows (operators/training.
+    quality_fit_stats — k_langs tiny rows per batch); after the source
+    drains, the accumulated rows are merged (exact bigint sums of sums)
+    and the Cramer solve + drift comparison run ONCE over the totals
+    (quality_fit_drift_from_stats).  However the source splits into
+    micro-batches — availableNow's single drain here, maxFilesPerTrigger
+    slicing in production — the merged statistics equal the one-batch
+    statistics exactly, so the shared batch oracle holds for ANY
+    trigger plan (pytest: test_training.test_fit_drift_split_safe).
+    This replaces the r17 fail-fast guard that raised on a second
+    micro-batch rather than diverge from the oracle."""
     import os
     import shutil
 
@@ -1393,16 +1395,9 @@ def q_streaming_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import foreach_batch_sink
 
     def drift_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id > 0:
-            raise RuntimeError(
-                "fit-drift stream delivered a second micro-batch "
-                f"(batch_id={batch_id}): the per-batch re-fit is not "
-                "split-safe and would diverge from the single-batch "
-                "oracle — accumulate sufficient statistics across "
-                "batches instead of re-fitting per trigger"
-            )
-        report = TRo.quality_fit_drift(base_fit, batch_df)
-        report.repartition(1).write.mode("append").parquet(out_dir)
+        TRo.quality_fit_stats(batch_df).repartition(1).write.mode(
+            "append"
+        ).parquet(out_dir)
 
     try:
         query = foreach_batch_sink(fresh, drift_batch, output_mode="append")
@@ -1419,7 +1414,10 @@ def q_streaming_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             query.stop()
-        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        acc = TRo.merge_fit_stats(spark.read.parquet(out_dir))
+        out = TRo.quality_fit_drift_from_stats(base_fit, acc).localCheckpoint(
+            eager=True
+        )
         out.stream_input_rows = input_rows
         if proc_ms > 0:
             out.stream_processing_secs = proc_ms / 1000.0

@@ -205,3 +205,59 @@ def test_quality_fit_drift_flags_only_damaged_language(spark):
     assert not got["fr"].drifted and got["fr"].slope_drift_milli == 0, got["fr"]
     clean = {r.lang: r for r in quality_fit_drift(base_fit, docs).collect()}
     assert not any(r.drifted for r in clean.values())
+
+
+def test_fit_drift_split_safe(spark, tmp_path):
+    """r18 (VERDICT r17 item 6): the drift monitor is SPLIT-SAFE — a
+    multi-file source delivered as ≥2 real micro-batches
+    (maxFilesPerTrigger=1), each appending only its sufficient-statistic
+    rows, merged and solved once, yields the EXACT rows of the one-shot
+    batch fit.  This replaces the r17 fail-fast guard that raised on a
+    second micro-batch."""
+    import time
+
+    rows = []
+    for i in range(90):
+        n = 4 + (i % 9)
+        rows.append((i, " ".join("abcdefg" for _ in range(n)), "en" if i % 3 else "fr"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base_fit = TR.quality_linear_fit(docs)
+
+    src = str(tmp_path / "fresh_multi")
+    # three separate parquet files -> three availableNow micro-batches
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stats_dir = str(tmp_path / "stats")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    batches = []
+
+    def acc_batch(batch_df, batch_id):
+        batches.append(batch_id)
+        TR.quality_fit_stats(batch_df).repartition(1).write.mode(
+            "append"
+        ).parquet(stats_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(acc_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert len(batches) >= 2, f"fixture must split into ≥2 batches: {batches}"
+
+    merged = TR.merge_fit_stats(spark.read.parquet(stats_dir))
+    got = {
+        r.lang: r
+        for r in TR.quality_fit_drift_from_stats(base_fit, merged).collect()
+    }
+    want = {r.lang: r for r in TR.quality_fit_drift(base_fit, docs).collect()}
+    assert set(got) == set(want)
+    for lang in want:
+        assert got[lang].asDict() == want[lang].asDict(), (lang, got[lang], want[lang])
