@@ -231,3 +231,71 @@ def ingest_admission_batch(
             ).alias("admitted"),
         )
     )
+
+
+def compact_band_index(
+    spark: SparkSession,
+    bands: DataFrame,
+    output_path: str,
+) -> DataFrame:
+    """The periodic BAND-INDEX COMPACTION job the append path relies on:
+    merge_admitted_into_indexes appends admitted docs' band rows UNCAPPED
+    (a MinHash signature depends on nothing but the doc, so the append
+    never needs cluster-wide context) on the documented promise that
+    "bucket caps are re-applied by the periodic compaction job" — this
+    IS that job.  It re-applies the deterministic per-bucket cap
+    (dedup.capped_buckets: lowest doc_ids win, the same rule the
+    build-time cap uses, so compaction is IDEMPOTENT and a compacted
+    index holds exactly the rows a from-scratch rebuild over the same
+    docs would) and rewrites the table at ``output_path``.
+
+    Emits one row per band_id: (band_id, rows_before, rows_after,
+    rows_dropped, buckets, buckets_over_cap), with rows_after counted by
+    READING THE WRITTEN FILES BACK so the report reflects what landed on
+    disk.  Eviction policy note: an over-full bucket keeps its 64
+    lowest doc_ids, so late-appended extension rows are evicted FIRST —
+    the right trade for an LSH candidate index (the surviving members
+    still anchor the bucket, and a doc needs only one of its 6 band
+    buckets to surface as a candidate), and exactly the build cap's
+    behavior on the same rows.
+
+    100 TB posture: one window shuffle keyed (band_id, band_key) over
+    the index — the same cost class as the index build, run on the
+    maintenance cadence, never per batch; the report aggregation reuses
+    the same partitioning.
+    """
+    from .dedup import MAX_BUCKET, capped_buckets
+
+    before = bands.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("rows_before"),
+        F.countDistinct("band_key").alias("buckets"),
+    )
+    over = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > MAX_BUCKET)
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("buckets_over_cap"))
+    )
+    capped_buckets(bands).write.mode("overwrite").parquet(output_path)
+    after = (
+        spark.read.parquet(output_path)
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("rows_after"))
+    )
+    return (
+        before.join(after, "band_id")
+        .join(over, "band_id", "left")
+        .select(
+            F.col("band_id").cast("long").alias("band_id"),
+            F.col("rows_before").cast("long").alias("rows_before"),
+            F.col("rows_after").cast("long").alias("rows_after"),
+            (F.col("rows_before") - F.col("rows_after"))
+            .cast("long")
+            .alias("rows_dropped"),
+            F.col("buckets").cast("long").alias("buckets"),
+            F.coalesce("buckets_over_cap", F.lit(0))
+            .cast("long")
+            .alias("buckets_over_cap"),
+        )
+    )

@@ -44,104 +44,86 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Round-17 rotation (the driver checks the first ~50).  Composition
-    # (executes the r16 verdict's items 1-4 exactly; the changed set below
-    # is MECHANICAL — the fixed closure walker (tools/closure_fp.py now
-    # resolves function-body imports) diffed against the r16-close tree):
-    # (a) positions 0-2: the fit trio — quality_linear_fit's milli
-    #     outputs moved from IEEE double division to integral `div`
-    #     (ADVICE r16 medium: the old path diverges past 2^53), the
-    #     drift monitor became a LEFT join surfacing fresh-only
-    #     languages (with a new novel-lang 'xx' delta arm), and the
-    #     streaming twin gained the second-micro-batch guard;
-    # (b) positions 3-4: the admission funnel pair — now FOUR gates
-    #     (exact -> containment -> MinHash near-dup on the
-    #     doubly-cleared sliver -> quality) with a fourth
-    #     appended-tail delta arm and the band-chain oracle;
-    # (c) positions 5-8: the containment/near-dup incremental pairs —
-    #     their staging boilerplate moved into the shared _staged_index
-    #     helper (ADVICE r16), flipping their closures;
-    # (d) positions 9-11: the staged-IVF trio — same helper move PLUS
-    #     the n_lists growth rule (label quantizer <= 4000 vectors,
-    #     sqrt(N)-scaled k-means lists beyond — VERDICT r16 item 3);
-    # (e) position 12: kmeans_embeddings — the Lloyd loop moved into
-    #     _km_loop (shared with the new kmeans_assign that IVF staging
-    #     trains on) and its oracle's centroid rebuild switched to `//`
-    #     on the exact multiple (same class as the ADVICE medium);
-    # (f) positions 13-14: the NEW r17 queries — ingest_index_merge
-    #     (MERGE-shaped maintenance: append admitted docs' rows to the
-    #     hash/band indexes, read-back-verified counts) and
-    #     curation_admission_e2e (the full ingest story: 4-gate
-    #     admission -> admitted join the corpus -> curation funnel
-    #     report) — VERDICT r16 item 8's two options, both shipped;
-    #     their slots displaced map_in_arrow and map_entries_explode
-    #     from the r11 fill tail per the displacement rule;
-    # (g) positions 15-32: ALL 18 r10-proven names — the oldest-proof
-    #     tier retires this round (VERDICT r16 item 1);
-    # (h) positions 33-49: the first 17 of the 48 remaining r11-proven
-    #     names (alphabetical).  Any further r17 additions displace
-    #     from this r11 fill tail, never from the (a)-(f) head.
+    # Round-18 rotation (the driver checks the first ~50).  Composition is
+    # MECHANICAL — `tools/proof_ledger.py queue 50` at the r18 tree (stale
+    # first, then oldest-proof-first fill); executes VERDICT r17 item 1:
+    # (a) positions 0-1: the NEW r18 queries — ingest_admission_day2
+    #     (day-2 batch gated against the MERGED base ∪ extension indexes:
+    #     exact copies and appended-tail near-copies of day-1 ADMITTED
+    #     docs rejected through the extension rows; two-day full-replay
+    #     oracle — VERDICT r17 item 2) and ingest_index_compaction (the
+    #     band-index cap re-application job over a deliberately
+    #     over-appended fixture — VERDICT r17 item 3);
+    # (b) positions 2-4: the fit trio — stale again: the streaming drift
+    #     twin became SPLIT-SAFE (per-batch sufficient statistics
+    #     accumulated and solved once — VERDICT r17 item 6), which
+    #     refactored quality_linear_fit into its mergeable halves;
+    # (c) positions 5-7: the three rows-only-by-design names (r0 in the
+    #     ledger — they can never carry a hash proof; the queue emits
+    #     them with the oldest tier and the driver re-records their
+    #     rows-only checks);
+    # (d) positions 8-39: 32 of the 47 remaining r11-proven names
+    #     (alphabetical; map_entries_explode + map_in_arrow head them —
+    #     the two displaced from the r17 tail);
+    # (e) positions 40-49: the r13-proven head (alphabetical).
     front = [
         n
         for n in (
-            # (a) fit trio: integer-div fix + left-join drift + guard
+            # (a) NEW r18: day-2 merged-index gating + band compaction
+            "ingest_admission_day2",
+            "ingest_index_compaction",
+            # (b) fit trio: split-safe streaming drift refactor
             "quality_linear_fit",
             "quality_fit_drift",
             "streaming_quality_drift",
-            # (b) 4-gate admission funnel + streaming twin
-            "ingest_admission",
-            "streaming_ingest_admission",
-            # (c) staging-helper closure changes: containment + near-dup
-            "dedup_containment_incremental",
-            "streaming_dedup_containment",
-            "dedup_incremental_indexed",
-            "streaming_dedup_incremental",
-            # (d) staged-IVF trio: helper move + n_lists growth rule
-            "sim_incremental_topk",
-            "streaming_sim_topk",
-            "sim_incremental_range",
-            # (e) kmeans refactor + oracle `//`
-            "kmeans_embeddings",
-            # (f) NEW r17: MERGE-shaped index maintenance + e2e chain
-            "ingest_index_merge",
-            "curation_admission_e2e",
-            # (g) the 18 r10-proven names — oldest tier retires
-            "sim_bruteforce_topk",
-            "sim_lsh_topk",
-            "sql_udf_pricing",
-            "state_store_inspect",
-            "streaming_chained_windows",
-            "streaming_full_outer_join",
-            "streaming_observed_metrics",
-            "streaming_ppl_gate",
-            "streaming_rate_source",
-            "text_fingerprint",
-            "text_langid",
-            "text_quality",
-            "text_repetition",
-            "text_tokens",
-            "time_rollup",
-            "tpch_q14_promo",
-            "transpose_metrics",
-            "unpivot_measures",
-            # (h) the r11-proven head (17 of 48, alphabetical)
-            "agg_listagg",
-            "ann_ivf_centroids",
-            "apply_in_pandas",
-            "bpe_pair_counts",
-            "curation_pipeline_e2e",
-            "curriculum_buckets",
-            "dedup_exact",
-            "dedup_simhash",
-            "doc_chunk_overlap",
-            "domain_mix_weights",
-            "embedding_normalize",
-            "fim_transform",
-            "heavy_hitters",
-            "join_skew_aqe",
-            "join_theta_band",
-            "length_histogram",
-            "map_functions",
+            # (c) rows-only-by-design (re-record the weaker check)
+            "approx_distinct",
+            "column_profile_approx",
+            "serialize_json",
+            # (d) the r11-proven fill (32, alphabetical)
+            "map_entries_explode",
+            "map_in_arrow",
+            "merge_upsert",
+            "ngram_lm_counts",
+            "pack_sequences",
+            "pandas_udf_grouped_agg",
+            "pii_redact",
+            "python_udf_scalar",
+            "python_udtf",
+            "quality_filter_pipeline",
+            "quantize_embeddings",
+            "rebalance_write",
+            "rlhf_pair_stats",
+            "runtime_bloom_join",
+            "semdedup_representatives",
+            "stratified_sample",
+            "streaming_idempotent_sink",
+            "text_normalize",
+            "token_budget_split",
+            "tpch_q10_returned",
+            "tpch_q11_important_stock",
+            "tpch_q12_shipmode",
+            "tpch_q13_cust_distribution",
+            "tpch_q16_parts_supplier",
+            "tpch_q17_small_qty",
+            "tpch_q19_discounted",
+            "tpch_q20_potential_promo",
+            "tpch_q22_global_sales",
+            "url_host_dedup",
+            "vocab_coverage",
+            "window_dedup_rank",
+            "zorder_stats",
+            # (e) the r13-proven head (10, alphabetical)
+            "asof_join",
+            "bm25_term_scores",
+            "contamination_overlap",
+            "countmin_sketch",
+            "dedup_editdistance",
+            "dedup_passages",
+            "filtered_revenue",
+            "funnel_stages",
+            "hll_registers",
+            "length_drift_report",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

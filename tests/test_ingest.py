@@ -109,3 +109,151 @@ def test_index_merge_appends_admitted_rows(spark, tmp_path):
     import hashlib
 
     assert hashlib.sha256(base_texts[1].encode()).hexdigest() not in ext_hashes
+
+
+def test_day2_flips_without_merge(spark, tmp_path):
+    """r18 (VERDICT r17 item 2): day-2 semantics of the merge.  A second
+    batch containing an exact copy and an appended-tail near-copy of a
+    doc ADMITTED on day 1 is gated against the MERGED (base ∪ extension)
+    indexes and rejects both — and the SAME batch against the UN-merged
+    base indexes admits both, proving the rejections are caused by the
+    merge, not by the base corpus."""
+    base = _base(spark)
+    cidx = str(tmp_path / "cidx")
+    hidx = str(tmp_path / "hidx")
+    bidx = str(tmp_path / "bidx")
+    ext = str(tmp_path / "ext")
+    stage_containment_index(base, cidx)
+    I.stage_hash_index(base, hidx)
+    stage_base_index(base, bidx)
+
+    # stopword-dense so the appended-tail near-copy still clears the
+    # quality gate (the flip must come from the DUP gates, not quality)
+    day1_text = (
+        "the cat and the dog of the house and a bird of the garden "
+        "and the fish of a pond and the mouse of the barn"
+    )
+    delta1 = spark.createDataFrame(
+        [(102, day1_text)], "doc_id long, text string"
+    )
+    decisions1 = I.ingest_admission_batch(spark, cidx, hidx, bidx, delta1)
+    assert decisions1.collect()[0].admitted
+    admitted = decisions1.filter("admitted").select("doc_id")
+    I.merge_admitted_into_indexes(spark, hidx, bidx, delta1, admitted, ext)
+
+    # merged = base ∪ extension, one table per sub-index (the production
+    # append's resulting contents)
+    midx = str(tmp_path / "midx")
+    for sub, src in (("bh", hidx), ("bands", bidx), ("sizes", bidx), ("toks_arr", bidx)):
+        spark.read.parquet(f"{src}/{sub}").unionByName(
+            spark.read.parquet(f"{ext}/{sub}")
+        ).write.parquet(f"{midx}/{sub}")
+
+    near_copy = day1_text + " " + day1_text[::-1][: max(len(day1_text) // 6, 6)]
+    delta2 = spark.createDataFrame(
+        [(200, day1_text), (201, near_copy)], "doc_id long, text string"
+    )
+
+    merged = {
+        r.doc_id: r
+        for r in I.ingest_admission_batch(spark, cidx, midx, midx, delta2).collect()
+    }
+    assert merged[200].is_exact and not merged[200].admitted
+    assert merged[201].is_near_dup and not merged[201].admitted
+    assert not merged[201].is_exact and not merged[201].is_contained
+
+    # skip the merge: the same day-2 batch against the bare base indexes
+    unmerged = {
+        r.doc_id: r
+        for r in I.ingest_admission_batch(spark, cidx, hidx, bidx, delta2).collect()
+    }
+    assert unmerged[200].admitted and not unmerged[200].is_exact
+    assert unmerged[201].admitted and not unmerged[201].is_near_dup
+
+
+def test_funnel_green_on_compacted_index(spark, tmp_path):
+    """r18 (VERDICT r17 item 3): compaction keeps the funnel green.  The
+    merged band index is deliberately over-appended (70 junk re-keyed
+    copies of the admitted doc's band rows — its buckets exceed the 64
+    cap), compacted, and the day-2 near-copy probe against the COMPACTED
+    index still rejects: the admitted doc's rows survive the cap (lowest
+    doc_ids win).  A second compaction drops zero rows (idempotence)."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.dedup import (
+        MAX_BUCKET,
+        N_MINHASH,
+        BAND_ROWS,
+    )
+
+    base = _base(spark)
+    cidx = str(tmp_path / "cidx")
+    hidx = str(tmp_path / "hidx")
+    bidx = str(tmp_path / "bidx")
+    ext = str(tmp_path / "ext")
+    stage_containment_index(base, cidx)
+    I.stage_hash_index(base, hidx)
+    stage_base_index(base, bidx)
+
+    day1_text = (
+        "the cat and the dog of the house and a bird of the garden "
+        "and the fish of a pond and the mouse of the barn"
+    )
+    delta1 = spark.createDataFrame([(102, day1_text)], "doc_id long, text string")
+    decisions1 = I.ingest_admission_batch(spark, cidx, hidx, bidx, delta1)
+    admitted = decisions1.filter("admitted").select("doc_id")
+    I.merge_admitted_into_indexes(spark, hidx, bidx, delta1, admitted, ext)
+
+    midx = str(tmp_path / "midx")
+    for sub, src in (("bh", hidx), ("sizes", bidx), ("toks_arr", bidx)):
+        spark.read.parquet(f"{src}/{sub}").unionByName(
+            spark.read.parquet(f"{ext}/{sub}")
+        ).write.parquet(f"{midx}/{sub}")
+    merged_bands = spark.read.parquet(f"{bidx}/bands").unionByName(
+        spark.read.parquet(f"{ext}/bands")
+    )
+    junk = (
+        spark.read.parquet(f"{ext}/bands")
+        .select(
+            "doc_id",
+            "band_id",
+            "band_key",
+            F.explode(F.sequence(F.lit(1), F.lit(70))).alias("j"),
+        )
+        .select(
+            (F.col("doc_id") + 10000000 + F.col("j").cast("long") * 1000000).alias(
+                "doc_id"
+            ),
+            "band_id",
+            "band_key",
+        )
+    )
+    over_appended = merged_bands.unionByName(junk)
+
+    report = {
+        r.band_id: r
+        for r in I.compact_band_index(
+            spark, over_appended, f"{midx}/bands"
+        ).collect()
+    }
+    n_bands = N_MINHASH // BAND_ROWS
+    assert len(report) == n_bands
+    assert sum(r.rows_dropped for r in report.values()) == n_bands * (
+        71 - MAX_BUCKET
+    )
+    assert sum(r.buckets_over_cap for r in report.values()) == n_bands
+
+    # the funnel still rejects the near-copy against the compacted index
+    near_copy = day1_text + " " + day1_text[::-1][: max(len(day1_text) // 6, 6)]
+    delta2 = spark.createDataFrame(
+        [(201, near_copy)], "doc_id long, text string"
+    )
+    got = I.ingest_admission_batch(spark, cidx, midx, midx, delta2).collect()[0]
+    assert got.is_near_dup and not got.admitted
+
+    # idempotence: compacting the compacted table drops nothing
+    again = I.compact_band_index(
+        spark,
+        spark.read.parquet(f"{midx}/bands"),
+        str(tmp_path / "bands2"),
+    ).collect()
+    assert sum(r.rows_dropped for r in again) == 0
+    assert sum(r.buckets_over_cap for r in again) == 0
