@@ -33,6 +33,11 @@ ALLOWED_BNLJ = {
     "fk_integrity_audit",
     "kmeans_embeddings",
     "length_drift_report",
+    # surfaced by the r18 barrier-STAGE capture: the checkpointed
+    # `matched` frame crossJoins broadcast(n_docs) — a 1-row global-count
+    # scalar (operators/text.py:retrieval_rrf_fusion), same class as the
+    # bm25/tfidf totals
+    "retrieval_rrf_fusion",
     "sim_bruteforce_topk",
     "sim_incremental_range",  # delta x broadcast(centroids): n_clusters rows
     "sim_incremental_topk",  # delta x broadcast(centroids): n_clusters rows
@@ -111,3 +116,45 @@ def test_audit_one_live_smoke(spark):
         spark, "tpch_q22_global_sales", reg["tpch_q22_global_sales"].fn, SF_DIR
     )
     assert flagged["flags"] == ["BroadcastNestedLoopJoin"], flagged
+
+
+# The five barrier-final queries whose real joins/shuffles run in
+# pre-localCheckpoint stage jobs — the r17 audit blind spot (VERDICT r17
+# item 4).  Stage capture must keep them visible to the sweep.
+BARRIER_FINAL = {
+    "ingest_index_merge",
+    "dedup_incremental",
+    "dedup_containment",
+    "dedup_incremental_indexed",
+    "dedup_jaccard_prefix",
+}
+
+
+def test_barrier_queries_have_stage_counts():
+    """r18: the committed artifact must carry non-empty stage_counts for
+    every barrier-final query — an all-zero row means the monkeypatched
+    localCheckpoint capture regressed (e.g. the classic-DataFrame patch
+    point moved again) and staged pipelines are invisible to the
+    anti-pattern sweep."""
+    out = _artifact()
+    for name in sorted(BARRIER_FINAL):
+        row = out["queries"][name]
+        stage = row.get("stage_counts", {})
+        assert row.get("n_stage_plans", 0) > 0, (name, row)
+        assert sum(stage.values()) > 0, (name, stage)
+
+
+def test_stage_capture_live(spark):
+    """Live twin of the artifact gate: audit_one on a barrier-final query
+    captures >=1 stage plan with real scan/exchange counts."""
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from plan_audit import audit_one
+
+    reg = registry()
+    row = audit_one(
+        spark, "dedup_containment", reg["dedup_containment"].fn, SF_DIR
+    )
+    assert row.get("n_stage_plans", 0) >= 1, row
+    assert row["stage_counts"]["Scan parquet"] > 0, row

@@ -23,6 +23,21 @@ the stream and returns a memory-sink scan, so there is no logical plan
 left to audit (their plans are pinned individually in tests/test_plans.py
 and tests/test_streaming.py).
 
+BARRIER-STAGE CAPTURE (r18, VERDICT r17 item 4): a staged-probe query's
+final frame is often a localCheckpoint barrier (a local relation), so the
+intermediate jobs where its real joins/shuffles run used to escape this
+sweep entirely — five queries audited as all-zero counts, and a future
+cartesian/row-UDF inside a staged pipeline would have shipped unseen.
+audit_one now wraps DataFrame.localCheckpoint during the build and records
+each pre-barrier frame's executed plan: stage counts are summed into
+``stage_counts``, and the FLAG nodes are checked across every stage plan,
+not just the final one.  A query that hit a barrier on the first build is
+built a second time, so one-time index staging (fingerprint-keyed, cached
+on scratch) drops out and the captured stage plans are the steady
+per-batch work a production trigger repeats.  The plan ``fingerprint``
+stays final-plan-only (stage plans can legitimately vary with scratch
+warmth; the proof-freshness gate treats plan fps as advisory anyway).
+
 Output: PLAN_AUDIT.json — {"queries": {name: {counts, flags,
 fingerprint}}, "flagged": {flag: [names]}, "skipped": [names]}.
 tests/test_plan_audit.py pins the flagged sets against the reviewed
@@ -110,13 +125,15 @@ def plan_fingerprint(plan: str) -> str:
     return hashlib.sha256(plan.encode()).hexdigest()[:16]
 
 
-def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
-    df = fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def _plan_counts(plan: str) -> dict:
     counts = {n: plan.count(n) for n in COUNT_NODES}
     # "Exchange" substring-matches BroadcastExchange too; report shuffle
     # exchanges separately.
     counts["Exchange"] -= counts["BroadcastExchange"]
+    return counts
+
+
+def _plan_flags(plan: str, counts: dict) -> list[str]:
     flags = [n for n in FLAG_NODES if n in plan]
     # BatchEvalPythonUDTF is the standard (row-based) Python UDTF executor
     # node, a first-class inventory surface — not the row-at-a-time scalar
@@ -126,7 +143,51 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
         "BatchEvalPythonUDTF"
     ]:
         flags.remove("BatchEvalPython")
-    return {"counts": counts, "flags": flags, "fingerprint": plan_fingerprint(plan)}
+    return flags
+
+
+def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
+    # patch the CLASSIC DataFrame class — pyspark.sql.DataFrame is the
+    # abstract parent in Spark 4 and instances resolve the method on the
+    # classic subclass, so patching the parent intercepts nothing
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame as _DF
+
+    captured: list[str] = []
+    orig_lcp = _DF.localCheckpoint
+
+    def capturing_lcp(self, *args, **kwargs):
+        captured.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig_lcp(self, *args, **kwargs)
+
+    _DF.localCheckpoint = capturing_lcp
+    try:
+        df = fn(spark, sf_dir)
+        if captured:
+            # barrier query: the first build may include one-time index
+            # staging (fingerprint-keyed, cached on scratch) — rebuild so
+            # the captured stage plans are the steady per-batch work only
+            captured.clear()
+            df = fn(spark, sf_dir)
+    finally:
+        _DF.localCheckpoint = orig_lcp
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = _plan_counts(plan)
+    flags = set(_plan_flags(plan, counts))
+    row = {"counts": counts, "fingerprint": plan_fingerprint(plan)}
+    if captured:
+        stage_counts: dict[str, int] = {}
+        for sp in captured:
+            sc = _plan_counts(sp)
+            flags.update(_plan_flags(sp, sc))
+            for k, v in sc.items():
+                stage_counts[k] = stage_counts.get(k, 0) + v
+        row["stage_counts"] = stage_counts
+        row["n_stage_plans"] = len(captured)
+    row["flags"] = sorted(flags)
+    return row
 
 
 def source_hash(root: str) -> str:
