@@ -332,6 +332,10 @@ def main() -> None:
     # cross-round comparisons can normalize instead of guessing.
     rows_per_sec_denom: dict[str, str] = {}
     wall0 = time.time()
+    # defined before emit()/the signal handlers so a mid-loop SIGTERM
+    # artifact still records the budget it ran under
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1080"))
+    degraded: list[str] = []  # queries forced to cold single-shots
 
     def emit(partial: bool = False) -> None:
         total = round(sum(timings.values()), 3)
@@ -343,6 +347,12 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "value_legacy34": legacy,
+            # the wall budget this run degraded against, and which lines it
+            # degraded — tools/bench_medians.py REFUSES detail files whose
+            # tail degraded (the r12/r17 fabricated-movers artifact) unless
+            # explicitly overridden
+            "budget": budget,
+            "degraded": degraded,
             "queries": timings,
             "sf": sf,
             "runs": runs,
@@ -393,13 +403,13 @@ def main() -> None:
     # caught in r12 (BENCH_sf1 agg_moments "5.2" that is warm-ratio ~1)
     # and again in r17 (the 148-query headline's ~790 s wall pushed
     # positions 138+ past the old 720, and exactly those lines "moved").
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1080"))
-
     for name in names:
         fn = qs[name]
         samples = []
         last_df = None
         n_runs = 1 if time.time() - wall0 > budget else runs
+        if n_runs < runs:
+            degraded.append(name)
         try:
             for _ in range(n_runs):
                 t0 = time.time()

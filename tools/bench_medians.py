@@ -7,7 +7,16 @@ computes each query's median wall time across runs, writes the medians
 artifact, and prints every line whose median moved more than the noise
 threshold (1.3x either way) against a prior medians artifact.
 
-Usage: python tools/bench_medians.py OUT.json PRIOR.json DETAIL1 DETAIL2 ...
+Budget gate (r18, VERDICT r17 item 5): a detail file whose run exceeded
+bench.py's soft wall budget has a COLD single-shot tail that fabricates
+1.3-1.9x "movers" on unchanged code — it happened in r12 and again in r17.
+This tool now refuses such files mechanically: any detail with a non-empty
+``degraded`` list, or wall_total >= budget, aborts before medians are
+computed (override with --allow-degraded only to inspect, never to cite).
+Pre-r18 detail files without the recorded fields fall back to the 1080 s
+default budget and a wall_total check alone (degraded set unrecorded).
+
+Usage: python tools/bench_medians.py [--allow-degraded] OUT.json PRIOR.json DETAIL1 DETAIL2 ...
 """
 
 from __future__ import annotations
@@ -17,9 +26,40 @@ import statistics
 import sys
 
 
+def check_budget(path: str, detail: dict) -> str | None:
+    """Return a refusal reason if this detail file's tail degraded."""
+    budget = detail.get("budget", 1080.0)
+    wall = detail.get("wall_total")
+    degraded = detail.get("degraded")
+    if degraded:
+        return (
+            f"{path}: {len(degraded)} queries degraded to cold single-shots "
+            f"(first: {degraded[:3]}) — raise SPARK_GRAFT_BENCH_BUDGET and re-run"
+        )
+    if wall is not None and wall >= budget:
+        return (
+            f"{path}: wall_total {wall} >= budget {budget} — the tail ran "
+            "cold; raise SPARK_GRAFT_BENCH_BUDGET and re-run"
+        )
+    return None
+
+
 def main() -> None:
-    out_path, prior_path, *details = sys.argv[1:]
-    runs = [json.load(open(p))["queries"] for p in details]
+    args = sys.argv[1:]
+    allow_degraded = "--allow-degraded" in args
+    if allow_degraded:
+        args.remove("--allow-degraded")
+    out_path, prior_path, *details = args
+    detail_objs = [json.load(open(p)) for p in details]
+    problems = [r for r in (check_budget(p, d) for p, d in zip(details, detail_objs)) if r]
+    for msg in problems:
+        print(f"BUDGET GATE: {msg}", file=sys.stderr)
+    if problems and not allow_degraded:
+        raise SystemExit(
+            "refusing degraded detail files (cold-tail movers are not "
+            "citable); pass --allow-degraded to inspect anyway"
+        )
+    runs = [d["queries"] for d in detail_objs]
     names = sorted({n for r in runs for n in r})
     medians = {
         n: round(statistics.median([r[n] for r in runs if n in r]), 3)
