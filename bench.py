@@ -242,6 +242,14 @@ HEADLINE += [
     # the funnel lines above)
     "ingest_index_merge",
     "curation_admission_e2e",
+    # round-18 additions: the day-2 probe against the merged base∪extension
+    # indexes and its foreachBatch twin (each warm ~8 s at sf0.1; the
+    # one-time merged-index staging is fingerprint-cached).
+    # ingest_index_compaction stays correctness-only: ~1.1 s at sf0.1,
+    # under the 1.5 s headline bar — the window shuffle it times is the
+    # same machinery the dedup build lines already bench.
+    "ingest_admission_day2",
+    "streaming_ingest_admission_day2",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The
@@ -334,7 +342,7 @@ def main() -> None:
     wall0 = time.time()
     # defined before emit()/the signal handlers so a mid-loop SIGTERM
     # artifact still records the budget it ran under
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1080"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1440"))
     degraded: list[str] = []  # queries forced to cold single-shots
 
     def emit(partial: bool = False) -> None:
@@ -397,12 +405,17 @@ def main() -> None:
 
     # Soft wall budget: past it, remaining queries run once instead of
     # ``runs`` times — a complete single-shot tail beats a truncated
-    # median-of-3 artifact.  1080 (was 720, was 480): each time the
+    # median-of-3 artifact.  1440 (was 1080, 720, 480): each time the
     # headline grows past the budget the tail silently degrades to COLD
     # single-shots and fabricates 1.3-1.9x "movers" on unchanged code —
     # caught in r12 (BENCH_sf1 agg_moments "5.2" that is warm-ratio ~1)
     # and again in r17 (the 148-query headline's ~790 s wall pushed
     # positions 138+ past the old 720, and exactly those lines "moved").
+    # r18 raise: the slowest observed r17 full run walled 1100.7 s at the
+    # 148-line headline, and r18 adds two heavy ingest lines — 1440 keeps
+    # ~20% headroom so the degraded-detail refusal in bench_medians stays
+    # an anomaly signal, not a routine trip.  The run records budget +
+    # degraded list; bench_medians.py refuses degraded details.
     for name in names:
         fn = qs[name]
         samples = []

@@ -47,31 +47,35 @@ def registry() -> dict[str, QuerySpec]:
     # Round-18 rotation (the driver checks the first ~50).  Composition is
     # MECHANICAL — `tools/proof_ledger.py queue 50` at the r18 tree (stale
     # first, then oldest-proof-first fill); executes VERDICT r17 item 1:
-    # (a) positions 0-1: the NEW r18 queries — ingest_admission_day2
+    # (a) positions 0-2: the NEW r18 queries — ingest_admission_day2
     #     (day-2 batch gated against the MERGED base ∪ extension indexes:
     #     exact copies and appended-tail near-copies of day-1 ADMITTED
     #     docs rejected through the extension rows; two-day full-replay
     #     oracle — VERDICT r17 item 2) and ingest_index_compaction (the
     #     band-index cap re-application job over a deliberately
-    #     over-appended fixture — VERDICT r17 item 3);
-    # (b) positions 2-4: the fit trio — stale again: the streaming drift
+    #     over-appended fixture — VERDICT r17 item 3), plus the
+    #     foreachBatch day-2 twin streaming_ingest_admission_day2
+    #     (added mid-round; displaced length_drift_report from the r13
+    #     fill tail per the displacement rule);
+    # (b) positions 3-5: the fit trio — stale again: the streaming drift
     #     twin became SPLIT-SAFE (per-batch sufficient statistics
     #     accumulated and solved once — VERDICT r17 item 6), which
     #     refactored quality_linear_fit into its mergeable halves;
-    # (c) positions 5-7: the three rows-only-by-design names (r0 in the
+    # (c) positions 6-8: the three rows-only-by-design names (r0 in the
     #     ledger — they can never carry a hash proof; the queue emits
     #     them with the oldest tier and the driver re-records their
     #     rows-only checks);
-    # (d) positions 8-39: 32 of the 47 remaining r11-proven names
+    # (d) positions 9-40: 32 of the 47 remaining r11-proven names
     #     (alphabetical; map_entries_explode + map_in_arrow head them —
     #     the two displaced from the r17 tail);
-    # (e) positions 40-49: the r13-proven head (alphabetical).
+    # (e) positions 41-49: the r13-proven head minus the displaced tail the r13-proven head (alphabetical).
     front = [
         n
         for n in (
             # (a) NEW r18: day-2 merged-index gating + band compaction
             "ingest_admission_day2",
             "ingest_index_compaction",
+            "streaming_ingest_admission_day2",
             # (b) fit trio: split-safe streaming drift refactor
             "quality_linear_fit",
             "quality_fit_drift",
@@ -123,7 +127,6 @@ def registry() -> dict[str, QuerySpec]:
             "filtered_revenue",
             "funnel_stages",
             "hll_registers",
-            "length_drift_report",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

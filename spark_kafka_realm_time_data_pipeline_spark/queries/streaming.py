@@ -1356,6 +1356,69 @@ def q_streaming_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ingest_admission's oracle verbatim
 from .llm import ORA_INGEST_ADMISSION as _ORA_INGEST_ADMISSION  # noqa: E402
 
+# the day-2 twin shares ingest_admission_day2's two-day replay oracle
+from .llm import _ora_day2_funnel as _ora_day2  # noqa: E402
+
+
+def q_streaming_ingest_admission_day2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAY-2 admission AS A STREAM — the twin that completes the multi-day
+    deployment story: the second day's batch (verbatim replays + appended-
+    tail near-copies of the day-1 rev arm) arrives as micro-batches, and
+    foreachBatch runs the 4-gate funnel against the MERGED base ∪ day-1
+    extension indexes (staged once, before the stream starts — exactly the
+    cadence of a production pipeline that merges after yesterday's close
+    and serves today's triggers from the merged tables).  Copies and
+    near-copies of yesterday's ADMISSIONS are rejected through the
+    extension rows; the containment gate stays pinned to the base index
+    (rebuild-not-append).  Per-gate decisions are per-row against staged
+    state only, so the funnel is split-safe like streaming_ingest_admission:
+    any micro-batch partitioning yields the same rows, and the result is
+    value-identical to the batch twin (ingest_admission_day2) — the oracle
+    IS that query's two-day full-replay SQL."""
+    import shutil
+
+    from ..operators import ingest as I
+    from ..streaming.sinks import foreach_batch_sink
+    from .llm import (
+        _ingest_delta2,
+        staged_containment_index,
+        staged_merged_index,
+    )
+
+    delta2 = _ingest_delta2(stream_table(spark, sf_dir, "documents"))
+    cidx = staged_containment_index(spark, sf_dir)
+    midx = staged_merged_index(spark, sf_dir)
+    out_dir = _scratch_dir("stream_ingest_day2_")
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decisions = I.ingest_admission_batch(spark, cidx, midx, midx, batch_df)
+        decisions.repartition(1).write.mode("append").parquet(out_dir)
+
+    try:
+        query = foreach_batch_sink(delta2, admit_batch, output_mode="append")
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError(
+                    "day-2 admission stream replay did not finish in 300s"
+                )
+            progress = [p for p in (query.recentProgress or []) if p]
+            input_rows = sum(int(p["numInputRows"]) for p in progress)
+            proc_ms = sum(
+                int(p.get("durationMs", {}).get("triggerExecution", 0))
+                for p in progress
+            )
+        finally:
+            query.stop()
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        out.stream_input_rows = input_rows
+        if proc_ms > 0:
+            out.stream_processing_secs = proc_ms / 1000.0
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
 
 def q_streaming_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fit-drift monitor AS A STREAM: fresh documents (with 'en'
@@ -2006,6 +2069,12 @@ QUERIES: dict[str, QuerySpec] = {
         _ORA_INGEST_ADMISSION,
         "foreachBatch admission funnel: exact-hash -> containment -> "
         "quality gates per micro-batch vs the maintained indexes",
+    ),
+    "streaming_ingest_admission_day2": QuerySpec(
+        q_streaming_ingest_admission_day2,
+        _ora_day2(),
+        "foreachBatch day-2 funnel vs the MERGED base+extension indexes: "
+        "yesterday's admissions gate today's micro-batches",
     ),
     "streaming_quality_drift": QuerySpec(
         q_streaming_quality_drift,
