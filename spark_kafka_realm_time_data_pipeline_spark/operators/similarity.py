@@ -591,3 +591,68 @@ def pq_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
             "query_id", F.col("vec_id").alias("neighbor_id"), "rank", "adist_q"
         )
     )
+
+
+def merge_admitted_into_ivf(
+    spark,
+    index_path: str,
+    delta: DataFrame,
+    admitted_ids: DataFrame,
+    extension_path: str,
+) -> DataFrame:
+    """The MERGE-shaped maintenance twin of the vector ingest gate — the
+    similarity analog of ``ingest.merge_admitted_into_indexes``: ASSIGN
+    each admitted delta vector to its nearest centroid (argmax cosine,
+    ties to the lower cluster id — the exact rank-1 rule the probe path
+    uses) and append the (vec_id, embedding, cluster) rows to the staged
+    IVF index's cluster-partitioned vector table, so tomorrow's batches
+    retrieve — and deduplicate against — today's admissions.
+
+    The CENTROIDS are deliberately NOT recomputed per batch: a centroid
+    is a corpus-wide mean, so appending a batch moves every coordinate —
+    its refresh is the periodic REBUILD/re-train job
+    (``stage_ivf_index``, with the ``n_lists`` growth rule), exactly the
+    rebuild-not-append split the containment index's df statistics use.
+    Between rebuilds the appended vectors live in the *fixed* quantizer's
+    cells — the standard IVF insert path (new vectors never move
+    existing cells, recall drifts slowly as the corpus outgrows the
+    quantizer, and the rebuild cadence bounds that drift).
+
+    Emits one row per cluster: (cluster, rows_before, rows_appended,
+    rows_after), with rows_appended counted by READING THE WRITTEN FILES
+    BACK.  All work is delta-sized: the centroid table broadcasts onto
+    the admitted batch, and the base vector table contributes only
+    per-cluster footer counts."""
+    from pyspark.sql import Window
+
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    adm = delta.join(F.broadcast(admitted_ids), "vec_id", "left_semi")
+    qc = adm.crossJoin(F.broadcast(cent)).withColumn(
+        "c_cos", cosine("embedding", "centroid")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "cluster")
+    assigned = (
+        qc.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "cluster")
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{extension_path}/vecs"
+    )
+    before = (
+        spark.read.parquet(f"{index_path}/vecs")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("rows_before"))
+    )
+    appended = (
+        spark.read.parquet(f"{extension_path}/vecs")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("rows_appended"))
+    )
+    rows_appended = F.coalesce("rows_appended", F.lit(0))
+    return before.join(appended, "cluster", "left").select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("rows_before").cast("long").alias("rows_before"),
+        rows_appended.cast("long").alias("rows_appended"),
+        (F.col("rows_before") + rows_appended).cast("long").alias("rows_after"),
+    )

@@ -47,7 +47,7 @@ def registry() -> dict[str, QuerySpec]:
     # Round-18 rotation (the driver checks the first ~50).  Composition is
     # MECHANICAL — `tools/proof_ledger.py queue 50` at the r18 tree (stale
     # first, then oldest-proof-first fill); executes VERDICT r17 item 1:
-    # (a) positions 0-2: the NEW r18 queries — ingest_admission_day2
+    # (a) positions 0-5: the NEW r18 queries — ingest_admission_day2
     #     (day-2 batch gated against the MERGED base ∪ extension indexes:
     #     exact copies and appended-tail near-copies of day-1 ADMITTED
     #     docs rejected through the extension rows; two-day full-replay
@@ -56,19 +56,26 @@ def registry() -> dict[str, QuerySpec]:
     #     over-appended fixture — VERDICT r17 item 3), plus the
     #     foreachBatch day-2 twin streaming_ingest_admission_day2
     #     (added mid-round; displaced length_drift_report from the r13
-    #     fill tail per the displacement rule);
-    # (b) positions 3-5: the fit trio — stale again: the streaming drift
+    #     fill tail per the displacement rule), and the VECTOR-side
+    #     merge/day-2 trio — sim_index_merge (assign admitted vectors to
+    #     their nearest centroid, append to the cluster-partitioned
+    #     table; centroids refresh by rebuild/re-train), sim_topk_day2
+    #     (the merged-index probe: copies of day-1 admitted vectors flag
+    #     at cosine ~1.0 only through the appended rows) and its
+    #     foreachBatch twin streaming_sim_topk_day2 — displacing
+    #     filtered_revenue, funnel_stages, hll_registers from the tail;
+    # (b) positions 6-8: the fit trio — stale again: the streaming drift
     #     twin became SPLIT-SAFE (per-batch sufficient statistics
     #     accumulated and solved once — VERDICT r17 item 6), which
     #     refactored quality_linear_fit into its mergeable halves;
-    # (c) positions 6-8: the three rows-only-by-design names (r0 in the
+    # (c) positions 9-11: the three rows-only-by-design names (r0 in the
     #     ledger — they can never carry a hash proof; the queue emits
     #     them with the oldest tier and the driver re-records their
     #     rows-only checks);
-    # (d) positions 9-40: 32 of the 47 remaining r11-proven names
+    # (d) positions 12-43: 32 of the 47 remaining r11-proven names
     #     (alphabetical; map_entries_explode + map_in_arrow head them —
     #     the two displaced from the r17 tail);
-    # (e) positions 41-49: the r13-proven head minus the displaced tail the r13-proven head (alphabetical).
+    # (e) positions 44-49: the r13-proven head minus the displaced tail the r13-proven head (alphabetical).
     front = [
         n
         for n in (
@@ -76,6 +83,9 @@ def registry() -> dict[str, QuerySpec]:
             "ingest_admission_day2",
             "ingest_index_compaction",
             "streaming_ingest_admission_day2",
+            "sim_index_merge",
+            "sim_topk_day2",
+            "streaming_sim_topk_day2",
             # (b) fit trio: split-safe streaming drift refactor
             "quality_linear_fit",
             "quality_fit_drift",
@@ -124,9 +134,6 @@ def registry() -> dict[str, QuerySpec]:
             "countmin_sketch",
             "dedup_editdistance",
             "dedup_passages",
-            "filtered_revenue",
-            "funnel_stages",
-            "hll_registers",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -1770,6 +1770,258 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def _ann_merge_delta(emb: DataFrame) -> DataFrame:
+    """The day-1 vector ingest batch for the IVF MERGE story — the range
+    gate's two arms verbatim: exact copies of every 11th corpus vector
+    (re-keyed +2000000 — rejected as dups, never merged) plus the
+    +0.25-shifted noise arm (_ann_delta, re-keyed +1000000 — admitted).
+    Replayed verbatim in SQL by the merge/day-2 oracles."""
+    near = emb.filter(
+        (F.col("vec_id") % 11 == 5) & (F.col("vec_id") < 3300)
+    ).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return near.unionByName(_ann_delta(emb))
+
+
+def q_sim_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-shaped maintenance job for the VECTOR index — the
+    similarity analog of ingest_index_merge, completing the ingest story
+    across both modalities: the day-1 vector batch flows through the
+    near-dup gate (staged-IVF k=1 probe, cosine >= 0.99 rejects), and
+    the ADMITTED vectors are assigned to their nearest centroid and
+    appended to the cluster-partitioned vector table
+    (operators/similarity.merge_admitted_into_ivf) — so tomorrow's
+    batches retrieve and deduplicate against today's admissions.
+    Centroids refresh by periodic rebuild/re-train (the n_lists growth
+    rule), not append — the rebuild-not-append split the containment
+    index's df statistics use.  Emits (cluster, rows_before,
+    rows_appended, rows_after) with read-back counts."""
+    import os
+    import shutil
+    import tempfile
+
+    delta = _ann_merge_delta(load_table(spark, sf_dir, "embeddings"))
+    idx = staged_ivf_index(spark, sf_dir)
+    top1 = S.ann_vs_base_batch(spark, idx, delta, k=1)
+    admitted = top1.filter(F.col("cosine") < 0.99).select(
+        F.col("query_id").alias("vec_id")
+    )
+    ext = tempfile.mkdtemp(
+        prefix="ivf_idx_ext_",
+        dir=os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+    )
+    try:
+        # checkpoint before reclaiming: the report reads the written files
+        return S.merge_admitted_into_ivf(
+            spark, idx, delta, admitted, ext
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ext, ignore_errors=True)
+
+
+def staged_merged_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per corpus fingerprint) the MERGED day-2 vector index:
+    the day-1 staged IVF index PLUS the admitted day-1 vectors assigned
+    into its cells — the base ∪ extension surface sim_topk_day2 probes.
+    The extension rows come from the SAME merge_admitted_into_ivf code
+    path the registered merge query runs; centroids are copied verbatim
+    (rebuild-not-append), and the vector table is written as ONE
+    base-∪-extension cluster-partitioned table, LAST, so its _SUCCESS
+    marker doubles as the completeness flag.  The union write upcasts
+    the base float vectors to double (the delta side is double); the
+    cosine math casts to double either way, so values are unchanged."""
+    import os
+    import shutil
+    import tempfile
+
+    def build(idx: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        delta1 = _ann_merge_delta(emb)
+        bidx = staged_ivf_index(spark, sf_dir)
+        top1 = S.ann_vs_base_batch(spark, bidx, delta1, k=1)
+        admitted = top1.filter(F.col("cosine") < 0.99).select(
+            F.col("query_id").alias("vec_id")
+        )
+        ext = tempfile.mkdtemp(
+            prefix="merged_ivf_ext_",
+            dir=os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir()),
+        )
+        try:
+            S.merge_admitted_into_ivf(spark, bidx, delta1, admitted, ext)
+            spark.read.parquet(f"{bidx}/centroids").write.mode(
+                "overwrite"
+            ).parquet(f"{idx}/centroids")
+            spark.read.parquet(f"{bidx}/vecs").unionByName(
+                spark.read.parquet(f"{ext}/vecs")
+            ).write.mode("overwrite").partitionBy("cluster").parquet(
+                f"{idx}/vecs"
+            )
+        finally:
+            shutil.rmtree(ext, ignore_errors=True)
+
+    # key the n_lists growth rule into the path exactly like
+    # staged_ivf_index: a rule change must restage the MERGED index too
+    # (the corpus-fingerprint key alone would serve a stale layout)
+    n_lists = _ivf_grown_n_lists(sf_dir)
+    prefix = "merged_ivf_idx" if n_lists is None else f"merged_ivf_idx_k{n_lists}"
+    return _staged_index(spark, sf_dir, "embeddings", prefix, "vecs", build)
+
+
+def _ann_delta2(emb: DataFrame) -> DataFrame:
+    """The DAY-2 vector batch, defined with no reference to the day-1
+    outcome: the day-1 noise arm's vectors VERBATIM (same +0.25
+    transform, re-keyed +3000000) — twins of day-1 ADMITTED vectors are
+    caught at cosine ~1.0 ONLY through the merged index's appended rows
+    — plus a +0.5-shifted control arm (every 13th vector, re-keyed
+    +4000000) that is a dup on neither day.  Replayed verbatim in SQL."""
+    rep = emb.filter((F.col("vec_id") % 7 == 3) & (F.col("vec_id") < 3500)).select(
+        (F.col("vec_id") + 3000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.25).alias(
+            "embedding"
+        ),
+    )
+    ctl = emb.filter((F.col("vec_id") % 13 == 4) & (F.col("vec_id") < 3900)).select(
+        (F.col("vec_id") + 4000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.5).alias(
+            "embedding"
+        ),
+    )
+    return rep.unionByName(ctl)
+
+
+def q_sim_topk_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY 2 of the vector ingest story — the semantics the IVF merge
+    exists to provide: the second day's batch probes the MERGED (base ∪
+    day-1 extension) vector index, so exact copies of vectors ADMITTED
+    yesterday are flagged as dups (cosine ~1.0 against the appended row)
+    even though they match nothing in the base corpus, while the
+    +0.5-shifted control arm stays admitted.  Centroids are the base
+    quantizer (rebuild-not-append).  The oracle replays BOTH days: the
+    day-1 gate + assignment CTEs define the merged vector table, and the
+    day-2 probe runs over it.  The flip is pinned by
+    test_similarity.test_ivf_day2_flips_without_merge."""
+    delta2 = _ann_delta2(load_table(spark, sf_dir, "embeddings"))
+    midx = staged_merged_ivf_index(spark, sf_dir)
+    top1 = S.ann_vs_base_batch(spark, midx, delta2, k=1)
+    return top1.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        (F.col("cosine") >= 0.99).alias("is_dup"),
+    )
+
+
+def _ora_ivf_day1_admitted(dim: int = 64, n_probe: int = 3) -> str:
+    """The day-1 vector gate + assignment CTE chain (q -> probes ->
+    top1 -> admitted -> assign), shared by the merge report oracle and
+    the day-2 probe oracle."""
+    return f"""{_ora_ivf_cent(dim)},
+q AS MATERIALIZED (
+  SELECT vec_id + 2000000 AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
+  FROM embeddings WHERE vec_id % 11 = 5 AND vec_id < 3300
+  UNION ALL
+  SELECT vec_id + 1000000 AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.25) AS q_vec
+  FROM embeddings WHERE vec_id % 7 = 3 AND vec_id < 3500
+),
+qc AS (
+  SELECT q.query_id, q.q_vec, c.cluster,
+         {_ora_cosine('q.q_vec', 'c.centroid')} AS c_cos
+  FROM q CROSS JOIN centroids c
+),
+probes AS (
+  SELECT query_id, q_vec, cluster FROM (
+    SELECT query_id, q_vec, cluster,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cluster) AS crank
+    FROM qc
+  ) t WHERE crank <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_ora_cosine('p.q_vec', 'e.embedding')} AS cosine
+  FROM embeddings e JOIN probes p ON e.label = p.cluster
+  WHERE e.vec_id <> p.query_id
+),
+top1 AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+  ) t WHERE rank <= 1
+),
+admitted AS MATERIALIZED (
+  SELECT q.query_id, q.q_vec FROM q
+  WHERE q.query_id NOT IN (SELECT query_id FROM top1 WHERE cosine >= 0.99)
+),
+assign AS MATERIALIZED (
+  SELECT query_id, q_vec, cluster FROM (
+    SELECT a.query_id, a.q_vec, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY a.query_id
+                              ORDER BY {_ora_cosine('a.q_vec', 'c.centroid')} DESC, c.cluster) AS r
+    FROM admitted a CROSS JOIN centroids c
+  ) t WHERE r = 1
+)"""
+
+
+ORA_SIM_INDEX_MERGE = f"""
+WITH {_ora_ivf_day1_admitted()},
+before AS (SELECT label AS cluster, COUNT(*) AS rows_before FROM embeddings GROUP BY 1),
+app AS (SELECT cluster, COUNT(*) AS rows_appended FROM assign GROUP BY 1)
+SELECT CAST(b.cluster AS BIGINT) AS cluster,
+       CAST(rows_before AS BIGINT) AS rows_before,
+       CAST(COALESCE(rows_appended, 0) AS BIGINT) AS rows_appended,
+       CAST(rows_before + COALESCE(rows_appended, 0) AS BIGINT) AS rows_after
+FROM before b LEFT JOIN app USING (cluster)
+"""
+
+
+ORA_SIM_TOPK_DAY2 = f"""
+WITH {_ora_ivf_day1_admitted()},
+mvecs AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
+         label AS cluster
+  FROM embeddings
+  UNION ALL
+  SELECT query_id AS vec_id, q_vec AS embedding, cluster FROM assign
+),
+q2 AS (
+  SELECT vec_id + 3000000 AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.25) AS q_vec
+  FROM embeddings WHERE vec_id % 7 = 3 AND vec_id < 3500
+  UNION ALL
+  SELECT vec_id + 4000000 AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.5) AS q_vec
+  FROM embeddings WHERE vec_id % 13 = 4 AND vec_id < 3900
+),
+qc2 AS (
+  SELECT q.query_id, q.q_vec, c.cluster,
+         {_ora_cosine('q.q_vec', 'c.centroid')} AS c_cos
+  FROM q2 q CROSS JOIN centroids c
+),
+probes2 AS (
+  SELECT query_id, q_vec, cluster FROM (
+    SELECT query_id, q_vec, cluster,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cluster) AS crank
+    FROM qc2
+  ) t WHERE crank <= 3
+),
+scored2 AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_ora_cosine('p.q_vec', 'e.embedding')} AS cosine
+  FROM mvecs e JOIN probes2 p ON e.cluster = p.cluster
+  WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, cosine >= 0.99 AS is_dup FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored2
+) t WHERE rank <= 1
+"""
+
+
 def _ora_sim_recall() -> str:
     return f"""
 WITH bf AS (SELECT query_id, neighbor_id FROM ({ORA_SIM_BRUTEFORCE}) b),
@@ -3727,6 +3979,18 @@ QUERIES: dict[str, QuerySpec] = {
         q_sim_incremental_range,
         _ora_sim_incremental_range(),
         "embedding near-dup ingest gate: k=1 staged-IVF probe + cosine>=0.99 flag",
+    ),
+    "sim_index_merge": QuerySpec(
+        q_sim_index_merge,
+        ORA_SIM_INDEX_MERGE,
+        "vector-index MERGE: gate the batch, assign admitted vectors to "
+        "their nearest centroid, append to the cluster-partitioned table",
+    ),
+    "sim_topk_day2": QuerySpec(
+        q_sim_topk_day2,
+        ORA_SIM_TOPK_DAY2,
+        "day-2 vector probe vs the MERGED base+extension IVF index: "
+        "copies of day-1 admitted vectors flagged; two-day replay oracle",
     ),
     "ann_pq_codes": QuerySpec(
         q_ann_pq_codes,

@@ -1285,6 +1285,66 @@ def q_streaming_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .llm import _ora_sim_incremental as _ora_sim_incremental_streaming  # noqa: E402
 
 
+def q_streaming_sim_topk_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-2 vector dedup AS A STREAM — the similarity twin of
+    streaming_ingest_admission_day2: the second day's vector batch
+    (verbatim replays of the day-1 noise arm + a +0.5-shifted control
+    arm) arrives as micro-batches, and each trigger probes the MERGED
+    (base ∪ day-1 admitted extension) IVF index inside foreachBatch —
+    copies of yesterday's admissions flag at cosine ~1.0 through the
+    appended cluster-partition rows, the control arm never flags.  The
+    merged index is staged once, before the stream starts (the
+    merge-after-close / serve-today's-triggers cadence), and the
+    per-row k=1 probe is split-safe, so the result is value-identical
+    to the batch twin (sim_topk_day2) — the oracle IS that query's
+    two-day replay SQL."""
+    import shutil
+
+    from ..operators import similarity as S
+    from ..streaming.sinks import foreach_batch_sink
+    from .llm import _ann_delta2, staged_merged_ivf_index
+
+    delta2 = _ann_delta2(stream_table(spark, sf_dir, "embeddings"))
+    midx = staged_merged_ivf_index(spark, sf_dir)
+    out_dir = _scratch_dir("stream_sim_day2_")
+
+    def match_batch(batch_df: DataFrame, batch_id: int) -> None:
+        top1 = S.ann_vs_base_batch(spark, midx, batch_df, k=1)
+        top1.select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            (F.col("cosine") >= 0.99).alias("is_dup"),
+        ).repartition(1).write.mode("append").parquet(out_dir)
+
+    try:
+        query = foreach_batch_sink(delta2, match_batch, output_mode="append")
+        try:
+            if not query.awaitTermination(300):
+                raise TimeoutError(
+                    "day-2 ANN stream replay did not finish in 300s"
+                )
+            progress = [p for p in (query.recentProgress or []) if p]
+            input_rows = sum(int(p["numInputRows"]) for p in progress)
+            proc_ms = sum(
+                int(p.get("durationMs", {}).get("triggerExecution", 0))
+                for p in progress
+            )
+        finally:
+            query.stop()
+        out = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+        out.stream_input_rows = input_rows
+        if proc_ms > 0:
+            out.stream_processing_secs = proc_ms / 1000.0
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# shares sim_topk_day2's two-day replay oracle verbatim
+from .llm import ORA_SIM_TOPK_DAY2 as _ORA_SIM_TOPK_DAY2  # noqa: E402
+
+
 def q_streaming_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingest-admission funnel AS A STREAM — the deployment shape of
     the whole dedup/quality tier: incoming documents (exact copies +
@@ -2063,6 +2123,12 @@ QUERIES: dict[str, QuerySpec] = {
         _ora_sim_incremental_streaming(),
         "foreachBatch ANN ingest gate: stream micro-batches vs the "
         "staged cluster-partitioned IVF index (DPP probe)",
+    ),
+    "streaming_sim_topk_day2": QuerySpec(
+        q_streaming_sim_topk_day2,
+        _ORA_SIM_TOPK_DAY2,
+        "foreachBatch day-2 vector dedup vs the MERGED base+extension "
+        "IVF index: yesterday's admissions flag today's copies",
     ),
     "streaming_ingest_admission": QuerySpec(
         q_streaming_ingest_admission,

@@ -41,6 +41,8 @@ ALLOWED_BNLJ = {
     "sim_bruteforce_topk",
     "sim_incremental_range",  # delta x broadcast(centroids): n_clusters rows
     "sim_incremental_topk",  # delta x broadcast(centroids): n_clusters rows
+    "sim_index_merge",  # gate probe + assignment: both broadcast(centroids)
+    "sim_topk_day2",  # merged-index probe: delta x broadcast(centroids)
     "sim_ivf_topk",
     "sim_recall_report",
     "tfidf_top_terms",

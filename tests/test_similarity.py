@@ -217,3 +217,59 @@ def test_ivf_growth_rule_thresholds(tmp_path):
     )
     grown = _ivf_grown_n_lists(str(tmp_path))
     assert grown == math.isqrt(20000) // 4 == 35
+
+
+def test_ivf_day2_flips_without_merge(spark, emb, tmp_path):
+    """r18: day-2 semantics of the vector-index merge.  A novel vector is
+    admitted on day 1 (no base neighbor at cosine >= 0.99) and merged
+    into the staged IVF index; a day-2 exact copy of it is flagged as a
+    dup against the MERGED index (cosine ~1.0 via the appended row) and
+    NOT flagged against the un-merged base index — the rejection is
+    caused by the merge.  The merge report's read-back arithmetic and
+    centroid-assignment invariant are checked on the way."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.similarity import (
+        ann_vs_base_batch,
+        merge_admitted_into_ivf,
+        stage_ivf_index,
+    )
+
+    bidx = str(tmp_path / "ivf")
+    stage_ivf_index(emb, bidx)
+
+    # day-1 batch: one +0.25-shifted novel vector (admitted)
+    delta1 = emb.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.25).alias(
+            "embedding"
+        ),
+    )
+    top1 = ann_vs_base_batch(spark, bidx, delta1, k=1)
+    assert top1.collect()[0].cosine < 0.99
+    admitted = spark.createDataFrame([(1000003,)], "vec_id long")
+    ext = str(tmp_path / "ext")
+    report = {
+        r.cluster: r
+        for r in merge_admitted_into_ivf(
+            spark, bidx, delta1, admitted, ext
+        ).collect()
+    }
+    assert sum(r.rows_appended for r in report.values()) == 1
+    for r in report.values():
+        assert r.rows_after == r.rows_before + r.rows_appended
+
+    # merged = base ∪ extension vecs; centroids verbatim
+    midx = str(tmp_path / "midx")
+    spark.read.parquet(f"{bidx}/centroids").write.parquet(f"{midx}/centroids")
+    spark.read.parquet(f"{bidx}/vecs").unionByName(
+        spark.read.parquet(f"{ext}/vecs")
+    ).write.partitionBy("cluster").parquet(f"{midx}/vecs")
+
+    # day-2: an exact copy of the admitted vector
+    delta2 = delta1.select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+    )
+    merged_hit = ann_vs_base_batch(spark, midx, delta2, k=1).collect()[0]
+    assert merged_hit.neighbor_id == 1000003 and merged_hit.cosine >= 0.99
+
+    unmerged_hit = ann_vs_base_batch(spark, bidx, delta2, k=1).collect()[0]
+    assert unmerged_hit.cosine < 0.99

@@ -154,25 +154,38 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
         from pyspark.sql.classic.dataframe import DataFrame as _DF
     except ImportError:  # pre-4.0 layout
         from pyspark.sql import DataFrame as _DF
+    from pyspark.sql.readwriter import DataFrameWriter as _DFW
 
     captured: list[str] = []
     orig_lcp = _DF.localCheckpoint
+    orig_parquet = _DFW.parquet
 
     def capturing_lcp(self, *args, **kwargs):
         captured.append(self._jdf.queryExecution().executedPlan().toString())
         return orig_lcp(self, *args, **kwargs)
 
+    def capturing_parquet(self, *args, **kwargs):
+        # write-path jobs are where merge/maintenance queries do their real
+        # probe/assignment work — capture the written frame's plan too
+        captured.append(
+            self._df._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig_parquet(self, *args, **kwargs)
+
     _DF.localCheckpoint = capturing_lcp
+    _DFW.parquet = capturing_parquet
     try:
         df = fn(spark, sf_dir)
         if captured:
-            # barrier query: the first build may include one-time index
-            # staging (fingerprint-keyed, cached on scratch) — rebuild so
-            # the captured stage plans are the steady per-batch work only
+            # barrier/write query: the first build may include one-time
+            # index staging (fingerprint-keyed, cached on scratch) —
+            # rebuild so the captured stage plans are the steady per-batch
+            # work only
             captured.clear()
             df = fn(spark, sf_dir)
     finally:
         _DF.localCheckpoint = orig_lcp
+        _DFW.parquet = orig_parquet
     plan = df._jdf.queryExecution().executedPlan().toString()
     counts = _plan_counts(plan)
     flags = set(_plan_flags(plan, counts))
