@@ -250,6 +250,14 @@ HEADLINE += [
     # same machinery the dedup build lines already bench.
     "ingest_admission_day2",
     "streaming_ingest_admission_day2",
+    # the vector-side merge/day-2 trio (5.8 / 3.6 / 4.8 s at sf0.1 —
+    # measured for BENCH_sf1; added AFTER the r18 3-run medians were
+    # recorded, so BENCH_R18_MEDIANS lacks them and r19 reads them as
+    # new lines with fresh baselines)
+    "sim_index_merge",
+    "sim_topk_day2",
+    "streaming_sim_topk_day2",
+    "sim_centroid_drift",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The

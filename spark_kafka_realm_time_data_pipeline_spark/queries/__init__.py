@@ -47,7 +47,7 @@ def registry() -> dict[str, QuerySpec]:
     # Round-18 rotation (the driver checks the first ~50).  Composition is
     # MECHANICAL — `tools/proof_ledger.py queue 50` at the r18 tree (stale
     # first, then oldest-proof-first fill); executes VERDICT r17 item 1:
-    # (a) positions 0-5: the NEW r18 queries — ingest_admission_day2
+    # (a) positions 0-6: the NEW r18 queries — ingest_admission_day2
     #     (day-2 batch gated against the MERGED base ∪ extension indexes:
     #     exact copies and appended-tail near-copies of day-1 ADMITTED
     #     docs rejected through the extension rows; two-day full-replay
@@ -63,19 +63,22 @@ def registry() -> dict[str, QuerySpec]:
     #     (the merged-index probe: copies of day-1 admitted vectors flag
     #     at cosine ~1.0 only through the appended rows) and its
     #     foreachBatch twin streaming_sim_topk_day2 — displacing
-    #     filtered_revenue, funnel_stages, hll_registers from the tail;
-    # (b) positions 6-8: the fit trio — stale again: the streaming drift
+    #     filtered_revenue, funnel_stages, hll_registers from the tail,
+    #     and sim_centroid_drift (the IVF rebuild monitor: per-cluster
+    #     centroid drift of the merged table vs the staged quantizer —
+    #     displacing dedup_passages);
+    # (b) positions 7-9: the fit trio — stale again: the streaming drift
     #     twin became SPLIT-SAFE (per-batch sufficient statistics
     #     accumulated and solved once — VERDICT r17 item 6), which
     #     refactored quality_linear_fit into its mergeable halves;
-    # (c) positions 9-11: the three rows-only-by-design names (r0 in the
+    # (c) positions 10-12: the three rows-only-by-design names (r0 in the
     #     ledger — they can never carry a hash proof; the queue emits
     #     them with the oldest tier and the driver re-records their
     #     rows-only checks);
-    # (d) positions 12-43: 32 of the 47 remaining r11-proven names
+    # (d) positions 13-44: 32 of the 47 remaining r11-proven names
     #     (alphabetical; map_entries_explode + map_in_arrow head them —
     #     the two displaced from the r17 tail);
-    # (e) positions 44-49: the r13-proven head minus the displaced tail the r13-proven head (alphabetical).
+    # (e) positions 45-49: the r13-proven head minus the displaced tail the r13-proven head (alphabetical).
     front = [
         n
         for n in (
@@ -86,6 +89,7 @@ def registry() -> dict[str, QuerySpec]:
             "sim_index_merge",
             "sim_topk_day2",
             "streaming_sim_topk_day2",
+            "sim_centroid_drift",
             # (b) fit trio: split-safe streaming drift refactor
             "quality_linear_fit",
             "quality_fit_drift",
@@ -133,7 +137,6 @@ def registry() -> dict[str, QuerySpec]:
             "contamination_overlap",
             "countmin_sketch",
             "dedup_editdistance",
-            "dedup_passages",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

@@ -1978,15 +1978,20 @@ FROM before b LEFT JOIN app USING (cluster)
 """
 
 
-ORA_SIM_TOPK_DAY2 = f"""
-WITH {_ora_ivf_day1_admitted()},
-mvecs AS MATERIALIZED (
+# the MERGED vector table (base upcast to double ∪ admitted assigned rows),
+# shared by the day-2 probe oracle and the centroid-drift oracle
+_ORA_MVECS = """mvecs AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding,
          label AS cluster
   FROM embeddings
   UNION ALL
   SELECT query_id AS vec_id, q_vec AS embedding, cluster FROM assign
-),
+)"""
+
+
+ORA_SIM_TOPK_DAY2 = f"""
+WITH {_ora_ivf_day1_admitted()},
+{_ORA_MVECS},
 q2 AS (
   SELECT vec_id + 3000000 AS query_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.25) AS q_vec
@@ -2019,6 +2024,74 @@ SELECT query_id, neighbor_id, cosine, cosine >= 0.99 AS is_dup FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored2
 ) t WHERE rank <= 1
+"""
+
+
+def q_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitor that SCHEDULES the IVF rebuild — the vector analog of
+    quality_fit_drift: after the day-1 merge, recompute each cluster's
+    centroid over the MERGED vector table (the rebuild candidate) and
+    compare against the staged base quantizer, reporting per cluster
+    (n_base, n_added, centroid_cos, drifted).  The merge deliberately
+    leaves centroids fixed (rebuild-not-append); this query quantifies
+    exactly how far the fixed quantizer has drifted from the corpus it
+    now serves — the signal a deployment thresholds to trigger
+    stage_ivf_index's periodic re-train instead of rebuilding on a
+    blind cadence.  Untouched clusters recompute to the same fold
+    (cosine ~1.0); clusters that absorbed admissions drift.  Both
+    centroid folds are the deterministic vec_id-ordered double folds,
+    so the cosine — and the thresholded boolean — are hash-exact."""
+    bidx = staged_ivf_index(spark, sf_dir)
+    midx = staged_merged_ivf_index(spark, sf_dir)
+    base_cent = spark.read.parquet(f"{bidx}/centroids").select(
+        "cluster", F.col("centroid").alias("old_c")
+    )
+    mv = spark.read.parquet(f"{midx}/vecs")
+    new_cent = S.ivf_centroids(mv, "cluster").select(
+        "cluster", F.col("centroid").alias("new_c")
+    )
+    counts = mv.groupBy("cluster").agg(
+        F.sum(F.when(F.col("vec_id") < 1000000, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("vec_id") >= 1000000, 1).otherwise(0)).alias("n_added"),
+    )
+    cos = S.cosine("old_c", "new_c")
+    return (
+        base_cent.join(new_cent, "cluster")
+        .join(counts, "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_added").cast("long").alias("n_added"),
+            cos.alias("centroid_cos"),
+            (cos < 0.9999).alias("drifted"),
+        )
+    )
+
+
+ORA_SIM_CENTROID_DRIFT = f"""
+WITH {_ora_ivf_day1_admitted()},
+{_ORA_MVECS},
+newcent_d AS (
+  SELECT cluster, i AS pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id)),
+           (acc, x) -> acc + x) / COUNT(*) AS cval
+  FROM mvecs CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+  GROUP BY cluster, i
+),
+newcent AS (SELECT cluster, list(cval ORDER BY pos) AS new_c FROM newcent_d GROUP BY cluster),
+counts AS (
+  SELECT cluster,
+         SUM(CASE WHEN vec_id < 1000000 THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN vec_id >= 1000000 THEN 1 ELSE 0 END) AS n_added
+  FROM mvecs GROUP BY cluster
+)
+SELECT CAST(c.cluster AS BIGINT) AS cluster,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_added AS BIGINT) AS n_added,
+       {_ora_cosine('o.centroid', 'n.new_c')} AS centroid_cos,
+       {_ora_cosine('o.centroid', 'n.new_c')} < 0.9999 AS drifted
+FROM centroids o JOIN newcent n USING (cluster) JOIN counts c USING (cluster)
 """
 
 
@@ -3985,6 +4058,12 @@ QUERIES: dict[str, QuerySpec] = {
         ORA_SIM_INDEX_MERGE,
         "vector-index MERGE: gate the batch, assign admitted vectors to "
         "their nearest centroid, append to the cluster-partitioned table",
+    ),
+    "sim_centroid_drift": QuerySpec(
+        q_sim_centroid_drift,
+        ORA_SIM_CENTROID_DRIFT,
+        "IVF rebuild monitor: per-cluster centroid drift of the merged "
+        "table vs the staged quantizer (n_added, cosine, threshold)",
     ),
     "sim_topk_day2": QuerySpec(
         q_sim_topk_day2,

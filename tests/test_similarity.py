@@ -273,3 +273,44 @@ def test_ivf_day2_flips_without_merge(spark, emb, tmp_path):
 
     unmerged_hit = ann_vs_base_batch(spark, bidx, delta2, k=1).collect()[0]
     assert unmerged_hit.cosine < 0.99
+
+
+def test_centroid_drift_only_on_touched_clusters(spark, emb):
+    """r18: the IVF rebuild monitor's defining invariant — a cluster that
+    absorbed no admissions recomputes to the same centroid fold
+    (cosine ~1.0 within float ulps, not drifted); a cluster that
+    absorbed admissions reports the drift.  Uses the registered query's
+    own machinery over a controlled merge: one far-off vector assigned
+    to its nearest cluster."""
+    from spark_kafka_realm_time_data_pipeline_spark.operators.similarity import (
+        cosine,
+        ivf_centroids,
+    )
+
+    base = emb.select("vec_id", "embedding", F.col("label").alias("cluster"))
+    # one admitted vector: a +2.0-shifted copy of vec 0 (drastic drift)
+    add = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 2.0).alias(
+            "embedding"
+        ),
+        F.col("label").alias("cluster"),  # pin to its source cluster
+    )
+    touched = add.collect()[0].cluster
+    merged = base.unionByName(add)
+    old_c = ivf_centroids(base, "cluster").select(
+        "cluster", F.col("centroid").alias("old_c")
+    )
+    new_c = ivf_centroids(merged, "cluster").select(
+        "cluster", F.col("centroid").alias("new_c")
+    )
+    rows = {
+        r.cluster: r.cos
+        for r in old_c.join(new_c, "cluster")
+        .select("cluster", cosine("old_c", "new_c").alias("cos"))
+        .collect()
+    }
+    assert rows[touched] < 0.9999, rows[touched]
+    for cl, cos in rows.items():
+        if cl != touched:
+            assert abs(cos - 1.0) < 1e-9, (cl, cos)
