@@ -339,6 +339,61 @@ def main() -> None:
     else:
         names = list(HEADLINE)
 
+    # Trigger-cycle counts per streaming bench line (VERDICT r18 item 7):
+    # streaming_stateful_count / streaming_chained_windows bounce ~2x on
+    # frozen code when availableNow happens to run ONE extra trigger-poll
+    # micro-batch (~1 s quantum) — indistinguishable from a regression in
+    # the wall-time artifact alone.  A session-wide StreamingQueryListener
+    # counts onQueryProgress events; per-line per-repeat deltas land in the
+    # detail so the movers note can separate one-more-poll from real
+    # slowdowns.  Listener registration lives HERE, not in query code, so
+    # no query closure changes (the freshness gate stays quiet).
+    cycle_listener = None
+    try:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _CycleListener(StreamingQueryListener):
+            def __init__(self) -> None:
+                self.progress_events = 0
+
+            def onQueryStarted(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event) -> None:  # noqa: N802
+                self.progress_events += 1
+
+            def onQueryIdle(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event) -> None:  # noqa: N802
+                pass
+
+        cycle_listener = _CycleListener()
+        spark.streams.addListener(cycle_listener)
+    except Exception as exc:  # noqa: BLE001 — diagnostics must not kill bench
+        print(f"trigger-cycle listener unavailable: {exc!r}", file=sys.stderr)
+
+    def drain_cycles(prev: int, max_wait: float = 1.0) -> int:
+        """Listener events are delivered on a background thread; after the
+        last repeat of a streaming line, wait (briefly) until the count
+        stops moving so the final repeat's cycles aren't attributed to the
+        next line.  Mid-line lag only shifts a cycle between REPEAT buckets
+        of the same line — the per-line sum stays right."""
+        if cycle_listener is None:
+            return prev
+        deadline = time.time() + max_wait
+        stable_since = time.time()
+        last = cycle_listener.progress_events
+        while time.time() < deadline:
+            time.sleep(0.05)
+            now = cycle_listener.progress_events
+            if now != last:
+                last, stable_since = now, time.time()
+            elif time.time() - stable_since >= 0.15:
+                break
+        return last
+
+    trigger_cycles: dict[str, list[int]] = {}
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     rows_per_sec: dict[str, float] = {}
@@ -377,6 +432,10 @@ def main() -> None:
         if rows_per_sec:
             out["streaming_rows_per_sec"] = rows_per_sec
             out["streaming_rows_per_sec_denominator"] = rows_per_sec_denom
+        if trigger_cycles:
+            # per-repeat micro-batch counts per streaming line — the
+            # one-more-availableNow-poll discriminator for movers notes
+            out["streaming_trigger_cycles"] = trigger_cycles
         if errors:
             out["errors"] = errors
         if partial:
@@ -431,17 +490,30 @@ def main() -> None:
         n_runs = 1 if time.time() - wall0 > budget else runs
         if n_runs < runs:
             degraded.append(name)
+        count_cycles = name.startswith("streaming_") and cycle_listener is not None
+        cycles: list[int] = []
+        line_start = cycle_listener.progress_events if count_cycles else 0
         try:
             for _ in range(n_runs):
+                snap = cycle_listener.progress_events if count_cycles else 0
                 t0 = time.time()
                 last_df = fn(spark, sf_dir)
                 materialize(last_df)
                 samples.append(time.time() - t0)
+                if count_cycles:
+                    # drain OUTSIDE the timed window after each repeat so
+                    # async listener delivery lands in the right bucket
+                    cycles.append(drain_cycles(snap) - snap)
         except Exception as exc:  # noqa: BLE001 — one broken query must not
             # zero the whole round's bench (round-5 failure mode)
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench {name} failed: {exc!r}", file=sys.stderr)
             continue
+        if count_cycles and cycles:
+            # fold async-delivery stragglers into the last repeat's bucket
+            drained = drain_cycles(line_start + sum(cycles))
+            cycles[-1] += max(0, drained - (line_start + sum(cycles)))
+            trigger_cycles[name] = cycles
         med = round(sorted(samples)[len(samples) // 2], 3)
         timings[name] = med
         # Streaming family: also report throughput as rows INGESTED per

@@ -13,8 +13,10 @@ bench.py's soft wall budget has a COLD single-shot tail that fabricates
 This tool now refuses such files mechanically: any detail with a non-empty
 ``degraded`` list, or wall_total >= budget, aborts before medians are
 computed (override with --allow-degraded only to inspect, never to cite).
-Pre-r18 detail files without the recorded fields fall back to the 1080 s
-default budget and a wall_total check alone (degraded set unrecorded).
+Pre-r18 detail files without the recorded fields fall back to the ERA-
+MINIMUM 480 s budget and a wall_total check alone (degraded set
+unrecorded) — the largest-default fallback used before r19 silently
+passed the very r12/r17-era degraded files the gate exists to refuse.
 
 Usage: python tools/bench_medians.py [--allow-degraded] OUT.json PRIOR.json DETAIL1 DETAIL2 ...
 """
@@ -28,7 +30,13 @@ import sys
 
 def check_budget(path: str, detail: dict) -> str | None:
     """Return a refusal reason if this detail file's tail degraded."""
-    budget = detail.get("budget", 1080.0)
+    # Pre-r18 detail files recorded neither budget nor degraded list.  The
+    # only safe assumption for them is the ERA-MINIMUM soft budget (480 s,
+    # the r4-r11 default): falling back to the LARGEST historical default
+    # (1080) would wave through exactly the r12/r17-era files whose tails
+    # degraded under their real 480/720 budgets — the files this gate
+    # exists to refuse (ADVICE r18).
+    budget = detail.get("budget", 480.0)
     wall = detail.get("wall_total")
     degraded = detail.get("degraded")
     if degraded:
