@@ -247,7 +247,10 @@ def compact_band_index(
     (dedup.capped_buckets: lowest doc_ids win, the same rule the
     build-time cap uses, so compaction is IDEMPOTENT and a compacted
     index holds exactly the rows a from-scratch rebuild over the same
-    docs would) and rewrites the table at ``output_path``.
+    docs would) and writes the compacted table to ``output_path`` — a
+    SIBLING path, never the input's own (in-place compaction is refused
+    below; production atomically swaps the sibling in for the index's
+    bands dir).
 
     Emits one row per band_id: (band_id, rows_before, rows_after,
     rows_dropped, buckets, buckets_over_cap), with rows_after counted by
@@ -265,6 +268,34 @@ def compact_band_index(
     the same partitioning.
     """
     from .dedup import MAX_BUCKET, capped_buckets
+
+    # REFUSE in-place compaction (ADVICE r18): the capped frame is read
+    # LAZILY during the overwrite write below, so output_path == an input
+    # path would clobber the write's own source mid-job (and the before/
+    # over aggregates, also lazy, would read post-compaction rows and
+    # report rows_dropped=0).  Compact into a sibling dir and swap.
+    def _local(p: str) -> str:
+        for pre in ("file://", "file:"):
+            if p.startswith(pre):
+                return p[len(pre):]
+        return p
+
+    import os as _os
+
+    out_norm = _os.path.abspath(_local(output_path)).rstrip("/")
+    clobbered = [
+        f
+        for f in bands.inputFiles()
+        if _os.path.abspath(_local(f)) == out_norm
+        or _os.path.abspath(_local(f)).startswith(out_norm + "/")
+    ]
+    if clobbered:
+        raise ValueError(
+            f"compact_band_index: output_path {output_path!r} overlaps the "
+            f"input table ({clobbered[0]}, ...) — in-place compaction would "
+            "overwrite its own lazily-read input; write to a sibling path "
+            "and atomically swap instead"
+        )
 
     before = bands.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("rows_before"),

@@ -348,11 +348,36 @@ def _ivf_probe_topk(
     )
 
 
+def assign_to_nearest_centroid(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Rank-1 cell assignment (cosine DESC, cluster ASC — the probe's
+    exact ranking rule) of ``(vec_id, embedding)`` rows against a k-row
+    centroid table, shared by the IVF insert path
+    (``merge_admitted_into_ivf``) and the rebuild's re-add step
+    (``stage_ivf_index(reassign=True)``).  Shape: the centroid table
+    broadcasts onto the vector side, and the rank-1 rule runs as a
+    map-side-combinable max_by aggregation — the exchange moves one row
+    per vec_id, never the vecs x n_lists scored frame."""
+    qc = vecs.crossJoin(F.broadcast(cent)).withColumn(
+        "c_cos", cosine("embedding", "centroid")
+    )
+    best = F.struct(F.col("c_cos"), (-F.col("cluster")).alias("neg_cluster"))
+    return (
+        qc.groupBy("vec_id")
+        .agg(
+            F.max_by("cluster", best).alias("cluster"),
+            # constant within the group (one embedding per vec_id)
+            F.any_value("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", "cluster")
+    )
+
+
 def stage_ivf_index(
     embeddings: DataFrame,
     path: str,
     cluster_col: str = "label",
     n_lists: int | None = None,
+    reassign: bool = False,
 ) -> None:
     """Materialize the IVF ANN index as parquet tables — the similarity
     analog of ``dedup.stage_containment_index``, built once by the index
@@ -376,7 +401,18 @@ def stage_ivf_index(
     a fixed label vocabulary cannot do that.  Re-clustering trades a
     little recall (a query's true neighbor can land just outside the
     probed lists more easily when lists are finer) for the sqrt-scaled
-    probe; measure with the recall tooling before growing further."""
+    probe; measure with the recall tooling before growing further.
+
+    ``reassign``: the REBUILD path (one exact Lloyd round).  After the
+    centroids are refreshed over the CURRENT cells, every vector is
+    re-assigned to its rank-1 cell under the refreshed quantizer — the
+    probe's exact ranking rule — so a probe's top-1 cell and a stored
+    twin's cell coincide by construction and recall on exact dups
+    survives the re-train.  Refreshing centroids WITHOUT re-adding the
+    vectors (the r19 first cut) leaves the stored assignment inconsistent
+    with the quantizer the probes rank by, and twins of absorbed vectors
+    fall out of the probed cells — caught by
+    tests/test_similarity.py::test_rebuild_clears_drift_and_keeps_recall."""
     if n_lists is not None:
         from .curation import kmeans_assign
 
@@ -391,6 +427,8 @@ def stage_ivf_index(
         )
         cluster_col = "cluster"
     cent = ivf_centroids(src, cluster_col)
+    if reassign:
+        src = assign_to_nearest_centroid(src.select("vec_id", "embedding"), cent)
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
     src.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/vecs")
 
@@ -623,19 +661,13 @@ def merge_admitted_into_ivf(
     BACK.  All work is delta-sized: the centroid table broadcasts onto
     the admitted batch, and the base vector table contributes only
     per-cluster footer counts."""
-    from pyspark.sql import Window
-
     cent = spark.read.parquet(f"{index_path}/centroids")
     adm = delta.join(F.broadcast(admitted_ids), "vec_id", "left_semi")
-    qc = adm.crossJoin(F.broadcast(cent)).withColumn(
-        "c_cos", cosine("embedding", "centroid")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "cluster")
-    assigned = (
-        qc.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "embedding", "cluster")
-    )
+    # rank-1 rule via the shared max_by assignment (VERDICT r18): the
+    # partial aggregation completes map-side and the exchange moves one
+    # row per vec_id — where the former row_number() window sorted and
+    # shuffled every scored delta x n_lists pair
+    assigned = assign_to_nearest_centroid(adm, cent)
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(
         f"{extension_path}/vecs"
     )

@@ -44,99 +44,77 @@ def registry() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
-    # Round-18 rotation (the driver checks the first ~50).  Composition is
-    # MECHANICAL — `tools/proof_ledger.py queue 50` at the r18 tree (stale
-    # first, then oldest-proof-first fill); executes VERDICT r17 item 1:
-    # (a) positions 0-6: the NEW r18 queries — ingest_admission_day2
-    #     (day-2 batch gated against the MERGED base ∪ extension indexes:
-    #     exact copies and appended-tail near-copies of day-1 ADMITTED
-    #     docs rejected through the extension rows; two-day full-replay
-    #     oracle — VERDICT r17 item 2) and ingest_index_compaction (the
-    #     band-index cap re-application job over a deliberately
-    #     over-appended fixture — VERDICT r17 item 3), plus the
-    #     foreachBatch day-2 twin streaming_ingest_admission_day2
-    #     (added mid-round; displaced length_drift_report from the r13
-    #     fill tail per the displacement rule), and the VECTOR-side
-    #     merge/day-2 trio — sim_index_merge (assign admitted vectors to
-    #     their nearest centroid, append to the cluster-partitioned
-    #     table; centroids refresh by rebuild/re-train), sim_topk_day2
-    #     (the merged-index probe: copies of day-1 admitted vectors flag
-    #     at cosine ~1.0 only through the appended rows) and its
-    #     foreachBatch twin streaming_sim_topk_day2 — displacing
-    #     filtered_revenue, funnel_stages, hll_registers from the tail,
-    #     and sim_centroid_drift (the IVF rebuild monitor: per-cluster
-    #     centroid drift of the merged table vs the staged quantizer —
-    #     displacing dedup_passages);
-    # (b) positions 7-9: the fit trio — stale again: the streaming drift
-    #     twin became SPLIT-SAFE (per-batch sufficient statistics
-    #     accumulated and solved once — VERDICT r17 item 6), which
-    #     refactored quality_linear_fit into its mergeable halves;
-    # (c) positions 10-12: the three rows-only-by-design names (r0 in the
-    #     ledger — they can never carry a hash proof; the queue emits
-    #     them with the oldest tier and the driver re-records their
-    #     rows-only checks);
-    # (d) positions 13-44: 32 of the 47 remaining r11-proven names
-    #     (alphabetical; map_entries_explode + map_in_arrow head them —
-    #     the two displaced from the r17 tail);
-    # (e) positions 45-49: the r13-proven head minus the displaced tail the r13-proven head (alphabetical).
+    # Round-19 rotation (the driver checks the first ~50).  Composition is
+    # MECHANICAL — `tools/proof_ledger.py queue 50` at the r19 tree (stale
+    # first, then oldest-proof-first fill); executes VERDICT r18 item 1:
+    # (a) positions 0-23: the STALE set (alphabetical) — 22 staged-index
+    #     consumers restaged by the r19 atomic-staging fix + logic-token
+    #     keys (VERDICT r18 item 2: every query whose closure reaches
+    #     _staged_index / merge_admitted_into_ivf re-proves in this
+    #     window), the NEW sim_index_rebuild (the executed IVF re-train —
+    #     VERDICT r18 item 3), the NEW column_profile_approx_bounds and
+    #     the bounds-upgraded approx_distinct (VERDICT r18 item 6);
+    # (b) positions 24-49: the oldest-proof fill — serialize_json (its
+    #     oracle upgraded this round from rows-only to a full JSON string
+    #     check) followed by the 25 oldest r13-proven names
+    #     (alphabetical).  The ~15 remaining r13 names take the r20 fill:
+    #     the r19 restage deliberately spent window slots on the staging
+    #     re-proofs, as VERDICT r18 item 2 directed.
     front = [
         n
         for n in (
-            # (a) NEW r18: day-2 merged-index gating + band compaction
-            "ingest_admission_day2",
-            "ingest_index_compaction",
-            "streaming_ingest_admission_day2",
-            "sim_index_merge",
-            "sim_topk_day2",
-            "streaming_sim_topk_day2",
-            "sim_centroid_drift",
-            # (b) fit trio: split-safe streaming drift refactor
-            "quality_linear_fit",
-            "quality_fit_drift",
-            "streaming_quality_drift",
-            # (c) rows-only-by-design (re-record the weaker check)
+            # (a) the stale set: staging restage + new/upgraded queries
             "approx_distinct",
             "column_profile_approx",
+            "column_profile_approx_bounds",
+            "curation_admission_e2e",
+            "dedup_containment_incremental",
+            "dedup_incremental_indexed",
+            "ingest_admission",
+            "ingest_admission_day2",
+            "ingest_index_compaction",
+            "ingest_index_merge",
+            "quality_fit_drift",
+            "sim_centroid_drift",
+            "sim_incremental_range",
+            "sim_incremental_topk",
+            "sim_index_merge",
+            "sim_index_rebuild",
+            "sim_topk_day2",
+            "streaming_dedup_containment",
+            "streaming_dedup_incremental",
+            "streaming_ingest_admission",
+            "streaming_ingest_admission_day2",
+            "streaming_quality_drift",
+            "streaming_sim_topk",
+            "streaming_sim_topk_day2",
+            # (b) oldest-proof fill: serialize_json (upgraded) + r13 head
             "serialize_json",
-            # (d) the r11-proven fill (32, alphabetical)
-            "map_entries_explode",
-            "map_in_arrow",
-            "merge_upsert",
-            "ngram_lm_counts",
-            "pack_sequences",
-            "pandas_udf_grouped_agg",
-            "pii_redact",
-            "python_udf_scalar",
-            "python_udtf",
-            "quality_filter_pipeline",
-            "quantize_embeddings",
-            "rebalance_write",
-            "rlhf_pair_stats",
-            "runtime_bloom_join",
-            "semdedup_representatives",
-            "stratified_sample",
-            "streaming_idempotent_sink",
-            "text_normalize",
-            "token_budget_split",
-            "tpch_q10_returned",
-            "tpch_q11_important_stock",
-            "tpch_q12_shipmode",
-            "tpch_q13_cust_distribution",
-            "tpch_q16_parts_supplier",
-            "tpch_q17_small_qty",
-            "tpch_q19_discounted",
-            "tpch_q20_potential_promo",
-            "tpch_q22_global_sales",
-            "url_host_dedup",
-            "vocab_coverage",
-            "window_dedup_rank",
-            "zorder_stats",
-            # (e) the r13-proven head (10, alphabetical)
-            "asof_join",
-            "bm25_term_scores",
-            "contamination_overlap",
-            "countmin_sketch",
-            "dedup_editdistance",
+            "dedup_passages",
+            "filtered_revenue",
+            "funnel_stages",
+            "hll_registers",
+            "length_drift_report",
+            "multimodal_png_stats",
+            "ngram_decontaminate",
+            "orderby_limit",
+            "pii_redact_v2",
+            "pivot_events",
+            "pricing_summary",
+            "quality_logit_score",
+            "recursive_cte_closure",
+            "regex_pretokenize",
+            "retrieval_rrf_fusion",
+            "scd2_intervals",
+            "sessionize",
+            "sql_script_histogram",
+            "stedi_flagship",
+            "streaming_cdc_latest",
+            "streaming_dedup",
+            "streaming_dedup_watermark",
+            "streaming_foreachbatch_topk",
+            "streaming_late_window",
+            "streaming_outer_join",
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

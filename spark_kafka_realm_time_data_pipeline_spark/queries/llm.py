@@ -719,9 +719,19 @@ def _staged_index(
     five indexes that used to each carry a private copy of this logic.
 
     ``build(idx_path)`` materializes the index's sub-tables under the
-    given path, writing ``success_subdir`` last."""
+    given path, writing ``success_subdir`` last.
+
+    Concurrency (r19): the build lands in a PROCESS-PRIVATE temp dir that
+    is atomically ``os.rename``d onto the final path — two processes
+    staging the same fingerprint each build their own copy and exactly
+    one rename wins; the loser discards its copy and reads the winner's
+    (the pattern relational's avro-container staging already follows).
+    Building in place let a second process observe — and read — a
+    half-written index dir whose marker landed before sibling sub-tables
+    finished."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     src = os.path.join(sf_dir, f"{src_table}.parquet")
@@ -730,9 +740,56 @@ def _staged_index(
     ).hexdigest()[:12]
     root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
     idx = os.path.join(root, f"{prefix}_{tag}")
-    if not os.path.exists(os.path.join(idx, success_subdir, "_SUCCESS")):
-        build(idx)
+    marker = os.path.join(idx, success_subdir, "_SUCCESS")
+    if os.path.exists(marker):
+        return idx
+    stage = tempfile.mkdtemp(prefix=f"{prefix}_{tag}_stage_", dir=root)
+    try:
+        build(stage)
+        for _ in range(2):
+            try:
+                os.rename(stage, idx)
+                break
+            except OSError:
+                if os.path.exists(marker):
+                    break  # a concurrent stager won the rename — use theirs
+                # the final path exists WITHOUT a complete marker: a legacy
+                # in-place partial from a pre-r19 crash — replace it
+                shutil.rmtree(idx, ignore_errors=True)
+        else:
+            if not os.path.exists(marker):
+                raise RuntimeError(
+                    f"index staging race left no complete index at {idx}"
+                )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return idx
+
+
+def _logic_fp(*fns) -> str:
+    """Deterministic fingerprint of the given functions' COMPILED logic —
+    bytecode plus literal constants, nested code objects walked, docstrings
+    skipped — folded into a staged index's path prefix so a change to the
+    delta-builder / gate logic RESTAGES the index instead of serving one
+    built under the old rules from scratch (ADVICE r18: the n_lists tag
+    already does this for the layout knob; this does it for the code).
+    Stable across processes: only co_code bytes and repr of non-code
+    constants are hashed, never object identities."""
+    import hashlib
+
+    h = hashlib.md5()
+
+    def walk(code) -> None:
+        h.update(code.co_code)
+        for i, c in enumerate(code.co_consts):
+            if hasattr(c, "co_code"):
+                walk(c)
+            elif not (i == 0 and isinstance(c, str)):  # skip docstrings
+                h.update(repr(c).encode())
+
+    for fn in fns:
+        walk(fn.__code__)
+    return h.hexdigest()[:8]
 
 
 def staged_base_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1613,12 +1670,19 @@ def _ivf_grown_n_lists(sf_dir: str) -> int | None:
     driver-registered corpora hold 2000 vectors, so their staged index
     — and the DuckDB oracle that replays the label quantizer — is
     untouched; the rule engages on the 10x scale corpus and beyond."""
-    import math
     import os
 
     import pyarrow.parquet as pq
 
     n_vecs = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    return _ivf_rule(n_vecs)
+
+
+def _ivf_rule(n_vecs: int) -> int | None:
+    """The count -> n_lists half of the growth rule, shared by the base
+    stager (corpus count) and the rebuild stager (MERGED count)."""
+    import math
+
     if n_vecs <= 4000:
         return None
     return max(10, math.isqrt(n_vecs) // 4)
@@ -1862,10 +1926,17 @@ def staged_merged_ivf_index(spark: SparkSession, sf_dir: str) -> str:
             shutil.rmtree(ext, ignore_errors=True)
 
     # key the n_lists growth rule into the path exactly like
-    # staged_ivf_index: a rule change must restage the MERGED index too
-    # (the corpus-fingerprint key alone would serve a stale layout)
+    # staged_ivf_index (a rule change must restage the MERGED index too),
+    # AND the day-1 delta/gate logic (ADVICE r18: without it a change to
+    # _ann_merge_delta or the admission threshold would silently serve a
+    # merged index built under the old rules from scratch)
+    token = _logic_fp(_ann_merge_delta, S.ann_vs_base_batch, S.merge_admitted_into_ivf, build)
     n_lists = _ivf_grown_n_lists(sf_dir)
-    prefix = "merged_ivf_idx" if n_lists is None else f"merged_ivf_idx_k{n_lists}"
+    prefix = (
+        f"merged_ivf_idx_{token}"
+        if n_lists is None
+        else f"merged_ivf_idx_{token}_k{n_lists}"
+    )
     return _staged_index(spark, sf_dir, "embeddings", prefix, "vecs", build)
 
 
@@ -2068,10 +2139,10 @@ def q_sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORA_SIM_CENTROID_DRIFT = f"""
-WITH {_ora_ivf_day1_admitted()},
-{_ORA_MVECS},
-newcent_d AS (
+# the per-cluster MERGED-table centroid fold (the rebuild candidate /
+# re-trained quantizer at the label tier) — shared by the drift monitor
+# and the rebuild reconvergence oracles
+_ORA_NEWCENT = """newcent_d AS (
   SELECT cluster, i AS pos,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id)),
@@ -2079,7 +2150,13 @@ newcent_d AS (
   FROM mvecs CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
   GROUP BY cluster, i
 ),
-newcent AS (SELECT cluster, list(cval ORDER BY pos) AS new_c FROM newcent_d GROUP BY cluster),
+newcent AS (SELECT cluster, list(cval ORDER BY pos) AS new_c FROM newcent_d GROUP BY cluster)"""
+
+
+ORA_SIM_CENTROID_DRIFT = f"""
+WITH {_ora_ivf_day1_admitted()},
+{_ORA_MVECS},
+{_ORA_NEWCENT},
 counts AS (
   SELECT cluster,
          SUM(CASE WHEN vec_id < 1000000 THEN 1 ELSE 0 END) AS n_base,
@@ -2092,6 +2169,202 @@ SELECT CAST(c.cluster AS BIGINT) AS cluster,
        {_ora_cosine('o.centroid', 'n.new_c')} AS centroid_cos,
        {_ora_cosine('o.centroid', 'n.new_c')} < 0.9999 AS drifted
 FROM centroids o JOIN newcent n USING (cluster) JOIN counts c USING (cluster)
+"""
+
+
+# Fixed Lloyd budget for the label-tier IVF rebuild: the measured
+# fixpoint on the registered corpora is 20 (sf0.001) / 16 (sf0.01)
+# rounds; 24 adds margin.  Once the assignment stops moving, further
+# rounds are idempotent, so a fixed budget PAST the fixpoint makes the
+# rebuild exactly converged — and exactly replayable by an oracle that
+# unrolls the rounds CTE-for-CTE (the kmeans_embeddings pattern).  A
+# regenerated corpus that needs more rounds surfaces as reconverged=
+# FALSE (hash still green — the oracle replays the same budget) and
+# fails the drift-clears pytest loudly.
+IVF_REBUILD_ITERS = 24
+
+
+def staged_rebuilt_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per corpus fingerprint) the RE-TRAINED quantizer — the
+    rebuild that ``sim_centroid_drift`` schedules, actually executed over
+    the MERGED base ∪ extension vector table, with the n_lists growth
+    rule applied to the MERGED count.
+
+    Label tier (all registered corpora): Lloyd re-train seeded from the
+    CURRENT cells — ``IVF_REBUILD_ITERS`` exact rounds of (centroid fold
+    over the cells, rank-1 re-assignment under the refreshed quantizer),
+    a budget past the measured fixpoint.  At the fixpoint the stored
+    quantizer equals its own cells' folds EXACTLY (the drift monitor
+    reads ~1.0) and every stored vector sits in its rank-1 cell under the
+    stored quantizer (twin recall survives BY CONSTRUCTION — the property
+    the r19 first-cut centroid-refresh-without-re-add violated).  Growth
+    tier (sf1+): the discovered k-means re-train via ``stage_ivf_index``,
+    which re-assigns by definition.
+
+    Re-training is corpus-sized BY NATURE (a quantizer is a corpus-wide
+    fit): per round, one map-side-combinable fold plus one broadcast
+    rank-1 pass — run on the drift-thresholded maintenance cadence and
+    staged/amortized here like every maintained index, never per batch."""
+    midx = staged_merged_ivf_index(spark, sf_dir)
+    n_merged = spark.read.parquet(f"{midx}/vecs").count()
+    n_lists = _ivf_rule(n_merged)
+
+    def build(idx: str) -> None:
+        mv = spark.read.parquet(f"{midx}/vecs")
+        if n_lists is not None:
+            S.stage_ivf_index(mv, idx, cluster_col="cluster", n_lists=n_lists)
+            return
+        # label tier: Lloyd to the fixpoint.  Each round's k-row centroid
+        # frame and corpus-wide assignment are eagerly checkpointed so the
+        # plan does not deepen with the round count (the kmeans shape).
+        cur = mv.select("vec_id", "embedding", "cluster").localCheckpoint(eager=True)
+        cent = None
+        for _ in range(IVF_REBUILD_ITERS):
+            cent = S.ivf_centroids(cur, "cluster").localCheckpoint(eager=True)
+            cur = S.assign_to_nearest_centroid(
+                cur.select("vec_id", "embedding"), cent
+            ).localCheckpoint(eager=True)
+        cent.write.mode("overwrite").parquet(f"{idx}/centroids")
+        cur.write.mode("overwrite").partitionBy("cluster").parquet(f"{idx}/vecs")
+
+    # key the whole upstream chain's logic into the path: a change to the
+    # day-1 delta/gate/merge logic restages the merged index at a NEW
+    # path, and this token moves with it so the rebuild can never serve
+    # a quantizer trained over the previous merge rules
+    token = _logic_fp(
+        build, _ann_merge_delta, S.ann_vs_base_batch, S.merge_admitted_into_ivf,
+        S.stage_ivf_index, S.assign_to_nearest_centroid,
+    )
+    prefix = (
+        f"rebuilt_ivf_idx_{token}"
+        if n_lists is None
+        else f"rebuilt_ivf_idx_{token}_k{n_lists}"
+    )
+    return _staged_index(spark, sf_dir, "embeddings", prefix, "vecs", build)
+
+
+def q_sim_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF maintenance loop CLOSED: execute the re-train that
+    ``sim_centroid_drift`` schedules and prove reconvergence.  Per
+    cluster: ``monitor_cos`` replays the drift monitor's own reading (the
+    day-1 quantizer vs the merged table's centroid fold — was_drifted
+    matches ``sim_centroid_drift`` exactly), and ``rebuilt_centroid_cos``
+    compares the RE-TRAINED quantizer read back from disk against the
+    rebuilt cells' independently recomputed folds — ~1.0 for every
+    cluster at the Lloyd fixpoint, so hash-equality proves the executed
+    rebuild landed a quantizer that exactly matches the corpus it serves.
+    ``n_before``/``n_after`` expose how far the re-train moved the
+    membership.  Recall preservation (every day-1 admitted copy still
+    flags through the rebuilt index; the control arm still never flags)
+    is pinned by
+    tests/test_similarity.py::test_rebuild_clears_drift_and_keeps_recall.
+
+    100 TB posture: the report is k-row quantizer joins plus two
+    map-side-combinable folds; the re-train itself is staged on the
+    drift-thresholded maintenance cadence — never per batch."""
+    bidx = staged_ivf_index(spark, sf_dir)
+    midx = staged_merged_ivf_index(spark, sf_dir)
+    ridx = staged_rebuilt_ivf_index(spark, sf_dir)
+    old_c = spark.read.parquet(f"{bidx}/centroids").select(
+        "cluster", F.col("centroid").alias("old_c")
+    )
+    new_c = spark.read.parquet(f"{ridx}/centroids").select(
+        "cluster", F.col("centroid").alias("new_c")
+    )
+    mv = spark.read.parquet(f"{midx}/vecs")
+    rv = spark.read.parquet(f"{ridx}/vecs")
+    mcent = S.ivf_centroids(mv, "cluster").select(
+        "cluster", F.col("centroid").alias("m_c")
+    )
+    rcent = S.ivf_centroids(rv, "cluster").select(
+        "cluster", F.col("centroid").alias("r_c")
+    )
+    nb = mv.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_before"))
+    na = rv.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_after"))
+    monitor_cos = S.cosine("old_c", "m_c")
+    reb_cos = S.cosine("new_c", "r_c")
+    return (
+        old_c.join(new_c, "cluster")
+        .join(mcent, "cluster")
+        .join(rcent, "cluster")
+        .join(nb, "cluster")
+        .join(na, "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("n_before").cast("long").alias("n_before"),
+            F.col("n_after").cast("long").alias("n_after"),
+            monitor_cos.alias("monitor_cos"),
+            (monitor_cos < 0.9999).alias("was_drifted"),
+            reb_cos.alias("rebuilt_centroid_cos"),
+            (reb_cos >= 0.9999).alias("reconverged"),
+        )
+    )
+
+
+def _ora_lloyd_chain(n_iters: int) -> tuple[str, str]:
+    """The unrolled Lloyd rounds for the rebuild oracle — the
+    kmeans_embeddings oracle pattern: one (fold, rank-1 re-assign) CTE
+    pair per round, every level MATERIALIZED (each is referenced twice by
+    the next level, and DuckDB re-inlines non-materialized CTEs — the r18
+    day-2 trap, which would go EXPONENTIAL on a 24-deep chain).  Returns
+    (sql, final_assignment_name); round k's centroid CTE is cent{{k}} and
+    the final stored quantizer is cent{{n_iters}}."""
+    parts = []
+    prev = "mvecs"
+    for k in range(1, n_iters + 1):
+        parts.append(f"""cent{k} AS MATERIALIZED (
+  SELECT cluster, list(cval ORDER BY pos) AS c FROM (
+    SELECT cluster, i AS pos,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id)),
+             (acc, x) -> acc + x) / COUNT(*) AS cval
+    FROM {prev} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+    GROUP BY cluster, i) d
+  GROUP BY cluster
+),
+a{k} AS MATERIALIZED (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT m.vec_id, m.embedding, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY m.vec_id
+             ORDER BY {_ora_cosine('m.embedding', 'c.c')} DESC, c.cluster) AS r
+    FROM {prev} m CROSS JOIN cent{k} c
+  ) t WHERE r = 1
+)""")
+        prev = f"a{k}"
+    return ",\n".join(parts), prev
+
+
+_ORA_LLOYD, _ORA_LLOYD_FINAL = _ora_lloyd_chain(IVF_REBUILD_ITERS)
+
+ORA_SIM_INDEX_REBUILD = f"""
+WITH {_ora_ivf_day1_admitted()},
+{_ORA_MVECS},
+{_ORA_LLOYD},
+rfold AS (
+  SELECT cluster, list(cval ORDER BY pos) AS r_c FROM (
+    SELECT cluster, i AS pos,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id)),
+             (acc, x) -> acc + x) / COUNT(*) AS cval
+    FROM {_ORA_LLOYD_FINAL} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+    GROUP BY cluster, i) d
+  GROUP BY cluster
+),
+nb AS (SELECT cluster, COUNT(*) AS n_before FROM mvecs GROUP BY cluster),
+na AS (SELECT cluster, COUNT(*) AS n_after FROM {_ORA_LLOYD_FINAL} GROUP BY cluster)
+SELECT CAST(o.cluster AS BIGINT) AS cluster,
+       CAST(n_before AS BIGINT) AS n_before,
+       CAST(n_after AS BIGINT) AS n_after,
+       {_ora_cosine('o.centroid', 'm.c')} AS monitor_cos,
+       {_ora_cosine('o.centroid', 'm.c')} < 0.9999 AS was_drifted,
+       {_ora_cosine('q.c', 'r.r_c')} AS rebuilt_centroid_cos,
+       {_ora_cosine('q.c', 'r.r_c')} >= 0.9999 AS reconverged
+FROM centroids o
+JOIN cent1 m USING (cluster)
+JOIN cent{IVF_REBUILD_ITERS} q USING (cluster)
+JOIN rfold r USING (cluster)
+JOIN nb USING (cluster)
+JOIN na USING (cluster)
 """
 
 
@@ -2710,8 +2983,14 @@ def staged_merged_index(spark: SparkSession, sf_dir: str) -> str:
         finally:
             shutil.rmtree(ext, ignore_errors=True)
 
+    # key the day-1 delta/gate logic into the path (ADVICE r18) so a
+    # change to _ingest_delta or the admission gates restages rather
+    # than serving a merged index built under the old rules
+    token = _logic_fp(
+        _ingest_delta, I.ingest_admission_batch, I.merge_admitted_into_indexes, build
+    )
     return _staged_index(
-        spark, sf_dir, "documents", "merged_ingest_idx", "toks_arr", build
+        spark, sf_dir, "documents", f"merged_ingest_idx_{token}", "toks_arr", build
     )
 
 
@@ -4064,6 +4343,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORA_SIM_CENTROID_DRIFT,
         "IVF rebuild monitor: per-cluster centroid drift of the merged "
         "table vs the staged quantizer (n_added, cosine, threshold)",
+    ),
+    "sim_index_rebuild": QuerySpec(
+        q_sim_index_rebuild,
+        ORA_SIM_INDEX_REBUILD,
+        "IVF re-train executed over the merged base ∪ extension table "
+        "(growth rule on the merged count); per-cluster reconvergence "
+        "report — drifted clusters' cosine returns to ~1.0",
     ),
     "sim_topk_day2": QuerySpec(
         q_sim_topk_day2,

@@ -261,9 +261,26 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "P8/P10 temp view + SQL projection",
     ),
+    # Upgraded r19 (VERDICT r18 item 6) from rows-only to a FULL JSON
+    # string oracle: the r15 "double rendering differs" assumption was
+    # re-tested and does NOT bite on this pipeline's value domain — the
+    # only double in the struct is events.value (2-decimal, < 1e7), where
+    # Jackson's Double.toString (Spark) and DuckDB's shortest-round-trip
+    # rendering agree byte-for-byte; strings are plain ASCII.  A future
+    # corpus planting a pathological double (>= 1e7 or sub-1e-3) would
+    # fail the hash LOUDLY, which is the correct failure mode.
     "serialize_json": QuerySpec(
         q_serialize_json,
-        None,  # JSON double-rendering differs across engines; golden-tested in pytest
-        "P9 to_json struct serialization",
+        f"""
+        SELECT {_ORA_EMAIL.format(k='c.c_custkey')} AS key,
+               to_json(struct_pack(
+                 customer := {_ORA_EMAIL.format(k='e.user_id')},
+                 score := e.value,
+                 email := {_ORA_EMAIL.format(k='c.c_custkey')},
+                 birthYear := {_ORA_BIRTHYEAR.format(k='c.c_custkey')}
+               ))::VARCHAR AS value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "P9 to_json struct serialization (full JSON string oracle, r19)",
     ),
 }

@@ -241,13 +241,44 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch — implementations differ across engines, so no value
-    oracle (rows-only); the scale path for 100 TB distinct counts."""
+    """HLL++ sketch, upgraded r19 from rows-only to a BOUNDS value check
+    (VERDICT r18 item 6): cross-engine HLL register layouts differ, so
+    the estimate itself can never hash-match DuckDB — instead the result
+    carries the EXACT per-type counts (hash-checked against DuckDB
+    exactly) plus booleans asserting the HLL++ estimate landed within
+    5x the documented relative standard deviation (rsd 0.05 default) of
+    the exact count.  approx_count_distinct is deterministic for a fixed
+    input set, so the booleans are hash-stable.  Both sketch and exact
+    live in ONE single-scan aggregate; at 100 TB you drop the exact arm
+    and keep the sketch — here the exact arm IS the oracle surface."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("approx_count_distinct(event_id)").alias("approx_events"),
+    out = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_id").alias("n_events"),
+        F.approx_count_distinct("user_id").alias("au"),
+        F.expr("approx_count_distinct(event_id)").alias("ae"),
     )
+
+    def within(approx: str, exact: str) -> F.Column:
+        return F.abs(F.col(approx) - F.col(exact)) <= F.lit(5 * 0.05) * F.col(exact)
+
+    return out.select(
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+        within("au", "n_users").alias("approx_users_within_rsd"),
+        within("ae", "n_events").alias("approx_events_within_rsd"),
+    )
+
+
+ORA_APPROX_DISTINCT = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_id) AS n_events,
+       TRUE AS approx_users_within_rsd,
+       TRUE AS approx_events_within_rsd
+FROM events GROUP BY event_type
+"""
 
 
 # --- Joins ------------------------------------------------------------------
@@ -3201,10 +3232,14 @@ def q_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact.  At 100 TB the exact tier's EXPAND is the slowest line in the
     whole bench; this is the profile a catalog would actually publish.
 
-    Rows-only oracle by design (HLL++ register layouts differ across
-    engines, same rationale as ``approx_distinct``);
-    tests/test_sketch_cluster.py bounds the per-column relative error
-    against the exact profile at sf0.001."""
+    Rows-only oracle by design: HLL++ register layouts differ across
+    engines, and folding the exact tier into THIS query would re-add the
+    EXPAND cost the approx tier exists to avoid to the benched scale
+    line.  Its VALUE check is the registered twin
+    ``column_profile_approx_bounds`` (r19, VERDICT r18 item 6): exact
+    nulls/min/max hash-checked plus a within-rsd bound on the HLL++
+    distinct; tests/test_sketch_cluster.py additionally bounds the
+    per-column relative error at sf0.001."""
     orders = load_table(spark, sf_dir, "orders")
 
     def mm(c: str) -> tuple[F.Column, F.Column]:
@@ -3267,6 +3302,41 @@ FROM orders"""
 
 
 ORA_COLUMN_PROFILE = _ora_column_profile()
+
+
+def q_column_profile_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE check for ``column_profile_approx``, registered as a twin
+    (r19, VERDICT r18 item 6): joins the approx profile's HLL++ distinct
+    onto the exact tier's per-column stats and emits the exact
+    nulls/distinct/min/max (hash-checked against DuckDB exactly) plus a
+    boolean asserting the sketch landed within 5x the documented rsd
+    (0.05) of the exact distinct.  A SEPARATE query so the benched scale
+    line keeps measuring the sketch plan, not the exact EXPAND it exists
+    to avoid; both sides here are 5-row aggregate outputs, so the join is
+    a broadcast of k rows."""
+    ap = q_column_profile_approx(spark, sf_dir).select(
+        "col_name", "n_distinct_approx"
+    )
+    ex = q_column_profile(spark, sf_dir)
+    within = (
+        F.abs(F.col("n_distinct_approx") - F.col("n_distinct"))
+        <= F.lit(5 * 0.05) * F.col("n_distinct")
+    )
+    return ex.join(ap, "col_name").select(
+        "col_name",
+        "n_nulls",
+        "n_distinct",
+        "min_val",
+        "max_val",
+        within.alias("distinct_within_rsd"),
+    )
+
+
+ORA_COLUMN_PROFILE_APPROX_BOUNDS = f"""
+SELECT col_name, n_nulls, n_distinct, min_val, max_val,
+       TRUE AS distinct_within_rsd
+FROM ({ORA_COLUMN_PROFILE}) p
+"""
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3745,6 +3815,12 @@ QUERIES: dict[str, QuerySpec] = {
         ORA_COLUMN_PROFILE,
         "single-scan table profiling (nulls/distinct/min/max per column)",
     ),
+    "column_profile_approx_bounds": QuerySpec(
+        q_column_profile_approx_bounds,
+        ORA_COLUMN_PROFILE_APPROX_BOUNDS,
+        "value check for the approx profile: exact stats hash-checked + "
+        "HLL++ distinct bounded within 5x rsd",
+    ),
     "column_profile_approx": QuerySpec(
         q_column_profile_approx,
         None,
@@ -3812,7 +3888,11 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_grouping_sets": QuerySpec(q_grouping_sets, ORA_GROUPING_SETS, "GROUPING SETS"),
     "agg_having": QuerySpec(q_having, ORA_HAVING, "HAVING"),
     "percentiles": QuerySpec(q_percentiles, ORA_PERCENTILES, "exact percentiles"),
-    "approx_distinct": QuerySpec(q_approx_distinct, None, "HLL approx distinct (rows-only)"),
+    "approx_distinct": QuerySpec(
+        q_approx_distinct,
+        ORA_APPROX_DISTINCT,
+        "HLL approx distinct with exact counts + within-rsd bounds check",
+    ),
     "topk_join": QuerySpec(q_topk_join, ORA_TOPK_JOIN, "TPC-H Q3 join+agg+topk"),
     "nation_revenue": QuerySpec(q_nation_revenue, ORA_NATION_REVENUE, "TPC-H Q5 snowflake join"),
     "join_left": QuerySpec(q_join_left, ORA_JOIN_LEFT, "left outer join"),

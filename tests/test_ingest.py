@@ -257,3 +257,21 @@ def test_funnel_green_on_compacted_index(spark, tmp_path):
     ).collect()
     assert sum(r.rows_dropped for r in again) == 0
     assert sum(r.buckets_over_cap for r in again) == 0
+
+
+def test_compact_refuses_in_place(spark, tmp_path):
+    """r19 (ADVICE r18): in-place compaction would let the overwrite
+    clobber its own lazily-read input (and zero the lazy before/over
+    report) — refused with a clear error; sibling output still works."""
+    import pytest
+
+    p = str(tmp_path / "bands")
+    spark.createDataFrame(
+        [(i, 0, "k") for i in range(5)],
+        "doc_id long, band_id int, band_key string",
+    ).write.parquet(p)
+    bands = spark.read.parquet(p)
+    with pytest.raises(ValueError, match="in-place"):
+        I.compact_band_index(spark, bands, p)
+    rep = I.compact_band_index(spark, bands, str(tmp_path / "out")).collect()
+    assert rep and rep[0].rows_before == 5

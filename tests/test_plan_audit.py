@@ -43,6 +43,11 @@ ALLOWED_BNLJ = {
     "sim_incremental_topk",  # delta x broadcast(centroids): n_clusters rows
     "sim_index_merge",  # gate probe + assignment: both broadcast(centroids)
     "sim_topk_day2",  # merged-index probe: delta x broadcast(centroids)
+    # surfaced by the r19 STREAMING plan capture: the foreachBatch twins
+    # of the two allowlisted batch probes above — identical per-trigger
+    # delta x broadcast(centroids) shape, n_lists rows on the build side
+    "streaming_sim_topk",
+    "streaming_sim_topk_day2",
     "sim_ivf_topk",
     "sim_recall_report",
     "tfidf_top_terms",
@@ -56,21 +61,18 @@ def _artifact():
         return json.load(fh)
 
 
-def test_audit_artifact_covers_the_batch_registry():
+def test_audit_artifact_covers_the_whole_registry():
+    """r19 (VERDICT r18 item 4): the streaming family is no longer exempt —
+    every registry query must carry an audit row; the skipped list must
+    stay EMPTY (any future entry needs a per-name justification in
+    tools/plan_audit.py's EXECUTING_SKIP)."""
     out = _artifact()
     reg = registry()
-    batch = {
-        n
-        for n in reg
-        if not n.startswith("streaming_")
-        and n not in ("envelope_pyds_stream", "envelope_pyds_sink", "state_store_inspect")
-    }
     audited = set(out["queries"])
     assert not out["errors"], sorted(out["errors"])
-    # every current batch query has an audit row (a rename/addition without
-    # a tool re-run surfaces here)
-    missing = batch - audited
+    missing = set(reg) - audited
     assert not missing, f"re-run tools/plan_audit.py: unaudited {sorted(missing)}"
+    assert out.get("skipped", []) == [], out["skipped"]
 
 
 def test_audit_artifact_matches_current_source():

