@@ -258,6 +258,15 @@ HEADLINE += [
     "sim_topk_day2",
     "streaming_sim_topk_day2",
     "sim_centroid_drift",
+    # round-19 addition: the rebuild ACCEPTANCE GATE (4.2 s warm at
+    # sf0.1 — the bounded day-2 batch brute-forced against the merged
+    # corpus).  Added after the r19 3-run medians were recorded, so
+    # BENCH_R19_MEDIANS lacks it and r20 reads it as a new line with a
+    # fresh baseline (the r18 vector-trio pattern).  sim_index_rebuild
+    # itself stays correctness-only: 1.4 s warm at sf0.1 — under the
+    # 1.5 s headline bar (the staged re-train is amortized; the report
+    # is k-row joins + two folds).
+    "sim_rebuild_recall",
     # round-12 coverage-rule sweep: every registry query was timed once at
     # sf0.1 (PLANS.md r12 note); these measured >=1.5 s but sat in neither
     # the headline nor BENCH_sf1 — now headline-tracked every round.  The

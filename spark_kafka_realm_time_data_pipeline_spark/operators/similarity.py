@@ -417,7 +417,12 @@ def stage_ivf_index(
         from .curation import kmeans_assign
 
         assign = kmeans_assign(embeddings, k=n_lists)
-        src = embeddings.join(assign, "vec_id").select(
+        # drop any pre-existing assignment first: a REBUILD input (the
+        # merged table) already carries `cluster`, and the discovered
+        # assignment's column would otherwise be ambiguous (caught by the
+        # r19 sf1 scale proof — the growth tier is the only path that
+        # joins a second assignment on)
+        src = embeddings.drop("cluster").join(assign, "vec_id").select(
             "vec_id", "embedding", "cluster"
         )
         cluster_col = "cluster"

@@ -47,19 +47,22 @@ def registry() -> dict[str, QuerySpec]:
     # Round-19 rotation (the driver checks the first ~50).  Composition is
     # MECHANICAL — `tools/proof_ledger.py queue 50` at the r19 tree (stale
     # first, then oldest-proof-first fill); executes VERDICT r18 item 1:
-    # (a) positions 0-23: the STALE set (alphabetical) — 22 staged-index
+    # (a) positions 0-24: the STALE set (alphabetical) — 22 staged-index
     #     consumers restaged by the r19 atomic-staging fix + logic-token
     #     keys (VERDICT r18 item 2: every query whose closure reaches
     #     _staged_index / merge_admitted_into_ivf re-proves in this
     #     window), the NEW sim_index_rebuild (the executed IVF re-train —
-    #     VERDICT r18 item 3), the NEW column_profile_approx_bounds and
-    #     the bounds-upgraded approx_distinct (VERDICT r18 item 6);
-    # (b) positions 24-49: the oldest-proof fill — serialize_json (its
+    #     VERDICT r18 item 3) and its late-round acceptance-gate twin
+    #     sim_rebuild_recall (rebuilt-probe dup recall vs brute force),
+    #     the NEW column_profile_approx_bounds and the bounds-upgraded
+    #     approx_distinct (VERDICT r18 item 6);
+    # (b) positions 25-49: the oldest-proof fill — serialize_json (its
     #     oracle upgraded this round from rows-only to a full JSON string
-    #     check) followed by the 25 oldest r13-proven names
-    #     (alphabetical).  The ~15 remaining r13 names take the r20 fill:
-    #     the r19 restage deliberately spent window slots on the staging
-    #     re-proofs, as VERDICT r18 item 2 directed.
+    #     check) followed by the 24 oldest r13-proven names (alphabetical;
+    #     streaming_outer_join displaced to the r20 fill by the
+    #     sim_rebuild_recall addition).  The ~16 remaining r13 names take
+    #     the r20 fill: the r19 restage deliberately spent window slots
+    #     on the staging re-proofs, as VERDICT r18 item 2 directed.
     front = [
         n
         for n in (
@@ -80,6 +83,7 @@ def registry() -> dict[str, QuerySpec]:
             "sim_incremental_topk",
             "sim_index_merge",
             "sim_index_rebuild",
+            "sim_rebuild_recall",
             "sim_topk_day2",
             "streaming_dedup_containment",
             "streaming_dedup_incremental",
@@ -114,7 +118,9 @@ def registry() -> dict[str, QuerySpec]:
             "streaming_dedup_watermark",
             "streaming_foreachbatch_topk",
             "streaming_late_window",
-            "streaming_outer_join",
+            # (streaming_outer_join displaced to the r20 fill by the
+            # late-round sim_rebuild_recall addition, per the rule:
+            # additions displace from the fill TAIL, never the stale head)
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]

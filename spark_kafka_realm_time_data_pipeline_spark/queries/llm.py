@@ -2060,10 +2060,9 @@ _ORA_MVECS = """mvecs AS MATERIALIZED (
 )"""
 
 
-ORA_SIM_TOPK_DAY2 = f"""
-WITH {_ora_ivf_day1_admitted()},
-{_ORA_MVECS},
-q2 AS (
+# the DAY-2 probe set (replay arm + control arm), shared by the day-2
+# probe oracle and the rebuild acceptance-gate oracle
+_ORA_Q2 = """q2 AS (
   SELECT vec_id + 3000000 AS query_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.25) AS q_vec
   FROM embeddings WHERE vec_id % 7 = 3 AND vec_id < 3500
@@ -2071,7 +2070,13 @@ q2 AS (
   SELECT vec_id + 4000000 AS query_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.5) AS q_vec
   FROM embeddings WHERE vec_id % 13 = 4 AND vec_id < 3900
-),
+)"""
+
+
+ORA_SIM_TOPK_DAY2 = f"""
+WITH {_ora_ivf_day1_admitted()},
+{_ORA_MVECS},
+{_ORA_Q2},
 qc2 AS (
   SELECT q.query_id, q.q_vec, c.cluster,
          {_ora_cosine('q.q_vec', 'c.centroid')} AS c_cos
@@ -2365,6 +2370,117 @@ JOIN cent{IVF_REBUILD_ITERS} q USING (cluster)
 JOIN rfold r USING (cluster)
 JOIN nb USING (cluster)
 JOIN na USING (cluster)
+"""
+
+
+def q_sim_rebuild_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild ACCEPTANCE GATE — the last piece of the IVF
+    maintenance loop (monitor -> re-train -> ACCEPT -> swap): before a
+    deployment atomically swaps the re-trained index in for the serving
+    one, it measures the rebuilt probe's dup-recall against the EXACT
+    brute-force answer over the same merged corpus, on the documented
+    day-2 batch.  Per arm: replay (verbatim copies of day-1 admitted
+    vectors — every one is a true dup) and control (never-dups).  The
+    ANN side probes the rebuilt index (k=1, n_probe=3); the brute-force
+    side is the declared oracle tier over the merged table.  An ANN flag
+    implies a brute-force flag (its top-1 cosine is a lower bound), so
+    recall = ann_dups / bf_dups and ``missed`` counts true dups the
+    probe lost.  At the Lloyd fixpoint the replay arm reads recall 1.0
+    (every stored twin sits in the probe's first-ranked cell) and the
+    control arm flags nothing — the swap is safe; any miss holds it.
+
+    100 TB posture: the gate runs on the rebuild cadence over a BOUNDED
+    acceptance batch (trigger-sized, like every delta here), so the
+    brute-force side is |batch| x corpus — the same declared-oracle-tier
+    cost class as sim_recall_report, paid only when a rebuild lands."""
+    midx = staged_merged_ivf_index(spark, sf_dir)
+    ridx = staged_rebuilt_ivf_index(spark, sf_dir)
+    delta2 = _ann_delta2(load_table(spark, sf_dir, "embeddings"))
+    mv = spark.read.parquet(f"{midx}/vecs")
+    ann = S.ann_vs_base_batch(spark, ridx, delta2, k=1).select(
+        "query_id", (F.col("cosine") >= 0.99).alias("ann_dup")
+    )
+    bf = S.brute_force_topk(mv, delta2, k=1).select(
+        "query_id", (F.col("cosine") >= 0.99).alias("bf_dup")
+    )
+    arm = F.when(F.col("query_id") < 4000000, F.lit("replay")).otherwise(
+        F.lit("control")
+    )
+    agg = (
+        ann.join(bf, "query_id")
+        .select(arm.alias("arm"), "ann_dup", "bf_dup")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.col("bf_dup").cast("long")).alias("bf_dups"),
+            F.sum(F.col("ann_dup").cast("long")).alias("ann_dups"),
+            F.sum((F.col("bf_dup") & ~F.col("ann_dup")).cast("long")).alias(
+                "missed"
+            ),
+        )
+    )
+    recall = F.when(F.col("bf_dups") == 0, F.lit(1.0)).otherwise(
+        F.col("ann_dups").cast("double") / F.col("bf_dups").cast("double")
+    )
+    return agg.select(
+        "arm",
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("bf_dups").cast("long").alias("bf_dups"),
+        F.col("ann_dups").cast("long").alias("ann_dups"),
+        F.col("missed").cast("long").alias("missed"),
+        recall.alias("recall"),
+    )
+
+
+ORA_SIM_REBUILD_RECALL = f"""
+WITH {_ora_ivf_day1_admitted()},
+{_ORA_MVECS},
+{_ORA_LLOYD},
+{_ORA_Q2},
+qc2 AS (
+  SELECT q.query_id, q.q_vec, c.cluster,
+         {_ora_cosine('q.q_vec', 'c.c')} AS c_cos
+  FROM q2 q CROSS JOIN cent{IVF_REBUILD_ITERS} c
+),
+probes2 AS (
+  SELECT query_id, q_vec, cluster FROM (
+    SELECT query_id, q_vec, cluster,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c_cos DESC, cluster) AS crank
+    FROM qc2
+  ) t WHERE crank <= 3
+),
+ann AS (
+  SELECT query_id, cosine >= 0.99 AS ann_dup FROM (
+    SELECT p.query_id, {_ora_cosine('p.q_vec', 'e.embedding')} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY {_ora_cosine('p.q_vec', 'e.embedding')} DESC, e.vec_id) AS rank
+    FROM {_ORA_LLOYD_FINAL} e JOIN probes2 p ON e.cluster = p.cluster
+    WHERE e.vec_id <> p.query_id
+  ) t WHERE rank <= 1
+),
+bf AS (
+  SELECT query_id, cosine >= 0.99 AS bf_dup FROM (
+    SELECT q.query_id, {_ora_cosine('q.q_vec', 'e.embedding')} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_ora_cosine('q.q_vec', 'e.embedding')} DESC, e.vec_id) AS rank
+    FROM mvecs e CROSS JOIN q2 q
+    WHERE e.vec_id <> q.query_id
+  ) t WHERE rank <= 1
+)
+SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN bf_dup THEN 1 ELSE 0 END) AS BIGINT) AS bf_dups,
+       CAST(SUM(CASE WHEN ann_dup THEN 1 ELSE 0 END) AS BIGINT) AS ann_dups,
+       CAST(SUM(CASE WHEN bf_dup AND NOT ann_dup THEN 1 ELSE 0 END) AS BIGINT) AS missed,
+       CASE WHEN SUM(CASE WHEN bf_dup THEN 1 ELSE 0 END) = 0 THEN 1.0
+            ELSE CAST(SUM(CASE WHEN ann_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN bf_dup THEN 1 ELSE 0 END) AS DOUBLE)
+       END AS recall
+FROM (
+  SELECT CASE WHEN a.query_id < 4000000 THEN 'replay' ELSE 'control' END AS arm,
+         a.ann_dup, b.bf_dup
+  FROM ann a JOIN bf b USING (query_id)
+) t
+GROUP BY arm
 """
 
 
@@ -4350,6 +4466,12 @@ QUERIES: dict[str, QuerySpec] = {
         "IVF re-train executed over the merged base ∪ extension table "
         "(growth rule on the merged count); per-cluster reconvergence "
         "report — drifted clusters' cosine returns to ~1.0",
+    ),
+    "sim_rebuild_recall": QuerySpec(
+        q_sim_rebuild_recall,
+        ORA_SIM_REBUILD_RECALL,
+        "rebuild acceptance gate: rebuilt-index dup recall vs exact "
+        "brute force per day-2 arm — replay 1.0, control flags nothing",
     ),
     "sim_topk_day2": QuerySpec(
         q_sim_topk_day2,

@@ -39,6 +39,10 @@ ALLOWED_BNLJ = {
     # bm25/tfidf totals
     "retrieval_rrf_fusion",
     "sim_bruteforce_topk",
+    # r19 acceptance gate: brute_force_topk's broadcast of the BOUNDED
+    # day-2 acceptance batch (110 queries) against the merged corpus —
+    # the declared oracle tier, same class as sim_bruteforce_topk
+    "sim_rebuild_recall",
     "sim_incremental_range",  # delta x broadcast(centroids): n_clusters rows
     "sim_incremental_topk",  # delta x broadcast(centroids): n_clusters rows
     "sim_index_merge",  # gate probe + assignment: both broadcast(centroids)

@@ -353,3 +353,20 @@ def test_rebuild_clears_drift_and_keeps_recall(spark):
     missed = replay - flagged
     assert not missed, f"rebuild lost recall on admitted copies: {sorted(missed)[:5]}"
     assert not (control & flagged), "control arm must never flag"
+
+
+def test_rebuild_acceptance_gate(spark):
+    """r19: the registered acceptance gate's pinned semantics — on the
+    day-2 batch, the rebuilt index loses NO true dup the exact brute
+    force finds (replay arm recall 1.0, missed 0) and the control arm
+    flags nothing on either side."""
+    from spark_kafka_realm_time_data_pipeline_spark.queries.llm import (
+        q_sim_rebuild_recall,
+    )
+
+    rows = {r.arm: r for r in q_sim_rebuild_recall(spark, SF_DIR).collect()}
+    assert set(rows) == {"replay", "control"}
+    rep, ctl = rows["replay"], rows["control"]
+    assert rep.n_queries > 0 and rep.bf_dups == rep.n_queries  # all true dups
+    assert rep.missed == 0 and rep.recall == 1.0, rep
+    assert ctl.bf_dups == 0 and ctl.ann_dups == 0 and ctl.recall == 1.0, ctl
