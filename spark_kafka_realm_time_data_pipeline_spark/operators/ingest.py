@@ -139,19 +139,48 @@ def merge_admitted_into_indexes(
     )
     darr.write.mode("overwrite").parquet(f"{extension_path}/toks_arr")
 
-    rows = []
-    for table, base_path in (
+    # Read-back report as ONE action: the former loop ran 8 serial
+    # count() jobs (~0.3 s fixed job overhead each — a quarter of the
+    # warm merge wall at sf0.1); the 8 footer-count scans are now
+    # branches of a single union+join plan, so Spark schedules them
+    # concurrently inside one job.  Eagerly checkpointed before return
+    # because callers reclaim extension_path as soon as the report frame
+    # exists — the result must not lazily re-read deleted files.
+    from functools import reduce
+
+    def counted(path: str, table: str, col: str) -> DataFrame:
+        return spark.read.parquet(path).agg(
+            F.count(F.lit(1)).cast("long").alias(col)
+        ).select(F.lit(table).alias("index_table"), col)
+
+    pairs = (
         ("bh", f"{hash_index}/bh"),
         ("bands", f"{band_index}/bands"),
         ("sizes", f"{band_index}/sizes"),
         ("toks_arr", f"{band_index}/toks_arr"),
-    ):
-        before = spark.read.parquet(base_path).count()
-        appended = spark.read.parquet(f"{extension_path}/{table}").count()
-        rows.append((table, before, appended, before + appended))
-    return spark.createDataFrame(
-        rows,
-        "index_table string, rows_before long, rows_appended long, rows_after long",
+    )
+    # bound-method fold, not DataFrame.unionByName: pyspark.sql.DataFrame
+    # is the abstract parent in Spark 4 and instances resolve methods on
+    # the classic subclass (the plan_audit monkeypatch lesson)
+    befores = reduce(
+        lambda a, b: a.unionByName(b),
+        [counted(p, t, "rows_before") for t, p in pairs],
+    )
+    appendeds = reduce(
+        lambda a, b: a.unionByName(b),
+        [counted(f"{extension_path}/{t}", t, "rows_appended") for t, _ in pairs],
+    )
+    return (
+        befores.join(appendeds, "index_table")
+        .select(
+            "index_table",
+            "rows_before",
+            "rows_appended",
+            (F.col("rows_before") + F.col("rows_appended"))
+            .cast("long")
+            .alias("rows_after"),
+        )
+        .localCheckpoint(eager=True)
     )
 
 
