@@ -275,6 +275,41 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def signatures_from_arrays(
+    darr: DataFrame,
+    n_hashes: int = N_MINHASH,
+    with_size: bool = False,
+) -> DataFrame:
+    """MinHash signature per doc computed ROW-WISE from the (doc_id, arr)
+    distinct-shingle arrays with JVM higher-order functions — value-
+    identical to ``minhash_signatures(explode(arr), tok_hashed=True)``
+    (same dual-prime residues, same affine map, min over the same set),
+    but with NO explode, NO groupBy and therefore NO exchange.
+
+    The per-micro-batch probes used to explode the checkpointed array
+    frame and re-aggregate by doc_id; the checkpoint hides the doc_id
+    partitioning from Catalyst, so that groupBy paid a full shuffle of
+    the delta's (doc, token-hash) frame on every batch (r20 measure:
+    the widest delta-side exchange in the near-dup probe).  An
+    ``array_min`` over a ``transform`` computes the same minimum inside
+    the scan stage — guide §2.4 "remove shuffles outright".  ``n_toks``
+    is ``size(arr)`` (the arrays are distinct by construction)."""
+    sig = lambda s: F.array_min(  # noqa: E731
+        F.transform(
+            "arr",
+            lambda t: (
+                t % MINHASH_PRIME
+                + F.lit(s) * ((t % MINHASH_PRIME_B) * 2 + 1)
+            )
+            % MINHASH_PRIME,
+        )
+    )
+    cols = [F.col("doc_id")] + [sig(s).alias(f"s{s}") for s in range(n_hashes)]
+    if with_size:
+        cols.append(F.size("arr").cast("long").alias("n_toks"))
+    return darr.select(*cols)
+
+
 def signature_bands(
     sigs: DataFrame,
     n_hashes: int = N_MINHASH,
@@ -894,21 +929,26 @@ def incremental_near_dup_batch(
     # The delta's per-doc shingle-set arrays are the ONE materialized
     # intermediate (n_delta narrow rows, eager localCheckpoint — no
     # persist lifecycle to manage across the lazy return): the signature
-    # chain re-explodes it, the verify join broadcasts it.
+    # chain re-explodes it, the verify join broadcasts it.  This barrier
+    # deliberately SURVIVED the r20 funnel-barrier shrink: replacing it
+    # with a lazily shared repartition exchange re-optimized/re-ran the
+    # tokenize subtree per consumer and the funnel family measured ~2x
+    # slower (the duplicated-subtree plan-bloat failure PLANS.md records
+    # for containment_pairs) — multi-consumer tokenize output needs a
+    # real materialization point.
     darr = doc_shingle_arrays(d).localCheckpoint(eager=True)
-    dsigs = minhash_signatures(
-        darr.select("doc_id", F.explode("arr").alias("tok")),
-        tok_hashed=True,
-        with_size=True,
-    )
+    # array-native signatures: no explode/groupBy exchange per batch
+    dsigs = signatures_from_arrays(darr, with_size=True)
     delta_bands = capped_buckets(signature_bands(dsigs), max_bucket).select(
         F.col("doc_id").alias("delta_id"), "band_id", "band_key"
     )
+    # tiny pair list, broadcast below; single consumer -> no barrier (r20
+    # funnel-barrier shrink: the broadcast build runs the band probe once
+    # inside the same job instead of behind a blocking checkpoint)
     cands = (
         base_bands.join(F.broadcast(delta_bands), ["band_id", "band_key"])
         .select("delta_id", "base_id")
         .distinct()
-        .localCheckpoint(eager=True)  # tiny pair list; broadcast below
     )
     # Linear verify: ONE distributed scan of the staged array table, with
     # the pair list and the delta arrays both broadcast onto it — the base
@@ -1040,13 +1080,22 @@ def containment_vs_base_batch(
 
     target = delta.sparkSession.sparkContext.defaultParallelism
     d = delta.select("doc_id", "text").repartition(target, "doc_id")
+    # barrier kept through the r20 funnel-barrier shrink — same measured
+    # rationale as incremental_near_dup_batch's darr: the arrays feed the
+    # ranked chain AND the verify broadcast, and a lazily shared exchange
+    # re-ran the tokenize per consumer (~2x slower funnel family)
     darr = doc_shingle_arrays(d).localCheckpoint(eager=True)
     dtoks = darr.select("doc_id", F.explode("arr").alias("tok"))
     # df lookup: semi-filter the base df scan by the delta's tokens, then
-    # hang the (small) result off the delta frame by broadcast
+    # hang the (small) result off the delta frame by broadcast.  No barrier:
+    # df_small feeds exactly one consumer (the ranked join below), so an
+    # eager localCheckpoint bought no reuse — it only added a blocking job
+    # per batch (r20 funnel-barrier shrink; guide §2.4's "remove shuffles/
+    # passes you did not need": the fused plan runs the semi-probe once
+    # inside the same job).
     df_small = cdf.join(
         F.broadcast(dtoks.select("tok").distinct()), "tok", "left_semi"
-    ).localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     wt = Window.partitionBy("tok").orderBy("doc_id")
     ranked = (
@@ -1062,12 +1111,14 @@ def containment_vs_base_batch(
         )
         + F.lit(1)
     )
+    # dpref/cands each feed exactly one consumer — no barrier (r20 funnel-
+    # barrier shrink): the probe fuses into one job instead of four, and
+    # the broadcast hints below still bound what crosses the cluster.
     dpref = (
         ranked.filter(F.col("p") <= prefix_len)
         .withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= max_posting)
         .select(F.col("doc_id").alias("delta_id"), "tok", F.col("p").alias("pa"), "n_a")
-        .localCheckpoint(eager=True)
     )
     grouped = (
         cidx.join(F.broadcast(dpref), "tok")
@@ -1084,9 +1135,7 @@ def containment_vs_base_batch(
         f"({threshold_num} * n_a + {threshold_den} - 1) div {threshold_den}"
     )
     ub = F.lit(1) + F.least(F.col("n_a") - F.col("fa"), F.col("n_b") - F.col("fb"))
-    cands = grouped.filter(ub >= need).select("delta_id", "base_id").localCheckpoint(
-        eager=True
-    )
+    cands = grouped.filter(ub >= need).select("delta_id", "base_id")
     n_a = F.size("arr_a").cast("bigint")
     n_b = F.size("arr_b").cast("bigint")
     n_inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint")

@@ -107,37 +107,58 @@ def merge_admitted_into_indexes(
     indexes byte-stable for concurrent readers).  All work is
     delta-sized: base tables contribute only parquet-footer row counts
     and one hash-probe scan."""
+    # Pin the admitted-id list once (tiny, one row per admitted doc):
+    # since the r20 funnel-barrier shrink the caller's `decisions` frame is
+    # a REAL funnel plan (not three checkpointed leaves), and this function
+    # consumes `adm` from several independent jobs (hash extension, band/
+    # size/array writes) — without the pin each job would re-run the whole
+    # funnel to rebuild the broadcast.
+    admitted_ids = admitted_ids.localCheckpoint(eager=True)
     adm = delta.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
     # exact-hash extension: admitted hashes not already in the base index
     bh = spark.read.parquet(f"{hash_index}/bh")
     dh = adm.select(F.sha2("text", 256).alias("h")).distinct()
-    matched = (
-        bh.join(F.broadcast(dh), "h", "left_semi").localCheckpoint(eager=True)
-    )
+    # matched feeds exactly one consumer (the anti-join below), so it needs
+    # no barrier (r20 funnel-barrier shrink): within the one write job the
+    # two dh subtrees are identical and ReuseExchange computes the delta
+    # hashes once; the base index still contributes only a scan.
+    matched = bh.join(F.broadcast(dh), "h", "left_semi")
     new_hashes = dh.join(F.broadcast(matched), "h", "left_anti")
-    new_hashes.write.mode("overwrite").parquet(f"{extension_path}/bh")
     # band/size/array extensions: per-doc rows recomputed from admitted text
     from .dedup import (
         doc_shingle_arrays,
-        minhash_signatures,
         signature_bands,
+        signatures_from_arrays,
     )
 
     target = adm.sparkSession.sparkContext.defaultParallelism
     a = adm.select("doc_id", "text").repartition(target, "doc_id")
     darr = doc_shingle_arrays(a).localCheckpoint(eager=True)
-    dsigs = minhash_signatures(
-        darr.select("doc_id", F.explode("arr").alias("tok")),
-        tok_hashed=True,
-        with_size=True,
+    # array-native signatures: no explode/groupBy exchange per merge
+    dsigs = signatures_from_arrays(darr, with_size=True)
+
+    # The four extension writes are INDEPENDENT delta-sized jobs off the
+    # pinned admitted/darr frames — submit them from a small thread pool so
+    # each job's task tail back-fills the executors the previous job would
+    # have left idle (guide §2.6: overlap independent jobs).  Serial, the
+    # four write jobs dominated the warm merge wall; results are unchanged
+    # because the jobs touch disjoint output dirs and the read-back report
+    # below runs only after all four complete.
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = (
+        ("bh", new_hashes),
+        ("bands", signature_bands(dsigs)),
+        ("sizes", dsigs.select("doc_id", "n_toks")),
+        ("toks_arr", darr),
     )
-    signature_bands(dsigs).write.mode("overwrite").parquet(
-        f"{extension_path}/bands"
-    )
-    dsigs.select("doc_id", "n_toks").write.mode("overwrite").parquet(
-        f"{extension_path}/sizes"
-    )
-    darr.write.mode("overwrite").parquet(f"{extension_path}/toks_arr")
+
+    def _write(sub_frame):
+        sub, frame = sub_frame
+        frame.write.mode("overwrite").parquet(f"{extension_path}/{sub}")
+
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        list(pool.map(_write, writes))
 
     # Read-back report as ONE action: the former loop ran 8 serial
     # count() jobs (~0.3 s fixed job overhead each — a quarter of the
@@ -208,26 +229,34 @@ def ingest_admission_batch(
     bh = spark.read.parquet(f"{hash_index}/bh")
     dh = delta.select("doc_id", F.sha2("text", 256).alias("h"))
     # base hash scan probed by the broadcast delta hashes — the delta ids
-    # that already exist verbatim in the corpus
+    # that already exist verbatim in the corpus.  The flag column rides the
+    # id frame from the start so the anti-join below and the final flag
+    # join broadcast the IDENTICAL subtree: within one job ReuseExchange
+    # builds the probe once (r20 funnel-barrier shrink — barriers used to
+    # pin these frames; the shared broadcast subtree does the same work
+    # without a blocking job per gate).
     exact_ids = (
         bh.join(F.broadcast(dh), "h")
         .select("doc_id")
         .distinct()
-        .localCheckpoint(eager=True)
+        .withColumn("_e", F.lit(True))
     )
     not_exact = delta.join(F.broadcast(exact_ids), "doc_id", "left_anti")
     contained_ids = (
         containment_vs_base_batch(spark, containment_index, not_exact)
         .select(F.col("delta_id").alias("doc_id"))
         .distinct()
+        .withColumn("_c", F.lit(True))
         .localCheckpoint(eager=True)
     )
     survivors = not_exact.join(F.broadcast(contained_ids), "doc_id", "left_anti")
+    # single consumer (the final flag join) -> no barrier: the near-dup
+    # probe runs once inside the final job's broadcast build (r20
+    # funnel-barrier shrink)
     near_dup_ids = (
         incremental_near_dup_batch(spark, band_index, survivors)
         .select(F.col("delta_id").alias("doc_id"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     quality = quality_logit_score(delta).select(
         "doc_id", F.col("keep").alias("quality_keep")
@@ -236,14 +265,8 @@ def ingest_admission_batch(
     is_contained = F.coalesce("_c", F.lit(False))
     is_near_dup = F.coalesce("_n", F.lit(False))
     return (
-        quality.join(
-            F.broadcast(exact_ids.withColumn("_e", F.lit(True))), "doc_id", "left"
-        )
-        .join(
-            F.broadcast(contained_ids.withColumn("_c", F.lit(True))),
-            "doc_id",
-            "left",
-        )
+        quality.join(F.broadcast(exact_ids), "doc_id", "left")
+        .join(F.broadcast(contained_ids), "doc_id", "left")
         .join(
             F.broadcast(near_dup_ids.withColumn("_n", F.lit(True))),
             "doc_id",

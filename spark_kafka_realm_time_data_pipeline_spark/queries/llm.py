@@ -2951,7 +2951,13 @@ def q_curation_admission_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     hidx = staged_hash_index(spark, sf_dir)
     bidx = staged_base_index(spark, sf_dir)
     decisions = I.ingest_admission_batch(spark, cidx, hidx, bidx, delta)
-    admitted_ids = decisions.filter("admitted").select("doc_id")
+    # pin the tiny admitted-id list once: since the r20 funnel-barrier
+    # shrink `decisions` is a real funnel plan, and the curation pipeline
+    # downstream materializes its own barriers — each would otherwise
+    # re-run the funnel to rebuild this broadcast
+    admitted_ids = (
+        decisions.filter("admitted").select("doc_id").localCheckpoint(eager=True)
+    )
     adm = delta.join(F.broadcast(admitted_ids), "doc_id", "left_semi")
     corpus = docs.select("doc_id", "text").unionByName(adm)
     attrs = docs.select(F.col("doc_id").alias("orig_id"), "lang")
