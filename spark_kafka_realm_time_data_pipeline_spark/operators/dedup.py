@@ -1565,15 +1565,20 @@ def prefix_filter_pairs(
             + F.lit(1)
         )
         wt = Window.partitionBy("tok").orderBy("doc_id")
-        # eager checkpoint: both join sides (a, b) and the group stage read
-        # pref; uncheckpointed, its 3-shuffle lineage (df join + two
-        # windows over the full token frame) re-runs per consumer.
+        # persist: both join sides (a, b) and the group stage read pref;
+        # unmaterialized, its 3-shuffle lineage (df join + two windows
+        # over the full token frame) re-runs per consumer.  persist()
+        # instead of localCheckpoint (r20): same compute-once guarantee,
+        # and the InMemoryRelation keeps the tok-window's hash(tok)
+        # partitioning + sort, so the a⋈b candidate self-join below
+        # consumes it with NO further exchange — the checkpoint's
+        # ExistingRDD hid the partitioning and re-shuffled both sides.
         pref = (
             ranked.filter(F.col("p") <= prefix_len)
             .withColumn("rn", F.row_number().over(wt))
             .filter(F.col("rn") <= max_posting)
             .select("doc_id", "tok", "p", "n_toks")
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         a = pref.select(
             F.col("doc_id").alias("doc_a"),
@@ -1620,6 +1625,11 @@ def prefix_filter_pairs(
             cands, toks, threshold_num / threshold_den
         ).localCheckpoint(eager=True)
     finally:
+        # the eager checkpoint above materialized the result first
+        try:
+            pref.unpersist()
+        except NameError:
+            pass
         toks.unpersist()
 
 
@@ -1669,18 +1679,25 @@ def containment_pairs(
         # groupBy + join — the r14 sf1 stage profile put this rank stage
         # at 17.1 s of the 36.7 s total, and the sizes aggregate + join
         # was a full extra shuffle of the token frame.
-        # Eager checkpoint: BOTH the prefix probe and the full index read
-        # ranked; uncheckpointed, its multi-shuffle lineage (df join +
-        # windows) re-runs per consumer and the duplicated subtree
-        # bloats the single candidate-join plan (measured 15.8 s -> ~2 s
-        # at sf0.001 — the checkpoint-barrier rule in PLANS.md).
+        # Persist: BOTH the prefix probe and the full index read ranked;
+        # unmaterialized, its multi-shuffle lineage (df join + windows)
+        # re-runs per consumer and the duplicated subtree bloats the
+        # single candidate-join plan (measured 15.8 s -> ~2 s at sf0.001
+        # — the checkpoint-barrier rule in PLANS.md).  persist() instead
+        # of localCheckpoint (r20): same compute-once guarantee, but the
+        # InMemoryRelation KEEPS the plan's output partitioning, so the
+        # downstream tok-windows and the candidate join can reuse it —
+        # a checkpoint's ExistingRDD hides partitioning from Catalyst
+        # and forced re-exchanges of every posting frame.
+        from pyspark import StorageLevel
+
         ranked = (
             toks.join(df, "tok")
             .withColumn("p", F.row_number().over(w))
             .withColumn(
                 "n_toks", F.count("*").over(Window.partitionBy("doc_id"))
             )
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         prefix_len = (
             F.col("n_toks")
@@ -1690,6 +1707,11 @@ def containment_pairs(
             + F.lit(1)
         )
         wt = Window.partitionBy("tok").orderBy("doc_id")
+        # pref/idx each feed ONE consumer (the candidate join) and their
+        # tok-windows leave them hash-partitioned by tok — keep them lazy
+        # (r20): the join then consumes the windows' partitioning with no
+        # further exchange, where the former per-side localCheckpoint
+        # forgot it and re-shuffled both posting frames.
         pref = (
             ranked.filter(F.col("p") <= prefix_len)
             .withColumn("rn", F.row_number().over(wt))
@@ -1700,7 +1722,6 @@ def containment_pairs(
                 F.col("p").alias("pa"),
                 F.col("n_toks").alias("n_a"),
             )
-            .localCheckpoint(eager=True)
         )
         # the B index ranks over the UNFILTERED token frame — containment
         # places no prefix condition on the containing side
@@ -1713,7 +1734,6 @@ def containment_pairs(
                 F.col("p").alias("pb"),
                 F.col("n_toks").alias("n_b"),
             )
-            .localCheckpoint(eager=True)
         )
         # positional prune (PPJoin adapted to the asymmetric bound): with
         # the earliest OBSERVED match at doc-local ranks (fa, fb), overlap
@@ -1784,6 +1804,12 @@ def containment_pairs(
             .localCheckpoint(eager=True)
         )
     finally:
+        # the eager checkpoint above materialized the result, so both
+        # caches can be released before returning
+        try:
+            ranked.unpersist()
+        except NameError:
+            pass
         toks.unpersist()
 
 
