@@ -427,6 +427,11 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "value_legacy34": legacy,
+            # which core count produced this artifact — the scaling run and
+            # the main run used to overwrite ONE detail file (r20 lost its
+            # 32-core per-query map to the 8-core run); cpus is recorded
+            # here and keyed into the per-cpus detail filename below
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             # the wall budget this run degraded against, and which lines it
             # degraded — tools/bench_medians.py REFUSES detail files whose
             # tail degraded (the r12/r17 fabricated-movers artifact) unless
@@ -455,14 +460,20 @@ def main() -> None:
         # different SF_DIR), and before this guard its last subset run
         # silently replaced the 100+-query detail with a 1-query record.
         if not only:
-            try:
-                with open(
-                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BENCH_DETAIL.json"), "w"
-                ) as fh:
-                    json.dump(out, fh)
-            except OSError:
-                pass
+            root = os.path.dirname(os.path.abspath(__file__))
+            # BENCH_DETAIL.json stays the latest-full-run artifact the
+            # existing tools read; the per-cpus twin survives the driver's
+            # scaling protocol (VERDICT r20 item 3: the 8-core scaling run
+            # clobbered the 32-core detail, erasing per-query attribution).
+            for fname in (
+                "BENCH_DETAIL.json",
+                f"BENCH_DETAIL_c{out['cpus']}.json",
+            ):
+                try:
+                    with open(os.path.join(root, fname), "w") as fh:
+                        json.dump(out, fh)
+                except OSError:
+                    pass
         print(compact_line(out), flush=True)
 
     # A terminated run (driver timeout, SIGTERM) must still leave an

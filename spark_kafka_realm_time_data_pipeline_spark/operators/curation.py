@@ -359,12 +359,49 @@ def lm_perplexity_filter(docs: DataFrame) -> DataFrame:
     hash-exact across engines (the repo's no-libm discipline: ln() differs
     by ulps between JVM and C libm).  Production swaps in a KenLM scorer via
     mapInPandas; the Spark shape is identical either way: one explode pass
-    to train (vocab-bounded shuffle after map-side combine), one explode
-    pass to score joined against the vocab-bounded model (broadcastable
-    when the vocab head is small; a key-shuffle join otherwise), one per-doc
-    aggregate.  At 100 TB the model is a maintained table — train once,
-    score every shard."""
-    return lm_score_docs(docs, lm_bigram_model(docs))
+    shared by train and score (r21 — the self-scored variant used to
+    explode + split the corpus TWICE, once without doc_id for the model
+    and once with it for scoring; the model's counts are the same frame
+    with doc_id dropped, so one persisted bigram pass feeds both), the
+    vocab-bounded model joined back (broadcastable when the vocab head is
+    small; a key-shuffle join otherwise), one per-doc aggregate.  At
+    100 TB the model is a maintained table — train once, score every
+    shard (the streaming gate's staged_ppl_model path)."""
+    from pyspark import StorageLevel
+
+    from .dedup import fan_out
+
+    big = (
+        fan_out(docs)
+        .select("doc_id", F.explode(_word_ngrams(n=2)).alias("bigram"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        counts = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+        with_ctx = counts.withColumn("w1", F.split("bigram", " ")[0])
+        ctx = with_ctx.groupBy("w1").agg(
+            F.sum("n").cast("bigint").alias("ctx_n")
+        )
+        model = with_ctx.join(ctx, "w1").select(
+            "bigram",
+            (F.length(F.bin(F.expr("ctx_n div n"))) - 1)
+            .cast("bigint")
+            .alias("bits"),
+        )
+        scored = big.join(model, "bigram").groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
+        )
+        avg_milli = F.expr("(1000 * total_bits) div n_bigrams")
+        return scored.select(
+            "doc_id",
+            "n_bigrams",
+            "total_bits",
+            avg_milli.cast("bigint").alias("avg_milli_bits"),
+            (avg_milli <= PPL_KEEP_MILLI_BITS).alias("keep"),
+        ).localCheckpoint(eager=True)
+    finally:
+        big.unpersist()
 
 
 def lm_bigram_model(docs: DataFrame) -> DataFrame:

@@ -1310,10 +1310,21 @@ def substring_dup_spans(corpus: DataFrame) -> DataFrame:
         lambda acc, c: (acc * SHINGLE_B + c) % SHINGLE_P,
     )
     wins = wins.select("doc_id", "n_chars", "off", h.alias("h"))
-    repeated = (
-        wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ")).filter(F.col("n_occ") > 1)
+    # >1-occurrence filter as ONE count-over-window pass (r21, guide §2.4
+    # "two operations keyed the same way share one exchange"): the former
+    # groupBy(h) + join-back evaluated the window frame TWICE — the
+    # char-level Rabin-Karp hash (~4x text length in ops, the dominant
+    # per-row cost here) ran once under the aggregate and again under the
+    # join's probe side.  A count window over the same hash(h) exchange
+    # keeps every win column, computes the fan-out once, and drops the
+    # join outright.  Result-identical: same >1 predicate on the same
+    # corpus-wide occurrence counts.
+    wh = Window.partitionBy("h")
+    rep = (
+        wins.withColumn("n_occ", F.count(F.lit(1)).over(wh))
+        .filter(F.col("n_occ") > 1)
+        .drop("n_occ")
     )
-    rep = wins.join(repeated.select("h"), "h")
     w = Window.partitionBy("doc_id").orderBy("off")
     isl = (
         rep.withColumn("prev", F.lag("off").over(w))

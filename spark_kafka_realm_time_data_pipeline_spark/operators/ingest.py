@@ -134,8 +134,16 @@ def merge_admitted_into_indexes(
     target = adm.sparkSession.sparkContext.defaultParallelism
     a = adm.select("doc_id", "text").repartition(target, "doc_id")
     darr = doc_shingle_arrays(a).localCheckpoint(eager=True)
-    # array-native signatures: no explode/groupBy exchange per merge
-    dsigs = signatures_from_arrays(darr, with_size=True)
+    # array-native signatures: no explode/groupBy exchange per merge.
+    # PINNED (r21): the bands and sizes writes below run CONCURRENTLY in
+    # the thread pool — unpinned, each write job recomputed the full
+    # N_MINHASH-transform signature pass over the delta (duplicated
+    # compute; ingest_index_merge was the single worst regressor in the
+    # driver's r20 detail).  One eager checkpoint computes signatures
+    # once; both writes then read a delta-sized local relation.
+    dsigs = signatures_from_arrays(darr, with_size=True).localCheckpoint(
+        eager=True
+    )
 
     # The four extension writes are INDEPENDENT delta-sized jobs off the
     # pinned admitted/darr frames — submit them from a small thread pool so
@@ -229,17 +237,25 @@ def ingest_admission_batch(
     bh = spark.read.parquet(f"{hash_index}/bh")
     dh = delta.select("doc_id", F.sha2("text", 256).alias("h"))
     # base hash scan probed by the broadcast delta hashes — the delta ids
-    # that already exist verbatim in the corpus.  The flag column rides the
-    # id frame from the start so the anti-join below and the final flag
-    # join broadcast the IDENTICAL subtree: within one job ReuseExchange
-    # builds the probe once (r20 funnel-barrier shrink — barriers used to
-    # pin these frames; the shared broadcast subtree does the same work
-    # without a blocking job per gate).
+    # that already exist verbatim in the corpus.  PINNED (r21, reverting
+    # the r20 barrier removal for this one frame): exact_ids is a
+    # MULTI-JOB consumer — its lineage (the base hash-index scan + probe)
+    # is referenced by the containment probe's darr barrier job (via
+    # not_exact), by the near-dup probe's darr barrier job (via
+    # survivors), and by the final flag join's broadcast build.
+    # ReuseExchange dedupes only within ONE plan; unpinned, the base
+    # index was re-scanned ~3x per batch (driver r20 detail: the funnel
+    # family ran 1.6-2x slower at both core counts), and at 100 TB the
+    # probe is base-index-sized.  One eager checkpoint of the tiny id
+    # frame makes every downstream consumer read a local relation.  The
+    # _e flag still rides the frame from birth so both consumers share
+    # the one pinned subtree.
     exact_ids = (
         bh.join(F.broadcast(dh), "h")
         .select("doc_id")
         .distinct()
         .withColumn("_e", F.lit(True))
+        .localCheckpoint(eager=True)
     )
     not_exact = delta.join(F.broadcast(exact_ids), "doc_id", "left_anti")
     contained_ids = (

@@ -66,7 +66,23 @@ def registry() -> dict[str, QuerySpec]:
     front = [
         n
         for n in (
-            # (a) the stale set: staging restage + new/upgraded queries
+            # Round-21 rotation (mechanical, same displacement rule as
+            # r20): the four pair-tier queries whose shared derivation
+            # (prefix_filter_pairs / containment_pairs) changed in the
+            # 8649ceb persist swap AFTER their newest proofs, plus the two
+            # r21-optimized lines (one-pass repeat filter; shared bigram
+            # pass), join the stale head; six tail fill names
+            # (streaming_cdc_latest, streaming_dedup,
+            # streaming_dedup_watermark, streaming_foreachbatch_topk,
+            # streaming_late_window, stedi_flagship) displace to the next
+            # fill.
+            "dedup_agreement_report",
+            "dedup_containment",
+            "dedup_jaccard_prefix",
+            "dedup_keep_containment",
+            "lm_perplexity_filter",
+            "substring_dup_spans",
+            # (a) the r19 stale set: staging restage + new/upgraded queries
             "approx_distinct",
             "column_profile_approx",
             "column_profile_approx_bounds",
@@ -112,15 +128,13 @@ def registry() -> dict[str, QuerySpec]:
             "scd2_intervals",
             "sessionize",
             "sql_script_histogram",
-            "stedi_flagship",
-            "streaming_cdc_latest",
-            "streaming_dedup",
-            "streaming_dedup_watermark",
-            "streaming_foreachbatch_topk",
-            "streaming_late_window",
-            # (streaming_outer_join displaced to the r20 fill by the
-            # late-round sim_rebuild_recall addition, per the rule:
-            # additions displace from the fill TAIL, never the stale head)
+            # (stedi_flagship, streaming_cdc_latest, streaming_dedup,
+            # streaming_dedup_watermark, streaming_foreachbatch_topk,
+            # streaming_late_window displaced to the r21 fill by the six
+            # stale entries above; streaming_outer_join displaced to the
+            # r20 fill by the late-round sim_rebuild_recall addition, per
+            # the rule: additions displace from the fill TAIL, never the
+            # stale head)
         )
         if n in merged  # ordering hint only — a renamed query must not break registry()
     ]
